@@ -1,0 +1,265 @@
+"""Schema-document -> Column-expression plan compiler.
+
+The Spark-native analog of the reference's compile step
+(``NewProp``, /root/reference/validator_core.go:304-363): a schema
+document (a plain python dict, same JSON shape the reference accepts)
+is compiled ONCE on the driver into a tree of ``Rule`` objects, each of
+which knows how to emit a typed violations Column for a ``ValueRef``.
+Catalyst then optimizes the resulting expression DAG — whole-stage
+codegen, constant folding, predicate reordering come free.
+
+Keyword factories are registered by name, mirroring
+``RegisterValidator`` (validator_core.go:224-229), and are sorted by
+the reference's priority table (validator_core.go:211-219) so sibling
+cross-references (required->properties, maximum->exclusiveMaximum,
+if->then/else, switch->case/defaults) resolve identically and error
+accumulation order matches ``ArrProp.Validate``
+(validator_core.go:278-285).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.errors import concat_violations, empty_violations
+from ..core.refs import ValueRef
+
+
+class SchemaError(ValueError):
+    """Raised at compile time for malformed schema documents
+    (the reference returns build errors from NewValidatorFunc)."""
+
+
+class Rule:
+    """A compiled keyword: emits array<struct<path,info>> for a value."""
+
+    def violations(self, ref: ValueRef) -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+
+class FnRule(Rule):
+    def __init__(self, fn: Callable[[ValueRef], Column]):
+        self.fn = fn
+
+    def violations(self, ref: ValueRef) -> Column:
+        return self.fn(ref)
+
+
+class TransformOp:
+    """A compiled mutation keyword (constVal/defaultVal/set/...),
+    applied as a withColumn pipeline step on the top-level DataFrame
+    (reference mutates the document in place,
+    validator_core.go:439-481)."""
+
+    def __init__(self, fn: Callable[[DataFrame, ValueRef], DataFrame], keyword: str):
+        self.fn = fn
+        self.keyword = keyword
+
+    def apply(self, df: DataFrame, root: ValueRef) -> DataFrame:
+        return self.fn(df, root)
+
+
+# keyword -> (factory, priority).  Factory signature mirrors
+# NewValidatorFunc(i, path, parent): (operand, path, siblings, ctx).
+KeywordFactory = Callable[[object, str, dict, "CompileCtx"], Optional[Rule]]
+_KEYWORDS: dict[str, tuple[KeywordFactory, int]] = {}
+
+# reference priority table (validator_core.go:211-219); default 0,
+# ascending stable sort = execution & error order.
+_PRIORITIES = {
+    "switch": 1,
+    "if": 1,
+    "required": 2,
+    "properties": 1,
+    "props": 1,
+    "maximum": 1,
+    "minimum": 1,
+    "defaultVals": 3,
+}
+
+# reference ignored keys (validator_core.go:201-209) + our annotations
+IGNORE_KEYS = {
+    "title",
+    "comment",
+    "$comment",
+    "description",
+    "$id",
+    "$schema",
+    "id",
+    "examples",
+    "$defs",
+    "definitions",
+}
+
+
+def register_keyword(name: str, priority: int | None = None):
+    """Extension surface mirroring RegisterValidator
+    (validator_core.go:224-229)."""
+
+    def deco(fn: KeywordFactory) -> KeywordFactory:
+        _KEYWORDS[name] = (fn, _PRIORITIES.get(name, 0) if priority is None else priority)
+        return fn
+
+    return deco
+
+
+def add_ignore_key(key: str) -> None:
+    IGNORE_KEYS.add(key)
+
+
+@dataclass
+class CompileCtx:
+    root_doc: dict | list
+    options: dict = field(default_factory=dict)
+    transforms: list[TransformOp] = field(default_factory=list)
+    ref_depth: int = 0
+    max_ref_depth: int = 4
+    in_if: bool = False
+    # active branch predicates (if/then, switch/case) guarding any
+    # TransformOps compiled inside the branch
+    guards: list = field(default_factory=list)
+
+    def compile_node(self, doc, path: str) -> "Node":
+        return compile_node(doc, path, self)
+
+    def resolve_ref(self, ref: str):
+        """'#', '#/$defs/x', '#/definitions/x' pointer resolution
+        (reference ref.go:12-82, defs.go:5-44)."""
+        if ref == "#" or ref == "#/":
+            return self.root_doc
+        if not ref.startswith("#/"):
+            raise SchemaError(f"unsupported $ref: {ref}")
+        node = self.root_doc
+        for seg in ref[2:].split("/"):
+            seg = seg.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                node = node[int(seg)]
+            elif isinstance(node, dict) and seg in node:
+                node = node[seg]
+            else:
+                raise SchemaError(f"$ref target not found: {ref}")
+        return node
+
+
+class Node(Rule):
+    """ArrProp analog: ordered (keyword, Rule) pairs for one schema
+    object (validator_core.go:253-294)."""
+
+    def __init__(self, rules: list[tuple[str, Rule]], doc: dict):
+        self.rules = rules
+        self.doc = doc
+
+    def violations(self, ref: ValueRef) -> Column:
+        if not self.rules:
+            return empty_violations()
+        return concat_violations(*[r.violations(ref) for _, r in self.rules])
+
+    def ok(self, ref: ValueRef) -> Column:
+        return F.size(self.violations(ref)) == 0
+
+
+def compile_node(doc, path: str, ctx: CompileCtx) -> Node:
+    """NewProp (validator_core.go:304-363): top-level arrays are allOf;
+    unknown keywords are compile errors; keywords sorted by priority."""
+    if isinstance(doc, list):
+        # array form == allOf (validator_core.go:316-318)
+        doc = {"allOf": doc}
+    if not isinstance(doc, dict):
+        raise SchemaError(f"schema node at {path} must be an object, got {type(doc).__name__}")
+    entries: list[tuple[int, int, str, Rule]] = []
+    order = 0
+    for kw, operand in doc.items():
+        if kw in IGNORE_KEYS:
+            continue
+        if kw not in _KEYWORDS:
+            raise SchemaError(f"unknown validator keyword '{kw}' at {path}")
+        factory, prio = _KEYWORDS[kw]
+        rule = factory(operand, path, doc, ctx)
+        if rule is not None:
+            entries.append((prio, order, kw, rule))
+        order += 1
+    entries.sort(key=lambda e: (e[0], e[1]))
+    return Node([(kw, rule) for _, _, kw, rule in entries], doc)
+
+
+def _ensure_registered():
+    # import for registration side effects
+    from . import keywords_base, keywords_logic, keywords_magic  # noqa: F401
+
+
+class CompiledSchema:
+    """A schema compiled against no particular DataFrame; binding
+    happens per-DataFrame (the df schema supplies static dtypes)."""
+
+    def __init__(self, node: Node, ctx: CompileCtx, doc):
+        self.node = node
+        self.ctx = ctx
+        self.doc = doc
+
+    def root_ref(self, df: DataFrame) -> ValueRef:
+        return ValueRef(col=None, dtype=df.schema, path="$", is_root=True)
+
+    def violations_col(self, df: DataFrame) -> Column:
+        return self.node.violations(self.root_ref(df))
+
+    def annotate(self, df: DataFrame, col: str = "violations") -> DataFrame:
+        """df + violations column; a row is valid iff size(col)==0."""
+        return df.withColumn(col, self.violations_col(df))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Apply mutation keywords (constVal/defaultVal/replaceKey/
+        formatVal/set/delete...) as a sequenced column pipeline in the
+        reference's application order (validator_core.go:436-481)."""
+        for op in self.ctx.transforms:
+            # rebuild the root ref each step: later ops must see
+            # columns created by earlier ops (sequential mutation
+            # semantics, validator_core.go:439-481)
+            df = op.apply(df, self.root_ref(df))
+        return df
+
+    def validate(self, df: DataFrame, keys: list[str] | None = None) -> "ValidationResult":
+        ann = self.annotate(df)
+        return ValidationResult(ann, keys or [])
+
+
+@dataclass
+class ValidationResult:
+    annotated: DataFrame
+    keys: list[str]
+
+    @property
+    def valid(self) -> DataFrame:
+        return self.annotated.filter(F.size("violations") == 0).drop("violations")
+
+    @property
+    def invalid(self) -> DataFrame:
+        return self.annotated.filter(F.size("violations") > 0)
+
+    @property
+    def violations(self) -> DataFrame:
+        """Exploded (keys..., path, info) rows — the golden-file shape
+        (FIXTURES.md §3)."""
+        cols = [F.col(k) for k in self.keys]
+        return (
+            self.annotated.filter(F.size("violations") > 0)
+            .select(*cols, F.explode("violations").alias("v"))
+            .select(*cols, F.col("v.path").alias("path"), F.col("v.info").alias("info"))
+        )
+
+
+def compile_schema(doc, options: dict | None = None) -> CompiledSchema:
+    """Compile a schema document (dict / list / JSON string) into a
+    reusable plan — the ``NewSchema`` analog (schema.go:18-27)."""
+    _ensure_registered()
+    if isinstance(doc, (str, bytes)):
+        import json
+
+        doc = json.loads(doc)
+    ctx = CompileCtx(root_doc=doc, options=options or {})
+    node = compile_node(doc, "$", ctx)
+    return CompiledSchema(node, ctx, doc)

@@ -1,0 +1,384 @@
+"""Combinators, control flow, object traversal and $ref inlining
+(reference validator_logic.go, validator_properties.go,
+validator_core.go:365-669, ref.go, defs.go).
+
+Control-flow branches that contain mutation keywords (the reference's
+switch/case + setVal pattern, all_test.go:100-139) compile to GUARDED
+TransformOps: the branch predicate becomes a `F.when` guard on the
+withColumn pipeline, keeping everything a single declarative plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.coerce import coercing_equal, string_of
+from ..core.errors import (
+    concat_violations,
+    empty_violations,
+    go_v,
+    viol_when,
+    violation,
+)
+from ..core.refs import ValueRef, resolve
+from ..functions.values import parse_value
+from .compiler import FnRule, Rule, SchemaError, register_keyword
+
+
+@contextlib.contextmanager
+def _guard(ctx, fn):
+    ctx.guards.append(fn)
+    try:
+        yield
+    finally:
+        ctx.guards.pop()
+
+
+@contextlib.contextmanager
+def _in_if(ctx):
+    prev = ctx.in_if
+    ctx.in_if = True
+    try:
+        yield
+    finally:
+        ctx.in_if = prev
+
+
+# ---------------------------------------------------------- properties
+
+@register_keyword("properties")
+def kw_properties(operand, path, siblings, ctx) -> Rule:
+    return _properties(operand, path, siblings, ctx)
+
+
+@register_keyword("props")
+def kw_props(operand, path, siblings, ctx) -> Rule:
+    return _properties(operand, path, siblings, ctx)
+
+
+def _properties(operand, path, siblings, ctx) -> Rule:
+    if not isinstance(operand, dict):
+        raise SchemaError(f"value of 'properties' must be object, path:{path}")
+    children: list[tuple[str, object, dict]] = []
+    for k, sub in operand.items():
+        if not isinstance(sub, dict):
+            raise SchemaError(f"property schema for '{k}' must be object, path:{path}")
+        node = ctx.compile_node(sub, f"{path}.{k}")
+        children.append((k, node, sub))
+
+    additional = siblings.get("additionalProperties")
+    add_node = None
+    if isinstance(additional, dict):
+        add_node = ctx.compile_node(additional, f"{path}.*")
+    declared = list(operand.keys())
+
+    def fn(ref: ValueRef) -> Column:
+        parts = []
+        for k, node, sub in children:
+            child = ref.child(k)
+            # defaultVal fills the missing value, which is then
+            # validated (validator_core.go:443-453) — validate the
+            # coalesced column.
+            dv = sub.get("defaultVal", sub.get("default"))
+            if dv is not None and child.exists:
+                from dataclasses import replace as _replace
+
+                filled = F.coalesce(
+                    child.col, F.lit(dv).cast(child.dtype) if child.dtype else F.lit(dv)
+                )
+                child = _replace(child, col=filled)
+            parts.append(node.violations(child))
+        # unknown fields (validator_core.go:419): only meaningful when
+        # additionalProperties present and not True
+        if additional is False:
+            dt = ref.dtype
+            if isinstance(dt, T.StructType):
+                for f_ in dt.fields:
+                    if f_.name not in declared:
+                        parts.append(
+                            viol_when(
+                                F.col(f_.name).isNotNull()
+                                if ref.is_root
+                                else ref.col.getField(f_.name).isNotNull(),
+                                f"{ref.path}.{f_.name}",
+                                "unknown field",
+                            )
+                        )
+            elif isinstance(dt, T.MapType):
+                unknown = F.filter(
+                    F.map_keys(ref.col), lambda k: ~k.isin(*declared) if declared else F.lit(True)
+                )
+                parts.append(
+                    F.when(ref.null(), empty_violations()).otherwise(
+                        F.transform(
+                            unknown,
+                            lambda k: F.struct(
+                                F.concat(F.lit(ref.path + "."), k).alias("path"),
+                                F.lit("unknown field").alias("info"),
+                            ),
+                        )
+                    )
+                )
+        elif add_node is not None:
+            dt = ref.dtype
+            if isinstance(dt, T.StructType):
+                for f_ in dt.fields:
+                    if f_.name not in declared:
+                        parts.append(add_node.violations(ref.child(f_.name)))
+        return concat_violations(*parts)
+
+    return FnRule(fn)
+
+
+@register_keyword("additionalProperties")
+def kw_additional_properties(operand, path, siblings, ctx) -> None:
+    # consumed by sibling properties (validator_core.go:602-637)
+    return None
+
+
+# --------------------------------------------------------- combinators
+
+@register_keyword("allOf")
+def kw_all_of(operand, path, siblings, ctx) -> Rule:
+    return _all_of(operand, path, ctx)
+
+
+@register_keyword("and")
+def kw_and(operand, path, siblings, ctx) -> Rule:
+    return _all_of(operand, path, ctx)
+
+
+def _all_of(operand, path, ctx) -> Rule:
+    if not isinstance(operand, list):
+        raise SchemaError(f"allOf must be an array, path:{path}")
+    nodes = [ctx.compile_node(sub, path) for sub in operand]
+
+    def fn(ref: ValueRef) -> Column:
+        return concat_violations(*[n.violations(ref) for n in nodes])
+
+    return FnRule(fn)
+
+
+def _any_of(operand, path, ctx) -> Rule:
+    if not isinstance(operand, list):
+        raise SchemaError(f"anyOf must be an array, path:{path}")
+    nodes = [ctx.compile_node(sub, path) for sub in operand]
+
+    def fn(ref: ValueRef) -> Column:
+        # first passing branch wins; else all errors emitted
+        # (validator_logic.go:12-43)
+        branch_viols = [n.violations(ref) for n in nodes]
+        ok = F.lit(False)
+        for bv in branch_viols:
+            ok = ok | (F.size(bv) == 0)
+        return F.when(ok, empty_violations()).otherwise(
+            concat_violations(*branch_viols)
+        )
+
+    return FnRule(fn)
+
+
+@register_keyword("anyOf")
+def kw_any_of(operand, path, siblings, ctx) -> Rule:
+    return _any_of(operand, path, ctx)
+
+
+@register_keyword("or")
+def kw_or(operand, path, siblings, ctx) -> Rule:
+    return _any_of(operand, path, ctx)
+
+
+@register_keyword("oneOf")
+def kw_one_of(operand, path, siblings, ctx) -> Rule:
+    # the reference implements oneOf as anyOf — first match passes,
+    # NOT exclusive (validator_properties.go:92-126); we replicate.
+    return _any_of(operand, path, ctx)
+
+
+@register_keyword("not")
+def kw_not(operand, path, siblings, ctx) -> Rule:
+    node = ctx.compile_node(operand, path)
+
+    def fn(ref: ValueRef) -> Column:
+        inner_ok = F.size(node.violations(ref)) == 0
+        return viol_when(inner_ok, ref.path, "is not valid")
+
+    return FnRule(fn)
+
+
+# ------------------------------------------------------- if/then/else
+
+@register_keyword("if")
+def kw_if(operand, path, siblings, ctx) -> Rule:
+    with _in_if(ctx):
+        cond = ctx.compile_node(operand, path)
+
+    def cond_ok(ref: ValueRef) -> Column:
+        return F.size(cond.violations(ref)) == 0
+
+    then_node = else_node = None
+    if isinstance(siblings.get("then"), dict):
+        with _guard(ctx, cond_ok):
+            then_node = ctx.compile_node(siblings["then"], path)
+    if isinstance(siblings.get("else"), dict):
+        with _guard(ctx, lambda ref: ~cond_ok(ref)):
+            else_node = ctx.compile_node(siblings["else"], path)
+
+    def fn(ref: ValueRef) -> Column:
+        ok = cond_ok(ref)
+        then_v = then_node.violations(ref) if then_node else empty_violations()
+        else_v = else_node.violations(ref) if else_node else empty_violations()
+        return F.when(ok, then_v).otherwise(else_v)
+
+    return FnRule(fn)
+
+
+@register_keyword("then")
+def kw_then(operand, path, siblings, ctx) -> None:
+    # inert standalone (validator_logic.go:106-116); consumed by `if`
+    return None
+
+
+@register_keyword("else")
+def kw_else(operand, path, siblings, ctx) -> None:
+    return None
+
+
+# ---------------------------------------------------- switch/case/dft
+
+@register_keyword("switch")
+def kw_switch(operand, path, siblings, ctx) -> Rule:
+    """Dispatch on StringOf(doc[switchKey]) (validator_logic.go:360-445)."""
+    if not isinstance(operand, str):
+        raise SchemaError(f"switch key must be string, path:{path}")
+    cases = siblings.get("case") or {}
+    if not isinstance(cases, dict):
+        raise SchemaError(f"'case' must be object, path:{path}")
+
+    def switch_val(ref: ValueRef) -> Column:
+        target = resolve(ref, operand)
+        return string_of(target.col, target.dtype)
+
+    case_nodes = []
+    for cv, sub in cases.items():
+        with _guard(ctx, lambda ref, _cv=cv: switch_val(ref) == F.lit(str(_cv))):
+            case_nodes.append((str(cv), ctx.compile_node(sub, path)))
+    default_node = None
+    if isinstance(siblings.get("defaults"), dict):
+        with _guard(
+            ctx,
+            lambda ref: ~switch_val(ref).isin([cv for cv, _ in case_nodes])
+            if case_nodes
+            else F.lit(True),
+        ):
+            default_node = ctx.compile_node(siblings["defaults"], path)
+
+    def fn(ref: ValueRef) -> Column:
+        sv = switch_val(ref)
+        expr = None
+        for cv, node in case_nodes:
+            branch = node.violations(ref)
+            expr = (
+                F.when(sv == cv, branch)
+                if expr is None
+                else expr.when(sv == cv, branch)
+            )
+        default_v = (
+            default_node.violations(ref) if default_node else empty_violations()
+        )
+        return default_v if expr is None else expr.otherwise(default_v)
+
+    return FnRule(fn)
+
+
+@register_keyword("case")
+def kw_case(operand, path, siblings, ctx) -> None:
+    return None  # consumed by switch
+
+
+@register_keyword("defaults")
+def kw_defaults_branch(operand, path, siblings, ctx) -> None:
+    # NOTE: `defaults` is the switch default branch
+    # (validator_logic.go:395-407); `defaultVals` is the bulk-default
+    # transform (prop_values.go).
+    return None
+
+
+# ------------------------------------------------- keyMatch/equals/eq
+
+def _key_match(operand, path, ctx) -> Rule:
+    if not isinstance(operand, dict):
+        raise SchemaError(f"keyMatch operand must be object, path:{path}")
+    compiled = [(jp, parse_value(v), v) for jp, v in operand.items()]
+    silent = ctx.in_if
+
+    def fn(ref: ValueRef) -> Column:
+        parts = []
+        for jp, val, raw in compiled:
+            target = resolve(ref, jp)
+            b = val.bind(ref)
+            eq = F.coalesce(
+                coercing_equal(target.col, target.dtype, b.col, b.dtype), F.lit(False)
+            )
+            if silent:
+                parts.append(viol_when(~eq, "", ""))
+            else:
+                parts.append(
+                    viol_when(~eq, f"$.{jp}", f"value must be {go_v(raw)}")
+                )
+        return concat_violations(*parts)
+
+    return FnRule(fn)
+
+
+@register_keyword("keyMatch")
+def kw_key_match(operand, path, siblings, ctx) -> Rule:
+    return _key_match(operand, path, ctx)
+
+
+@register_keyword("equals")
+def kw_equals(operand, path, siblings, ctx) -> Rule:
+    return _key_match(operand, path, ctx)
+
+
+@register_keyword("eq")
+def kw_eq(operand, path, siblings, ctx) -> Rule:
+    return _key_match(operand, path, ctx)
+
+
+# ----------------------------------------------------------------- error
+
+@register_keyword("error")
+def kw_error(operand, path, siblings, ctx) -> Rule:
+    """Unconditional violation with interpolated message
+    (validator_core.go:679-705); meaningful inside if/then/case."""
+    val = parse_value(operand)
+
+    def fn(ref: ValueRef) -> Column:
+        b = val.bind(ref)
+        return violation(ref.path, string_of(b.col, b.dtype))
+
+    return FnRule(fn)
+
+
+# ----------------------------------------------------------------- $ref
+
+@register_keyword("$ref")
+def kw_ref(operand, path, siblings, ctx) -> Rule:
+    """Compile-time inlining with bounded unrolling — Column DAGs can't
+    recurse (reference walks pointers at runtime, ref.go:12-82)."""
+    if not isinstance(operand, str):
+        raise SchemaError(f"$ref must be string, path:{path}")
+    if ctx.ref_depth >= ctx.max_ref_depth:
+        return FnRule(lambda ref: empty_violations())
+    target = ctx.resolve_ref(operand)
+    ctx.ref_depth += 1
+    try:
+        node = ctx.compile_node(target, path)
+    finally:
+        ctx.ref_depth -= 1
+    return FnRule(lambda ref: node.violations(ref))
