@@ -1,0 +1,427 @@
+"""Table-level checks — the dataset-scale operators the north star adds
+on top of the reference's row-level keyword engine (SURVEY.md §2.9).
+
+The reference (seeadoog/jsonschema) has zero cross-document state: every
+check is per-document (schema.go:89-106 walks one value).  At 10^12-turn
+scale the engine additionally needs:
+
+  * ColumnStats   — one aggregation pass per table: row count, null
+                    rate, min/max, cardinality (exact or HyperLogLog via
+                    approx_count_distinct).
+  * Uniqueness    — duplicate (conv_id, turn_idx)-style key detection as
+                    a two-phase salted hash aggregation (map-side partial
+                    combine + shuffle on the composite key, so hot
+                    conv_ids cannot skew a single reducer).
+  * ReferentialIntegrity — membership of a fact column in a dimension
+                    table via BROADCAST anti-join (violations) /
+                    semi-join (passes); never a sort-merge join at
+                    dimension sizes.
+  * Drift         — distribution drift of a numeric column vs a baseline
+                    via quantile sketches (percentile_approx ≈ KLL/GK)
+                    compared with PSI and KS statistics.
+
+Every check emits verdict rows in a common schema (FIXTURES.md §3)::
+
+    verdicts(partition_id string, check string, pass boolean,
+             violation_count long, metrics map<string,string>)
+
+`partition_id` is derived from user-supplied partition columns (e.g.
+``days(ts)`` for an Iceberg-partitioned transcript table) so verdicts
+line up 1:1 with table partitions and feed the checkpoint/resume
+manifest (jsonschema_spark/checkpoint.py).
+
+Scale notes (100 TB / 1000 executors):
+  - Stats and drift are single-pass ``agg`` — map-side partial merge,
+    one tiny shuffle of per-partition sketch states.
+  - Uniqueness shuffles once on the *composite* key; composite-key hash
+    partitioning already spreads hot conv_ids, and an optional explicit
+    salt (``salt_buckets``) two-phases low-cardinality keys.
+  - RI broadcasts the dim table (bounded: roles ~4 rows, tools ~10^2);
+    the fact side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VERDICT_SCHEMA = (
+    "partition_id string, check string, pass boolean, "
+    "violation_count long, metrics map<string,string>"
+)
+
+
+def _partition_id(partition_by: Sequence[str] | None) -> Column:
+    """Stable string partition id from the partition columns
+    ('ALL' for unpartitioned tables)."""
+    if not partition_by:
+        return F.lit("ALL")
+    return F.concat_ws(
+        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_by]
+    )
+
+
+def _verdict_select(check_name: str, fail_count: Column, metrics: Column):
+    return [
+        F.col("partition_id"),
+        F.lit(check_name).alias("check"),
+        (fail_count == 0).alias("pass"),
+        fail_count.cast("long").alias("violation_count"),
+        metrics.alias("metrics"),
+    ]
+
+
+class Check:
+    """Base class: a named table-level check producing verdict rows and
+    (optionally) violation rows."""
+
+    name: str = "check"
+
+    def verdicts(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        return None
+
+
+@dataclass
+class ColumnStats(Check):
+    """Per-column stats in ONE aggregation pass (no per-column jobs):
+    count, null count/rate, min, max, distinct cardinality.
+
+    ``approx=True`` uses approx_count_distinct (HyperLogLog++, rsd
+    configurable) — the only sane choice at 10^12 rows; ``approx=False``
+    is exact count(distinct) for oracle-matched tests.
+
+    Expectations (optional) turn stats into a pass/fail verdict:
+    ``{"col": {"max_null_rate": 0.01, "min": 0, "max": 10}}``.
+    """
+
+    columns: Sequence[str]
+    partition_by: Sequence[str] | None = None
+    approx: bool = True
+    rsd: float = 0.01
+    expectations: dict = field(default_factory=dict)
+    name: str = "column_stats"
+
+    def stats(self, df: DataFrame) -> DataFrame:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+        for c in self.columns:
+            col = F.col(c)
+            aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+            if self.approx:
+                aggs.append(F.approx_count_distinct(c, self.rsd).alias(f"{c}__distinct"))
+            else:
+                aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        g = df.groupBy(_partition_id(self.partition_by).alias("partition_id"))
+        return g.agg(*aggs)
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        s = self.stats(df)
+        entries: list[Column] = [
+            F.lit("row_count"),
+            F.col("row_count").cast("string"),
+        ]
+        fail = F.lit(0)
+        for c in self.columns:
+            null_rate = F.col(f"{c}__nulls") / F.col("row_count")
+            entries += [
+                F.lit(f"{c}.null_rate"), F.format_string("%.6f", null_rate),
+                F.lit(f"{c}.min"), F.coalesce(F.col(f"{c}__min"), F.lit("")),
+                F.lit(f"{c}.max"), F.coalesce(F.col(f"{c}__max"), F.lit("")),
+                F.lit(f"{c}.distinct"), F.col(f"{c}__distinct").cast("string"),
+            ]
+            exp = self.expectations.get(c, {})
+            if "max_null_rate" in exp:
+                fail = fail + (null_rate > exp["max_null_rate"]).cast("int")
+            if "min" in exp:
+                fail = fail + (F.col(f"{c}__min").cast("double") < exp["min"]).cast("int")
+            if "max" in exp:
+                fail = fail + (F.col(f"{c}__max").cast("double") > exp["max"]).cast("int")
+            if "min_distinct" in exp:
+                fail = fail + (F.col(f"{c}__distinct") < exp["min_distinct"]).cast("int")
+        return s.select(*_verdict_select(self.name, fail, F.create_map(*entries)))
+
+
+@dataclass
+class Uniqueness(Check):
+    """Duplicate detection on a composite key.
+
+    Physical plan: optional explicit salt → hash-partitioned two-phase
+    aggregation (partial count map-side, final count post-shuffle) →
+    filter count > 1.  The shuffle key is the FULL composite key, so a
+    hot conv_id with 10^6 turns spreads over 10^6 distinct
+    (conv_id, turn_idx) keys; ``salt_buckets`` adds a
+    ``pmod(xxhash64(all key cols), k)`` pre-aggregation for the
+    degenerate case where even the composite key is hot (true duplicate
+    storms), per the north rule's "explicit skew-aware salting".
+    """
+
+    keys: Sequence[str]
+    partition_by: Sequence[str] | None = None
+    salt_buckets: int = 0
+    name: str = "uniqueness"
+
+    def duplicates(self, df: DataFrame) -> DataFrame:
+        """(partition_id, *keys, dup_count) for keys appearing >1 time."""
+        pid = _partition_id(self.partition_by).alias("partition_id")
+        key_cols = [F.col(k) for k in self.keys]
+        if self.salt_buckets > 1:
+            # phase 1: per-(key, salt) partial counts — bounds any single
+            # reducer's input even under duplicate storms
+            salt = F.pmod(F.xxhash64(*key_cols, F.spark_partition_id()), F.lit(self.salt_buckets))
+            partial = (
+                df.select(pid, *key_cols, salt.alias("__salt"))
+                .groupBy("partition_id", *self.keys, "__salt")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            counts = (
+                partial.groupBy("partition_id", *self.keys)
+                .agg(F.sum("__c").alias("dup_count"))
+            )
+        else:
+            counts = (
+                df.select(pid, *key_cols)
+                .groupBy("partition_id", *self.keys)
+                .agg(F.count(F.lit(1)).alias("dup_count"))
+            )
+        return counts.filter(F.col("dup_count") > 1)
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        dups = self.duplicates(df)
+        agg = dups.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("dup_keys"),
+            F.sum(F.col("dup_count") - 1).alias("extra_rows"),
+        )
+        # partitions with zero duplicates still need a passing verdict
+        all_pids = df.select(
+            _partition_id(self.partition_by).alias("partition_id")
+        ).distinct()
+        full = all_pids.join(agg, "partition_id", "left").fillna(0, ["dup_keys", "extra_rows"])
+        metrics = F.create_map(
+            F.lit("dup_keys"), F.col("dup_keys").cast("string"),
+            F.lit("extra_rows"), F.col("extra_rows").cast("string"),
+            F.lit("keys"), F.lit(",".join(self.keys)),
+        )
+        return full.select(*_verdict_select(self.name, F.col("extra_rows"), metrics))
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return self.duplicates(df)
+
+
+@dataclass
+class ReferentialIntegrity(Check):
+    """fact[fact_key] ⊆ dim[dim_key], violations via BROADCAST anti-join.
+
+    The dim side is always broadcast (role/tool dimension tables are
+    tiny); the fact side streams through without a shuffle — at 100 TB
+    this is the only viable plan and Catalyst confirms it as
+    BroadcastHashJoin(LeftAnti) in ``.explain()``.  Null fact keys are
+    ignored (membership of nothing), matching the reference's null-skip
+    semantics (validator_base.go:180-183).
+    """
+
+    dim: DataFrame
+    fact_key: str
+    dim_key: str
+    partition_by: Sequence[str] | None = None
+    name: str = "referential_integrity"
+
+    def orphans(self, df: DataFrame) -> DataFrame:
+        """Distinct orphan key values with occurrence counts per partition."""
+        pid = _partition_id(self.partition_by).alias("partition_id")
+        facts = (
+            df.filter(F.col(self.fact_key).isNotNull())
+            .select(pid, F.col(self.fact_key))
+            .groupBy("partition_id", self.fact_key)
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        dim_keys = self.dim.select(F.col(self.dim_key).alias(self.fact_key)).distinct()
+        return facts.join(F.broadcast(dim_keys), self.fact_key, "left_anti")
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        orph = self.orphans(df)
+        agg = orph.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("orphan_keys"),
+            F.sum("orphan_rows").alias("orphan_rows"),
+        )
+        all_pids = df.select(
+            _partition_id(self.partition_by).alias("partition_id")
+        ).distinct()
+        full = all_pids.join(agg, "partition_id", "left").fillna(
+            0, ["orphan_keys", "orphan_rows"]
+        )
+        metrics = F.create_map(
+            F.lit("orphan_keys"), F.col("orphan_keys").cast("string"),
+            F.lit("orphan_rows"), F.col("orphan_rows").cast("string"),
+            F.lit("fact_key"), F.lit(self.fact_key),
+        )
+        return full.select(
+            *_verdict_select(self.name, F.col("orphan_rows"), metrics)
+        )
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return self.orphans(df)
+
+
+@dataclass
+class Drift(Check):
+    """Distribution drift of a numeric column vs a baseline DataFrame.
+
+    Sketch: ``percentile_approx`` (Spark's GK/KLL-like quantile sketch,
+    mergeable map-side → one tiny shuffle) produces an n-quantile
+    summary of both current and baseline; from the two summaries the
+    driver computes
+      * PSI  (population stability index over equal-population baseline
+              bins; >0.2 conventionally = drifted), and
+      * KS   (max CDF gap estimated on the merged quantile grid).
+    Exact mode (``approx=False``) uses ``percentile`` for oracle tests.
+    """
+
+    column: str
+    baseline: DataFrame
+    n_quantiles: int = 20
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.2
+    approx: bool = True
+    accuracy: int = 10000
+    partition_by: Sequence[str] | None = None
+    name: str = "drift"
+
+    def _quantiles(self, df: DataFrame, pid: bool) -> DataFrame:
+        qs = [i / self.n_quantiles for i in range(self.n_quantiles + 1)]
+        col = F.col(self.column).cast("double")
+        if self.approx:
+            q = F.percentile_approx(col, qs, self.accuracy)
+        else:
+            q = F.percentile(col, F.array(*[F.lit(x) for x in qs]))
+        group = (
+            df.groupBy(_partition_id(self.partition_by).alias("partition_id"))
+            if pid
+            else df.groupBy(F.lit("ALL").alias("partition_id"))
+        )
+        return group.agg(q.alias("quantiles"))
+
+    @staticmethod
+    def psi_ks(base_q: list[float], cur_q: list[float]) -> tuple[float, float]:
+        """Driver-side arithmetic on two quantile summaries (tiny)."""
+        import bisect
+
+        n = len(base_q) - 1
+        if n <= 0:
+            return 0.0, 0.0
+
+        def cdf(q: list[float], x: float) -> float:
+            # piecewise-linear CDF through the quantile grid
+            if x <= q[0]:
+                return 0.0
+            if x >= q[-1]:
+                return 1.0
+            i = bisect.bisect_right(q, x) - 1
+            lo, hi = q[i], q[i + 1]
+            frac = 0.0 if hi == lo else (x - lo) / (hi - lo)
+            return (i + frac) / (len(q) - 1)
+
+        # PSI over equal-population baseline bins
+        eps = 1e-6
+        psi = 0.0
+        for i in range(n):
+            expected = 1.0 / n
+            actual = max(cdf(cur_q, base_q[i + 1]) - cdf(cur_q, base_q[i]), eps)
+            psi += (actual - expected) * __import__("math").log(actual / expected)
+        # KS on the merged grid
+        grid = sorted(set(base_q) | set(cur_q))
+        ks = max(abs(cdf(base_q, x) - cdf(cur_q, x)) for x in grid)
+        return psi, ks
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        base = self._quantiles(self.baseline, pid=False).collect()
+        base_q = list(base[0]["quantiles"]) if base else []
+        cur = self._quantiles(df, pid=True).collect()
+        rows = []
+        for r in cur:
+            cur_q = list(r["quantiles"] or [])
+            if not base_q or not cur_q:
+                psi, ks = 0.0, 0.0
+            else:
+                psi, ks = self.psi_ks(base_q, cur_q)
+            drifted = psi > self.psi_threshold or ks > self.ks_threshold
+            rows.append(
+                (
+                    r["partition_id"],
+                    self.name,
+                    not drifted,
+                    int(drifted),
+                    {
+                        "psi": f"{psi:.6f}",
+                        "ks": f"{ks:.6f}",
+                        "column": self.column,
+                        "n_quantiles": str(self.n_quantiles),
+                    },
+                )
+            )
+        return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+@dataclass
+class SchemaCheck(Check):
+    """Wrap a compiled row-level schema plan (jsonschema_spark.compile_schema)
+    as a table-level check: per-partition violation counts → verdicts."""
+
+    plan: "object"  # CompiledSchema
+    partition_by: Sequence[str] | None = None
+    name: str = "schema"
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        ann = self.plan.annotate(df)
+        agg = ann.groupBy(
+            _partition_id(self.partition_by).alias("partition_id")
+        ).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.size("violations") > 0).cast("long")).alias("bad_rows"),
+            F.sum(F.size("violations")).alias("violation_total"),
+        )
+        metrics = F.create_map(
+            F.lit("rows"), F.col("rows").cast("string"),
+            F.lit("bad_rows"), F.col("bad_rows").cast("string"),
+            F.lit("violation_total"), F.col("violation_total").cast("string"),
+        )
+        return agg.select(*_verdict_select(self.name, F.col("bad_rows"), metrics))
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        keys = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+        return self.plan.validate(df, keys=keys).violations
+
+
+@dataclass
+class CheckSuite:
+    """Run a list of checks over one table; union the verdict rows.
+
+    ``run()`` returns a single verdicts DataFrame; ``run_resumable()``
+    (checkpoint.py) skips partitions already recorded in the manifest.
+    """
+
+    checks: list[Check]
+
+    def run(self, df: DataFrame) -> DataFrame:
+        out: DataFrame | None = None
+        for c in self.checks:
+            v = c.verdicts(df)
+            out = v if out is None else out.unionByName(v)
+        if out is None:
+            raise ValueError("empty CheckSuite")
+        return out
+
+    def violations(self, df: DataFrame) -> dict[str, DataFrame]:
+        res = {}
+        for c in self.checks:
+            v = c.violations(df)
+            if v is not None:
+                res[c.name] = v
+        return res

@@ -1,0 +1,151 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen, zero Python in the
+hot path); regex patterns restricted to the Java/RE2 common subset
+(SURVEY.md §7.4 regex-dialect note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long, normalize_text, tokens
+
+# tiny per-language stopword lists for the n-gram/stopword-hit
+# language-ID heuristic (deterministic, dependency-free)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sie", "von"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "los", "las", "una", "por", "con", "para", "como", "más", "pero"],
+}
+
+# BPE-ish token regex: words-with-leading-space | numbers | punctuation
+# runs — the shape GPT-2-style tokenizers pre-split on, in the
+# Java↔RE2-safe subset.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count of normalized text (0 for empty)."""
+    norm = normalize_text(col)
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish regex pre-tokens (letters / digits / punct runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def _stopword_hits(norm: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    hits = F.lit(0)
+    for w in words:
+        # occurrence count of ' w ' via length arithmetic (no UDF)
+        token = f" {w} "
+        hits = hits + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+            / F.lit(len(token))
+        ).cast("int")
+    return hits
+
+
+def lang_id(col: Column, langs: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: the language whose stopword list scores
+    the most hits; 'und' (undetermined) when no stopword matches.
+    Deterministic tie-break: language name ascending."""
+    langs = langs or STOPWORDS
+    norm = normalize_text(col)
+    entries = [
+        F.struct(
+            (-_stopword_hits(norm, ws)).cast("long").alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+            _stopword_hits(norm, ws).cast("long").alias("hits"),
+        )
+        for lang, ws in sorted(langs.items())
+    ]
+    best = F.array_min(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document quality features — the classic heuristic
+    filter set (length, mean word length, punctuation/digit/upper
+    ratios, stopword ratio, repetition)."""
+    c = F.col(text_col)
+    norm = normalize_text(c)
+    toks = tokens(c)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    nz = F.greatest(n_chars.cast("double"), F.lit(1.0))
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    stop_hits = _stopword_hits(norm, STOPWORDS["en"])
+    distinct_tok = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tok > 0, F.length(norm).cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn("punct_ratio", punct / nz)
+        .withColumn("digit_ratio", digits / nz)
+        .withColumn("upper_ratio", uppers / nz)
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "repetition_ratio",
+            F.when(n_tok > 0, 1.0 - distinct_tok.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A single [0,1] quality score from the heuristic features — the
+    'keep it for training?' signal.  Weights are fixed and documented,
+    not learned; the point is the columnar plumbing."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.lit(1.0)
+        - F.least(F.col("punct_ratio") * 2.0, F.lit(0.3))
+        - F.least(F.col("digit_ratio") * 2.0, F.lit(0.2))
+        - F.least(F.col("repetition_ratio"), F.lit(0.3))
+        - F.when(F.col("n_tokens") < 5, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return feat.withColumn("quality_score", F.greatest(score, F.lit(0.0)))
+
+
+def fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling-window hash of
+    the token stream (md5-derived, oracle-reproducible).  Robust to
+    small edits away from the minimizing window — the standard
+    plagiarism/fingerprint primitive."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda i: md5_long(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-stop per-document profile: lang guess, token counts, quality
+    score, fingerprint — the table a curriculum/filter stage consumes."""
+    q = quality_score(df, text_col)
+    return q.select(
+        F.col(id_col),
+        lang_id(F.col(text_col)).alias("lang_guess"),
+        F.col("n_tokens"),
+        bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+        F.round("quality_score", 6).alias("quality_score"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
