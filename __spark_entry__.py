@@ -1,38 +1,942 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship schema-validation query on sf0.001;
+``queries()`` exposes one DataFrame-builder per implemented operator
+from SURVEY.md §2 (+ the table-level / training-data operators the
+north star adds); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+for each.  Column names are aliased identically on both sides; float
+results are either bit-deterministic (sequential folds, identical
+per-row IEEE expressions) or exact (scaled-integer sums) so the
+driver's value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import jsonschema_spark as js
+from jsonschema_spark.operators import checks, dedup, similarity, text
+
+# --------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB-side md5→bigint: identical value to Spark's
+# conv(substr(md5(x),1,15),16,10)::long  (15 hex chars = 60 bits).
+_HEX = "0123456789abcdef"
+
+
+def _sql_md5_long(expr: str, seed: int = 0) -> str:
+    salted = f"({expr}) || '#{seed}'" if seed else f"({expr})"
+    h = f"md5({salted})"
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_SQL_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _sql_dot(a: str, b: str, dims: int = 64) -> str:
+    """Sequential left-assoc double dot product — same fold order as
+    jsonschema_spark.operators.dedup.dot_double, so bit-identical."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dims + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_cosine(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"({_sql_dot(a, b, dims)} / "
+        f"(sqrt({_sql_dot(a, a, dims)}) * sqrt({_sql_dot(b, b, dims)})))"
+    )
+
+
+# schema documents used by the validation queries -------------------
+
+ORDERS_SCHEMA = {
+    "required": ["o_orderkey", "o_custkey", "o_orderstatus"],
+    "properties": {
+        "o_orderstatus": {"type": "string", "enum": ["F", "O"]},
+        "o_totalprice": {"minimum": 2000, "maximum": 400000},
+        "o_orderpriority": {"pattern": "^[1-4]-[A-Z ]+$"},
+    },
+}
+
+EVENTS_SCHEMA = {
+    "required": ["event_id", "ts", "event_type"],
+    "properties": {
+        "event_type": {
+            "type": "string",
+            "enum": ["click", "view", "purchase", "signup", "error"],
+        },
+        "value": {"minimum": 0, "maximum": 450},
+        "props": {"pattern": "^\\{.*\\}$"},
+    },
+    "if": {"keyMatch": {"event_type": "purchase"}},
+    "then": {"properties": {"value": {"minimum": 5}}},
+}
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
+
+def q_validate_orders(spark, sf_dir):
+    """Flagship row-level validation: compiled keyword plan → exploded
+    violation rows (SURVEY.md §2.1: required/enum/min/max/pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    plan = js.compile_schema(ORDERS_SCHEMA)
+    return plan.validate(orders, keys=["o_orderkey"]).violations
+
+
+def q_validate_events(spark, sf_dir):
+    """Validation with combinators: if/keyMatch/then conditional bound
+    (SURVEY.md §2.3) on top of the scalar keywords."""
+    events = _t(spark, sf_dir, "events")
+    plan = js.compile_schema(EVENTS_SCHEMA)
+    return plan.validate(events, keys=["event_id"]).violations
+
+
+def q_transform_events(spark, sf_dir):
+    """Transformation keywords (§2.2): defaultVal, formatVal upper,
+    constVal, set with ${} interpolation — as a withColumn pipeline."""
+    events = _t(spark, sf_dir, "events")
+    plan = js.compile_schema(
+        {
+            "properties": {
+                "props": {"defaultVal": "{}"},
+                "event_type": {"formatVal": "upper"},
+                "channel": {"constVal": "web"},
+            },
+            "set": {"tag": "${event_type}:${event_id}"},
+        }
+    )
+    out = plan.transform(events)
+    return out.select(
+        "event_id",
+        "props",
+        F.col("event_type").alias("event_type_u"),
+        "channel",
+        "tag",
+    )
+
+
+def q_stats_lineitem(spark, sf_dir):
+    """Column stats in one agg pass (exact mode for oracle parity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.count_distinct("l_partkey").alias("partkey_distinct"),
+        F.count_distinct("l_returnflag").alias("returnflag_distinct"),
+        F.min("l_shipdate").cast("date").cast("string").alias("shipdate_min"),
+        F.max("l_shipdate").cast("date").cast("string").alias("shipdate_max"),
+    )
+
+
+def q_uniqueness_lineitem(spark, sf_dir):
+    """Salted-aggregation duplicate detection on the composite PK."""
+    li = _t(spark, sf_dir, "lineitem")
+    chk = checks.Uniqueness(keys=["l_orderkey", "l_linenumber"], salt_buckets=8)
+    return chk.duplicates(li).select("l_orderkey", "l_linenumber", "dup_count")
+
+
+def q_uniqueness_verdict(spark, sf_dir):
+    """Uniqueness as a verdict row (pass/fail + metrics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    chk = checks.Uniqueness(keys=["l_orderkey", "l_linenumber"])
+    v = chk.verdicts(li)
+    return v.select(
+        "partition_id",
+        "check",
+        "pass",
+        "violation_count",
+        F.element_at("metrics", "dup_keys").alias("dup_keys"),
+    )
+
+
+def q_ri_orders_customer(spark, sf_dir):
+    """Referential integrity via broadcast anti-join: orphan o_custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    chk = checks.ReferentialIntegrity(dim=cust, fact_key="o_custkey", dim_key="c_custkey")
+    return chk.orphans(orders).select("o_custkey", "orphan_rows")
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Reverse-RI anti-join: dimension rows never referenced."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    refs = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        cust.join(refs, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_drift_quantiles(spark, sf_dir):
+    """Exact quantile summary (sketch oracle mode) of events.value,
+    split by event_id parity — the drift check's input summaries."""
+    ev = _t(spark, sf_dir, "events")
+    qs = [i / 10 for i in range(11)]
+    half = ev.withColumn("half", F.pmod(F.col("event_id"), 2).cast("int"))
+    agg = half.groupBy("half").agg(
+        F.percentile(F.col("value"), F.array(*[F.lit(x) for x in qs])).alias("q")
+    )
+    return agg.select(
+        "half", F.posexplode("q").alias("q_idx", "q_value")
+    ).select("half", "q_idx", F.round("q_value", 6).alias("q_value"))
+
+
+def q_drift_psi(spark, sf_dir):
+    """Histogram PSI between the two halves of events.value — fixed
+    bins [0,500) step 50; counts exact, PSI rounded."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    half = F.pmod(F.col("event_id"), 2).cast("int")
+    hist = (
+        ev.select(b.alias("bin"), half.alias("half"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    tot = hist.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    joined = hist.crossJoin(tot)
+    # Laplace smoothing keeps empty bins finite (and ANSI-safe)
+    p = (F.col("n0") + 0.5) / (F.col("t0") + 5.0)
+    q = (F.col("n1") + 0.5) / (F.col("t1") + 5.0)
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.select(F.col("bin"), term.alias("term"))
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: hash aggregation with exact scaled-integer sums
+    (map-side partial agg; one shuffle on the 6-value group key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e4 = lambda c: F.sum(F.round(c * 10000).cast("long"))  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            e4(F.col("l_quantity")).alias("sum_qty_e4"),
+            e4(F.col("l_extendedprice")).alias("sum_base_price_e4"),
+            e4(disc_price).alias("sum_disc_price_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("sum_qty_e4") / 10000.0).alias("sum_qty"),
+            (F.col("sum_base_price_e4") / 10000.0).alias("sum_base_price"),
+            (F.col("sum_disc_price_e4") / 10000.0).alias("sum_disc_price"),
+            "count_order",
+        )
+    )
+
+
+def q_q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (dims broadcast), agg, deterministic
+    top-10 (revenue desc, orderkey asc)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    )
+    agg = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue_e4"))
+    )
+    return (
+        agg.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("revenue_e4") / 10000.0).alias("revenue"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join with broadcast dims, group by
+    nation."""
+    for n in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                   AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """
+    )
+
+
+def q_window_rank_events(spark, sf_dir):
+    """Window ranking — the north star's stable turn ordering invariant
+    (row_number over partition/order) — first 3 events per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn", "event_type")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Stateful sessionization via window lag + running sum: new session
+    when gap > 1800s; per-user session/event counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(secs).over(w)
+    new_sess = F.when(prev.isNull() | ((secs - prev) > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP(status, priority) with sentinel
+    labels for the supertotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar-function parity sample (§2.5/§2.6 registry): hash, string
+    and date functions over orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderpriority")).alias("prio_md5"),
+        F.sha2(F.col("o_orderstatus"), 256).alias("status_sha256"),
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_class"),
+        F.concat_ws(":", F.col("o_orderstatus"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+    )
+
+
+def q_json_extract_events(spark, sf_dir):
+    """JSON scalar functions (json.from analog, funcs.go:349-368):
+    extract props.k."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(normalized text) hash-groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted-index self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.5, df_cap=1000)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs with estimated Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, n=5, k=16, bands=4, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming ≤ 3 (banded = exact by
+    pigeonhole at bands=4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_distance=3, bands=4)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force mode for the
+    oracle; LSH-bucketed variant benchmarked separately)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.4, planes=0).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (k=10) for query vectors vec_id<5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    """Heuristic stopword language-ID vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-feature ratios (rounded for hash stability)."""
+    docs = _t(spark, sf_dir, "documents")
+    feat = text.quality_features(docs)
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("repetition_ratio", 6).alias("repetition_ratio"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style min rolling-hash fingerprint per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text"), window=8).alias("fingerprint")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compiled schema validation over sf0.001 orders."""
+    return q_validate_orders(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_orders": q_validate_orders,
+        "validate_events": q_validate_events,
+        "transform_events": q_transform_events,
+        "stats_lineitem": q_stats_lineitem,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "uniqueness_verdict": q_uniqueness_verdict,
+        "ri_orders_customer": q_ri_orders_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "drift_quantiles": q_drift_quantiles,
+        "drift_psi": q_drift_psi,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_unshipped": q_q3_top_unshipped,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "window_rank_events": q_window_rank_events,
+        "sessionize_events": q_sessionize_events,
+        "rollup_orders": q_rollup_orders,
+        "scalar_funcs": q_scalar_funcs,
+        "json_extract_events": q_json_extract_events,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, tables pre-registered as views)
+# --------------------------------------------------------------------
+
+def _oracle_validate_orders() -> str:
+    enum_msg = "value is invalid , shoule be one of [F O]"
+    return """
+    WITH o AS (SELECT * FROM orders)
+    SELECT o_orderkey, '$.o_orderstatus' AS path, '{enum}' AS info
+      FROM o WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')
+    UNION ALL
+    SELECT o_orderkey, '$.o_totalprice', 'value must be larger or equal than 2000'
+      FROM o WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000)
+    UNION ALL
+    SELECT o_orderkey, '$.o_totalprice', 'value must be <= than 400000'
+      FROM o WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 400000)
+    UNION ALL
+    SELECT o_orderkey, '$.o_orderpriority',
+           o_orderpriority || ' ,value does not match pattern: ^[1-4]-[A-Z ]+$'
+      FROM o WHERE o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-4]-[A-Z ]+$')
+    UNION ALL
+    SELECT o_orderkey, '$.o_orderkey', 'field is required' FROM o WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, '$.o_custkey', 'field is required' FROM o WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, '$.o_orderstatus', 'field is required' FROM o WHERE o_orderstatus IS NULL
+    """.replace("{enum}", enum_msg)
+
+
+def _oracle_validate_events() -> str:
+    enum_msg = "value is invalid , shoule be one of [click view purchase signup error]"
+    return f"""
+    WITH e AS (SELECT * FROM events)
+    SELECT event_id, '$.event_type' AS path, '{enum_msg}' AS info
+      FROM e WHERE event_type IS NOT NULL
+               AND event_type NOT IN ('click','view','purchase','signup','error')
+    UNION ALL
+    SELECT event_id, '$.value', 'value must be larger or equal than 0'
+      FROM e WHERE value IS NOT NULL AND NOT (value >= 0)
+    UNION ALL
+    SELECT event_id, '$.value', 'value must be <= than 450'
+      FROM e WHERE value IS NOT NULL AND NOT (value <= 450)
+    UNION ALL
+    SELECT event_id, '$.props', props || ' ,value does not match pattern: ^\\{{.*\\}}$'
+      FROM e WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\\{{.*\\}}$')
+    UNION ALL
+    SELECT event_id, '$.event_id', 'field is required' FROM e WHERE event_id IS NULL
+    UNION ALL
+    SELECT event_id, '$.ts', 'field is required' FROM e WHERE ts IS NULL
+    UNION ALL
+    SELECT event_id, '$.event_type', 'field is required' FROM e WHERE event_type IS NULL
+    UNION ALL
+    SELECT event_id, '$.value', 'value must be larger or equal than 5'
+      FROM e WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT (value >= 5)
     """
-    return {}
+
+
+def _oracle_minhash() -> str:
+    # signature: per seed s in 1..16, min over distinct 5-gram shingles
+    # of md5_long(shingle || '#s'); bands of 4 components; candidate =
+    # pair sharing an identical band; est = matching components / 16.
+    norm = _SQL_NORM.format(col="text")
+    mins = ",\n           ".join(
+        f"min({_sql_md5_long('sh', s)}) AS m{s}" for s in range(1, 17)
+    )
+    sig_list = ", ".join(f"m{s}" for s in range(1, 17))
+    bands = []
+    for b in range(4):
+        comp = ", ".join(f"m{b * 4 + i}" for i in range(1, 5))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', {comp}) AS bkey, [{sig_list}] AS sig FROM sigs"
+        )
+    band_union = "\nUNION ALL\n".join(bands)
+    eq_terms = " + ".join(f"CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END" for i in range(1, 17))
+    return f"""
+    WITH docs AS (SELECT doc_id, {norm} AS n FROM documents),
+    sh AS (
+      SELECT doc_id, DISTINCT_SH.sh FROM docs,
+        LATERAL (SELECT DISTINCT unnest(list_transform(
+            range(1, greatest(length(n) - 4, 1) + 1),
+            i -> substr(n, CAST(i AS INT), 5))) AS sh) DISTINCT_SH
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig, b.sig AS sigb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             ({" + ".join(f"CASE WHEN sig[{i}] = sigb[{i}] THEN 1 ELSE 0 END" for i in range(1, 17))}) / 16.0
+               AS est_jaccard
+      FROM cand
+    )
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _oracle_simhash() -> str:
+    norm = _SQL_NORM.format(col="text")
+    pow2_60 = "[" + ", ".join(str(1 << b) for b in range(60)) + "]"
+    powbit = "[" + ", ".join(
+        [str(1 << b) for b in range(63)] + [str(-(1 << 63))]
+    ) + "]"
+    return f"""
+    WITH docs AS (SELECT doc_id, {norm} AS n FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS tok FROM docs),
+    hashed AS (
+      SELECT doc_id,
+             {_sql_md5_long('tok', 1)} AS h1,
+             {_sql_md5_long('tok', 2)} AS h2
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, r.range AS b,
+             SUM(CASE WHEN (CASE WHEN r.range < 60
+                                 THEN (h1 // ({pow2_60})[CAST(r.range AS INT) + 1]) % 2
+                                 ELSE (h2 // ({pow2_60})[CAST(r.range AS INT) - 59]) % 2
+                            END) = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN range(64) r
+      GROUP BY doc_id, r.range
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN ({powbit})[CAST(b AS INT) + 1] ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.s, b.s)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
+def _oracle_fingerprint() -> str:
+    norm = _SQL_NORM.format(col="text")
+    gram = "array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(len(toks) - 7, 1) + 1),
+             i -> {_sql_md5_long(gram)})) AS fingerprint
+    FROM d
+    """
+
+
+def _oracle_langid() -> str:
+    def hits(words: list[str]) -> str:
+        terms = " + ".join(
+            "CAST(floor((length(p) - length(replace(p, ' {w} ', ''))) / {L}) AS INT)".format(
+                w=w, L=len(w) + 2
+            )
+            for w in words
+        )
+        return f"({terms})"
+
+    langs = sorted(text.STOPWORDS.items())
+    cols = ", ".join(f"{hits(ws)} AS h_{lang}" for lang, ws in langs)
+    # tie-break = first lang in ascending order with max hits (>0)
+    case = "CASE "
+    names = [lang for lang, _ in langs]
+    for i, lang in enumerate(names):
+        conds = [f"h_{lang} >= h_{other}" for other in names[i + 1:]]
+        conds.append(f"h_{lang} > 0")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH d AS (SELECT doc_id, lang, ' ' || {norm} || ' ' AS p FROM documents),
+    h AS (SELECT doc_id, lang, {cols} FROM d)
+    SELECT doc_id, lang, {case} AS lang_guess FROM h
+    """
+
+
+def _oracle_ngram_jaccard() -> str:
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH docs AS (SELECT doc_id AS id, {norm} AS n FROM documents),
+    sh0 AS (
+      SELECT id, DISTINCT_SH.sh FROM docs,
+        LATERAL (SELECT DISTINCT unnest(list_transform(
+            range(1, greatest(length(n) - 4, 1) + 1),
+            i -> substr(n, CAST(i AS INT), 5))) AS sh) DISTINCT_SH
+    ),
+    szs AS (SELECT id, count(*) AS n_sh FROM sh0 GROUP BY id),
+    rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+    ex AS (SELECT sh0.id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           i / (sa.n_sh + sb.n_sh - i) AS jaccard
+    FROM inter
+    JOIN szs sa ON sa.id = id_a
+    JOIN szs sb ON sb.id = id_b
+    WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5
+    """
+
+
+def _oracle_ann_topk() -> str:
+    cos = _sql_cosine("c.embedding", "q.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+def _oracle_embedding_neardup() -> str:
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm = _SQL_NORM.format(col="text")
+    return {
+        "validate_orders": _oracle_validate_orders(),
+        "validate_events": _oracle_validate_events(),
+        "transform_events": """
+            SELECT event_id,
+                   COALESCE(props, '{}') AS props,
+                   UPPER(event_type) AS event_type_u,
+                   'web' AS channel,
+                   UPPER(event_type) || ':' || CAST(event_id AS VARCHAR) AS tag
+            FROM events
+        """,
+        "stats_lineitem": """
+            SELECT count(*) AS row_count,
+                   count(*) FILTER (WHERE l_quantity IS NULL) AS qty_nulls,
+                   min(l_quantity) AS qty_min,
+                   max(l_quantity) AS qty_max,
+                   count(DISTINCT l_partkey) AS partkey_distinct,
+                   count(DISTINCT l_returnflag) AS returnflag_distinct,
+                   CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS shipdate_min,
+                   CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS shipdate_max
+            FROM lineitem
+        """,
+        "uniqueness_lineitem": """
+            SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "uniqueness_verdict": """
+            WITH dups AS (
+              SELECT count(*) AS dup_keys, COALESCE(SUM(c - 1), 0) AS extra
+              FROM (SELECT count(*) AS c FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+            )
+            SELECT 'ALL' AS partition_id, 'uniqueness' AS "check",
+                   extra = 0 AS pass, CAST(extra AS BIGINT) AS violation_count,
+                   CAST(dup_keys AS VARCHAR) AS dup_keys
+            FROM dups
+        """,
+        "ri_orders_customer": """
+            SELECT o_custkey, count(*) AS orphan_rows
+            FROM orders WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+            GROUP BY o_custkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "drift_quantiles": """
+            WITH h AS (SELECT event_id % 2 AS half, value FROM events),
+            q AS (
+              SELECT half,
+                     quantile_cont(value, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
+              FROM h GROUP BY half
+            )
+            SELECT CAST(half AS INT) AS half,
+                   CAST(u.i - 1 AS INT) AS q_idx,
+                   round(qs[CAST(u.i AS INT)], 6) AS q_value
+            FROM q, LATERAL (SELECT unnest(range(1, 12)) AS i) u
+        """,
+        "drift_psi": """
+            WITH b AS (
+              SELECT least(CAST(floor(value / 50) AS INT), 9) AS bin,
+                     CAST(event_id % 2 AS INT) AS half
+              FROM events
+            ),
+            hist AS (
+              SELECT bin,
+                     SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+                     SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+              FROM b GROUP BY bin
+            ),
+            tot AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM hist)
+            SELECT round(SUM(((n0 + 0.5) / (t0 + 5.0) - (n1 + 0.5) / (t1 + 5.0))
+                             * ln(((n0 + 0.5) / (t0 + 5.0)) / ((n1 + 0.5) / (t1 + 5.0)))), 6) AS psi
+            FROM hist, tot
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) / 10000.0 AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS sum_base_price,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_unshipped": """
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                       AS revenue,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) DESC,
+                     l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "window_rank_events": """
+            SELECT user_id, event_id, rn, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "sessionize_events": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(epoch(ts) AS BIGINT) AS secs,
+                     lag(CAST(epoch(ts) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT user_id,
+                   SUM(CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM w GROUP BY user_id
+        """,
+        "rollup_orders": """
+            SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                   COALESCE(o_orderpriority, '(all)') AS priority,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "scalar_funcs": """
+            SELECT o_orderkey,
+                   md5(o_orderpriority) AS prio_md5,
+                   sha256(o_orderstatus) AS status_sha256,
+                   upper(o_orderpriority) AS prio_upper,
+                   substr(o_orderpriority, 1, 1) AS prio_class,
+                   o_orderstatus || ':' || CAST(o_orderkey AS VARCHAR) AS tag,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   length(o_orderpriority) AS prio_len
+            FROM orders
+        """,
+        "json_extract_events": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        """,
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS text_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+        "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_simhash": _oracle_simhash(),
+        "embedding_neardup": _oracle_embedding_neardup(),
+        "ann_topk": _oracle_ann_topk(),
+        "text_tokens": f"""
+            SELECT doc_id,
+                   CASE WHEN length({norm}) = 0 THEN 0
+                        ELSE len(string_split({norm}, ' ')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_langid": _oracle_langid(),
+        "text_quality": _oracle_text_quality(),
+        "doc_fingerprint": _oracle_fingerprint(),
+    }
+
+
+def _oracle_text_quality() -> str:
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, {norm} AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN length(n) = 0 THEN 0 ELSE len(string_split(n, ' ')) END AS n_tokens,
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             CASE WHEN length(n) = 0 THEN 0
+                  ELSE len(list_distinct(string_split(n, ' '))) END AS distinct_tok,
+             greatest(CAST(length(text) AS DOUBLE), 1.0) AS nz
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           round(punct / nz, 6) AS punct_ratio,
+           round(digits / nz, 6) AS digit_ratio,
+           round(CASE WHEN n_tokens > 0
+                      THEN 1.0 - CAST(distinct_tok AS DOUBLE) / n_tokens
+                      ELSE 0.0 END, 6) AS repetition_ratio
+    FROM f
     """
-    return {}

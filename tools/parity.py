@@ -1,0 +1,145 @@
+"""Local stand-in for the driver's CORRECTNESS check: run each
+__spark_entry__ query on Spark and its oracle on DuckDB over the same
+sf parquet tables; compare row count, sorted-column schema, and
+order-insensitive values.
+
+Usage: python tools/parity.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            s = s.astype(str)
+        elif str(s.dtype).startswith(("float", "Float")):
+            s = s.astype(float)
+        elif str(s.dtype).startswith(("int", "Int", "uint")):
+            s = s.astype("int64")
+        elif str(s.dtype) == "bool":
+            s = s.astype(bool)
+        else:
+            s = s.astype(str)
+        out[c] = s
+    res = pd.DataFrame(out)
+    return res.sort_values(list(res.columns)).reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(sdf) != len(odf):
+        errs.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    sc, oc = sorted(sdf.columns), sorted(odf.columns)
+    if sc != oc:
+        errs.append(f"columns: spark={sc} oracle={oc}")
+        return errs
+    if errs:
+        return errs
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if a.dtype == float or b.dtype == float:
+            a = a.astype(float)
+            b = b.astype(float)
+            bad = ~(
+                (a.isna() & b.isna())
+                | (a == b)
+                | ((a - b).abs() <= 1e-12 * (1 + b.abs()))
+            )
+            exact_bad = ~((a.isna() & b.isna()) | (a == b))
+            if bad.any():
+                i = bad.idxmax()
+                errs.append(f"col {c}: {int(bad.sum())} mismatches, e.g. {a[i]!r} vs {b[i]!r}")
+            elif exact_bad.any():
+                i = exact_bad.idxmax()
+                errs.append(
+                    f"col {c}: WARNING {int(exact_bad.sum())} non-bit-exact floats, "
+                    f"e.g. {a[i]!r} vs {b[i]!r}"
+                )
+        else:
+            a2, b2 = a.astype(str), b.astype(str)
+            bad = ~((a.isna() & b.isna()) | (a2 == b2))
+            if bad.any():
+                i = bad.idxmax()
+                errs.append(f"col {c}: {int(bad.sum())} mismatches, e.g. {a2[i]!r} vs {b2[i]!r}")
+    return errs
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)})")
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        errs = compare(name, sdf, odf)
+        hard = [e for e in errs if "WARNING" not in e]
+        if hard:
+            failed.append(name)
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for e in errs:
+                print(f"   {e}")
+        else:
+            warn = "" if not errs else f"  [{errs[0]}]"
+            print(f"OK   {name} ({len(sdf)} rows){warn}")
+    print(f"\n{'ALL GREEN' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
