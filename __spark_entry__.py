@@ -28,6 +28,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the testdata parquet is a single
+    file (one scan partition), but the shingle/hash operators are
+    CPU-bound — at corpus scale the scan already yields thousands of
+    partitions; locally an explicit repartition stands in for that."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # DuckDB-side md5→bigint: identical value to Spark's
 # conv(substr(md5(x),1,15),16,10)::long  (15 hex chars = 60 bits).
 _HEX = "0123456789abcdef"
@@ -376,26 +386,26 @@ def q_json_extract_events(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5(normalized text) hash-groupBy."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.exact_dedup(docs)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs via inverted-index self-join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.5, df_cap=1000)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs with estimated Jaccard."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(docs, n=5, k=16, bands=4, threshold=0.5)
 
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, Hamming ≤ 3 (banded = exact by
     pigeonhole at bands=4)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.simhash_pairs(docs, max_distance=3, bands=4)
 
 
@@ -420,7 +430,7 @@ def q_ann_topk(spark, sf_dir):
 
 def q_text_tokens(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex pre-tokens."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -430,7 +440,7 @@ def q_text_tokens(spark, sf_dir):
 
 def q_text_langid(spark, sf_dir):
     """Heuristic stopword language-ID vs the labeled lang column."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         "lang",
@@ -440,7 +450,7 @@ def q_text_langid(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     """Quality-feature ratios (rounded for hash stability)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feat = text.quality_features(docs)
     return feat.select(
         "doc_id",
@@ -453,7 +463,7 @@ def q_text_quality(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style min rolling-hash fingerprint per document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", text.fingerprint(F.col("text"), window=8).alias("fingerprint")
     )
@@ -556,12 +566,18 @@ def _oracle_validate_events() -> str:
 
 
 def _oracle_minhash() -> str:
-    # signature: per seed s in 1..16, min over distinct 5-gram shingles
-    # of md5_long(shingle || '#s'); bands of 4 components; candidate =
+    # signature: ONE md5-derived base hash per distinct 5-gram shingle,
+    # then 16 affine universal-hash maps (a_i*h+b_i) mod P minimized per
+    # doc (dedup.minhash_coeffs); bands of 4 components; candidate =
     # pair sharing an identical band; est = matching components / 16.
+    from jsonschema_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     norm = _SQL_NORM.format(col="text")
+    coeffs = minhash_coeffs(16)
+    base_h = f"({_sql_md5_long('sh')} % {MINHASH_P})"
     mins = ",\n           ".join(
-        f"min({_sql_md5_long('sh', s)}) AS m{s}" for s in range(1, 17)
+        f"min(({base_h} * {a} + {b}) % {MINHASH_P}) AS m{i + 1}"
+        for i, (a, b) in enumerate(coeffs)
     )
     sig_list = ", ".join(f"m{s}" for s in range(1, 17))
     bands = []

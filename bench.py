@@ -1,0 +1,270 @@
+"""Benchmark harness.
+
+Default run: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+transcript-validation suite, plus the north-rule scaling evidence.
+Prints ONE JSON line on stdout::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "flagship": {...}, "scaling": {...}}
+
+Scaling protocol (north rule: throughput efficiency >= 0.8 from N to
+4N executors; this sandbox has no cluster, so the evidence is the same
+job at two parallelism levels):
+
+  * the SAME materialized parquet transcript corpus for both levels;
+  * each level runs in its own subprocess pinned with ``taskset`` to
+    exactly N cores — without pinning, a local[8] JVM silently uses
+    spare cores for GC/IO threads and the comparison flatters N;
+  * levels are interleaved A/B/A/B... and the per-level MEDIAN is used
+    — this VM shows ±50% noisy-neighbor drift between minutes, so
+    single-shot ratios are meaningless;
+  * efficiency = (tps@4N / tps@N) / 4.
+
+All progress goes to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/spark_graft_bench"
+SCALE_PAIR = (8, 32)  # N and 4N cores
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+
+HEADLINE = [
+    "validate_orders",
+    "validate_events",
+    "transform_events",
+    "stats_lineitem",
+    "uniqueness_lineitem",
+    "ri_orders_customer",
+    "drift_psi",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_nation_revenue",
+    "window_rank_events",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "text_tokens",
+    "text_langid",
+    "doc_fingerprint",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"jsonschema_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+
+
+def run_noop(df) -> None:
+    """Force full computation without driver materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def transcripts_path(spark: SparkSession, n_convs: int) -> str:
+    """Materialize the deterministic transcript corpus once; reused
+    across parallelism levels so both scaling runs read identical
+    bytes."""
+    path = f"{BENCH_TMP}/transcripts_{n_convs}.parquet"
+    if not os.path.exists(path):
+        from jsonschema_spark.sources.fixtures import transcripts
+
+        log(f"materializing transcripts n_convs={n_convs} -> {path}")
+        transcripts(spark, n_convs=n_convs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _validation_agg(spark: SparkSession, path: str):
+    """The flagship job: full-keyword row validation + verdict counts.
+    Rebuilt from scratch each call — Spark 4 caches collect() results
+    on a reused DataFrame object, which silently voids re-measurement."""
+    import jsonschema_spark as js
+    from jsonschema_spark.sources.fixtures import TRANSCRIPT_FULL_SCHEMA
+
+    df = spark.read.parquet(path)
+    plan = js.compile_schema(TRANSCRIPT_FULL_SCHEMA)
+    return plan.annotate(df).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.size("violations") > 0).cast("long")).alias("bad_rows"),
+    )
+
+
+def flagship_suite(spark: SparkSession, path: str) -> dict:
+    """The north-star check suite over the transcript table: row-level
+    keyword plan + uniqueness + RI + column stats, one job per check
+    (the shape ResumableRun executes)."""
+    import jsonschema_spark as js
+    from jsonschema_spark.operators import checks
+    from jsonschema_spark.sources.fixtures import (
+        TRANSCRIPT_FULL_SCHEMA,
+        dim_roles,
+        dim_tools,
+    )
+
+    df = spark.read.parquet(path)
+    plan = js.compile_schema(TRANSCRIPT_FULL_SCHEMA)
+    suite = [
+        checks.SchemaCheck(plan=plan, name="schema"),
+        checks.Uniqueness(keys=["conv_id", "turn_idx"]),
+        checks.ReferentialIntegrity(
+            dim=dim_roles(spark), fact_key="role", dim_key="role", name="ri_role"
+        ),
+        checks.ReferentialIntegrity(
+            dim=dim_tools(spark), fact_key="tool", dim_key="tool", name="ri_tool"
+        ),
+        checks.ColumnStats(
+            columns=["role", "text", "tool", "ts"], approx=True, name="stats"
+        ),
+    ]
+    t0 = time.monotonic()
+    all_rows = []
+    for c in suite:
+        all_rows.extend(c.verdicts(df).collect())
+    wall = time.monotonic() - t0
+    n_rows = int(
+        next(r for r in all_rows if r["check"] == "stats")["metrics"]["row_count"]
+    )
+    return {
+        "rows": n_rows,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_rows / wall, 1),
+        "verdicts": len(all_rows),
+        "checks_failed": sum(0 if r["pass"] else 1 for r in all_rows),
+    }
+
+
+def bench_queries(spark: SparkSession) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    # JIT/session warmup outside the timings
+    run_noop(qs["dedup_exact"](spark, SF_DIR))
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        run_noop(qs[name](spark, SF_DIR))
+        dt = time.monotonic() - t0
+        times[name] = round(dt, 3)
+        log(f"  {name}: {dt:.2f}s")
+    return times
+
+
+# ---------------------------------------------------------- scaling
+
+def _scale_worker(cpus: int, path: str) -> None:
+    """Subprocess body: run the flagship validation 3x, print best."""
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _validation_agg(spark, path).collect()  # warm JIT
+    best, rows = None, 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        r = _validation_agg(spark, path).collect()
+        dt = time.monotonic() - t0
+        rows = r[0]["rows"]
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"cpus": cpus, "best_sec": best, "rows": rows}), flush=True)
+    spark.stop()
+
+
+def _run_pinned(cpus: int, path: str) -> dict:
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), path,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def scaling_evidence(path: str) -> dict:
+    lo, hi = SCALE_PAIR
+    samples: dict[int, list[float]] = {lo: [], hi: []}
+    rows = 0
+    for rnd in range(SCALE_ROUNDS):
+        for cpus in (lo, hi):
+            r = _run_pinned(cpus, path)
+            rows = r["rows"]
+            tps = r["rows"] / r["best_sec"]
+            samples[cpus].append(tps)
+            log(f"scaling round {rnd} cores={cpus}: {tps:,.0f} turns/s")
+    med = {c: statistics.median(v) for c, v in samples.items()}
+    eff = (med[hi] / med[lo]) / (hi / lo)
+    return {
+        "protocol": "taskset-pinned, interleaved, median of "
+                    f"{SCALE_ROUNDS} rounds x best-of-3",
+        "rows": rows,
+        f"turns_per_sec@{lo}cores": round(med[lo], 1),
+        f"turns_per_sec@{hi}cores": round(med[hi], 1),
+        f"samples@{lo}": [round(x, 1) for x in samples[lo]],
+        f"samples@{hi}": [round(x, 1) for x in samples[hi]],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scale-worker":
+        _scale_worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    log(f"bench: sf_dir={SF_DIR} cpus={CPUS}")
+
+    times = bench_queries(spark)
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_NCONVS", "600000"))
+    path = transcripts_path(spark, n_convs)
+    flagship = flagship_suite(spark, path)
+    log(f"flagship: {flagship}")
+    spark.stop()
+
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship_turns_per_sec": flagship["turns_per_sec"],
+        "flagship": flagship,
+    }
+    if do_scaling:
+        result["scaling"] = scaling_evidence(path)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Per-partition checkpoint/resume for table-level check runs.
+
+North-rule requirement: validation runs over a 10^12-turn corpus must
+be resumable — a failed/preempted run re-submits and skips every
+(partition, check) pair already recorded, with lineage + metrics rows
+carried in the manifest (SURVEY.md §4 item 4; FIXTURES.md §3
+``checkpoints`` schema).
+
+Design (no Spark primitive does this — it is driver logic):
+
+  * The manifest is an append-only parquet directory (at production
+    scale: an Iceberg table appended transactionally).  Each completed
+    (partition_id, check) writes one row::
+
+        checkpoints(partition_id string, check string,
+                    completed_at timestamp, lineage string,
+                    metrics map<string,string>)
+
+  * ``lineage`` fingerprints the inputs: source identifier + check
+    configuration hash, so a manifest row only matches a re-run with
+    identical inputs and rules.
+
+  * Resume = anti-join the table's partition list against the
+    manifest (both driver-small: one row per partition × check), then
+    run the suite ONLY over the missing partitions — the data-side
+    filter is a partition-pruning predicate, so Spark never reads
+    completed partitions' files on an Iceberg/hive-partitioned table.
+
+Writes are atomic at file granularity (parquet append of one run's
+rows); a crash mid-run loses at most the in-flight partitions, never
+corrupts prior rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.checks import Check, CheckSuite, _partition_id
+
+CHECKPOINT_SCHEMA = (
+    "partition_id string, check string, completed_at timestamp, "
+    "lineage string, metrics map<string,string>"
+)
+
+
+def _lineage(source_id: str, check: Check) -> str:
+    """Stable fingerprint of (input, check config): same lineage ⇒ the
+    cached verdict is valid for this re-run."""
+    cfg = {
+        k: v
+        for k, v in sorted(vars(check).items())
+        if isinstance(v, (str, int, float, bool, list, tuple, dict, type(None)))
+    }
+    blob = json.dumps({"source": source_id, "check": check.name, "cfg": cfg},
+                      sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class CheckpointManifest:
+    """The manifest directory + the resume/append operations."""
+
+    path: str
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+
+    def completed(self, spark: SparkSession, lineages: dict[str, str]) -> set[tuple[str, str]]:
+        """(partition_id, check) pairs already recorded with a matching
+        lineage.  Driver-small: one row per partition × check."""
+        m = self.read(spark)
+        rows = (
+            m.select("partition_id", "check", "lineage")
+            .distinct()
+            .collect()
+        )
+        return {
+            (r["partition_id"], r["check"])
+            for r in rows
+            if lineages.get(r["check"]) == r["lineage"]
+        }
+
+    def append(self, spark: SparkSession, verdicts: list, lineages: dict[str, str]) -> None:
+        now = time.time()
+        rows = [
+            (
+                v["partition_id"],
+                v["check"],
+                None,  # completed_at set below via expression (no driver clock skew)
+                lineages[v["check"]],
+                dict(v["metrics"] or {}),
+            )
+            for v in verdicts
+        ]
+        df = spark.createDataFrame(rows, CHECKPOINT_SCHEMA).withColumn(
+            "completed_at", F.timestamp_seconds(F.lit(now))
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+
+@dataclass
+class ResumableRun:
+    """Run a CheckSuite over a partitioned table with skip/resume."""
+
+    suite: CheckSuite
+    manifest: CheckpointManifest
+    partition_by: Sequence[str] | None = None
+    source_id: str = ""
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """Execute only the (partition, check) pairs missing from the
+        manifest; append new checkpoint rows; return the verdicts of
+        THIS run (empty if everything was already done)."""
+        spark = df.sparkSession
+        lineages = {c.name: _lineage(self.source_id, c) for c in self.suite.checks}
+        done = self.manifest.completed(spark, lineages)
+
+        # all partitions present in the input (driver-small)
+        pids = [
+            r["partition_id"]
+            for r in df.select(
+                _partition_id(self.partition_by).alias("partition_id")
+            ).distinct().collect()
+        ]
+
+        all_new: DataFrame | None = None
+        new_rows: list = []
+        for check in self.suite.checks:
+            todo = [p for p in pids if (p, check.name) not in done]
+            if not todo:
+                continue
+            if self.partition_by and len(todo) < len(pids):
+                # partition-pruning predicate: completed partitions'
+                # files are never read on a partitioned table
+                sub = df.filter(
+                    _partition_id(self.partition_by).isin(todo)
+                )
+            else:
+                sub = df
+            v = check.verdicts(sub)
+            rows = v.collect()
+            new_rows.extend(rows)
+            all_new = v if all_new is None else all_new.unionByName(v)
+
+        if new_rows:
+            self.manifest.append(spark, new_rows, lineages)
+        if all_new is None:
+            from .operators.checks import VERDICT_SCHEMA
+
+            return spark.createDataFrame([], VERDICT_SCHEMA)
+        return spark.createDataFrame(new_rows, all_new.schema)

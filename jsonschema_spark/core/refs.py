@@ -33,6 +33,9 @@ class ValueRef:
     path: str = "$"  # $-rooted dotted path for error messages
     exists: bool = True  # statically present in the schema?
     is_root: bool = False
+    # lambda-scope bindings (foreach's __key/__val, foreach.go:22-32):
+    # consulted by child() before the static schema lookup
+    bindings: dict | None = None
 
     def null(self) -> Column:
         """Runtime 'value missing' predicate (never true for the root)."""
@@ -53,6 +56,8 @@ class ValueRef:
         """Descend one object key (reference Properties walk,
         validator_core.go:407-487)."""
         child_path = f"{self.path}.{name}"
+        if self.bindings and name in self.bindings:
+            return replace(self.bindings[name], path=child_path)
         if self.is_root:
             dt = None
             found = False

@@ -382,3 +382,82 @@ def kw_ref(operand, path, siblings, ctx) -> Rule:
     finally:
         ctx.ref_depth -= 1
     return FnRule(lambda ref: node.violations(ref))
+
+
+# ------------------------------------------------------------- foreach
+
+@register_keyword("foreach")
+def kw_foreach(operand, path, siblings, ctx) -> Rule:
+    """Iterate the array/map at each jsonpath, binding ``__key`` /
+    ``__val`` into the root scope and running the sub-schema per
+    element (reference foreach.go:5-63).
+
+    Columnar mapping: ``F.transform`` over the array (or map_entries)
+    with a lambda-scoped root ref whose bindings resolve __key/__val;
+    per-element violation arrays are flattened into the row's list.
+    The reference's cross-element MUTATION accumulation (the `line`
+    example, benchmark_test.go:411-423) is out of columnar scope —
+    use the `script` keyword's fold or F.aggregate directly.
+    """
+    if not isinstance(operand, dict):
+        raise SchemaError(f"foreach operand must be object, path:{path}")
+    import dataclasses
+
+    entries = []
+    for jp, sub in operand.items():
+        node = ctx.compile_node(sub, f"{path}.{jp}")
+        entries.append((jp, node))
+
+    def fn(ref: ValueRef) -> Column:
+        parts = []
+        for jp, node in entries:
+            target = resolve(ref, jp)
+            if not target.exists:
+                continue
+            dt = target.dtype
+
+            if isinstance(dt, T.ArrayType):
+                def make_per_elem(_node, _dt):
+                    def per_elem(v, i):
+                        bound = dataclasses.replace(
+                            ref,
+                            bindings={
+                                **(ref.bindings or {}),
+                                # reference binds the index as a number
+                                # (float64(i), foreach.go:23)
+                                "__key": ValueRef(i.cast("long"), T.LongType(), "$.__key"),
+                                "__val": ValueRef(v, _dt.elementType, "$.__val"),
+                            },
+                        )
+                        return _node.violations(bound)
+
+                    return per_elem
+
+                viols = F.flatten(F.transform(target.col, make_per_elem(node, dt)))
+            elif isinstance(dt, T.MapType):
+                def make_per_entry(_node, _dt):
+                    def per_entry(e):
+                        bound = dataclasses.replace(
+                            ref,
+                            bindings={
+                                **(ref.bindings or {}),
+                                "__key": ValueRef(e["key"], _dt.keyType, "$.__key"),
+                                "__val": ValueRef(e["value"], _dt.valueType, "$.__val"),
+                            },
+                        )
+                        return _node.violations(bound)
+
+                    return per_entry
+
+                viols = F.flatten(
+                    F.transform(F.map_entries(target.col), make_per_entry(node, dt))
+                )
+            else:
+                # non-container at runtime: reference silently skips
+                continue
+            parts.append(
+                F.when(target.null(), empty_violations()).otherwise(viols)
+            )
+        return concat_violations(*parts)
+
+    return FnRule(fn)

@@ -259,3 +259,103 @@ def kw_call(operand, path, siblings, ctx) -> None:
     # side-effect-only evaluation (validator_magics.go:270-287);
     # columnar engine is pure -> no-op by design (SURVEY §2.2)
     return None
+
+
+# --------------------------------------------- dynamic-key map ops
+
+def _map_column(ctx) -> str:
+    """Dynamic root keys cannot exist on a fixed StructType (SURVEY.md
+    §7.4 item 6): setMap/delMap/del/setExpr target a designated
+    MapType column instead (option 'map_column', default 'attrs')."""
+    return str(ctx.options.get("map_column", "attrs"))
+
+
+def _apply_map_write(df: DataFrame, mc: str, key_col: Column,
+                     val_col: Column | None, cond: Column | None) -> DataFrame:
+    if mc not in df.columns:
+        raise SchemaError(
+            f"map keyword needs MapType column '{mc}' (set options['map_column'])"
+        )
+    dt = df.schema[mc].dataType
+    if not isinstance(dt, T.MapType):
+        raise SchemaError(f"column '{mc}' must be MapType, got {dt.simpleString()}")
+    old = F.col(mc)
+    base = F.coalesce(old, F.create_map().cast(dt))
+    # remove the key first: map_concat raises on duplicates under ANSI
+    removed = F.map_filter(base, lambda k, v: k != key_col)
+    if val_col is None:
+        new = removed
+    else:
+        new = F.map_concat(
+            removed, F.create_map(key_col, val_col.cast(dt.valueType))
+        )
+    if cond is not None:
+        new = F.when(cond, new).otherwise(old)
+    return df.withColumn(mc, new)
+
+
+def _map_op(operand, path, ctx, keyword: str, delete: bool) -> None:
+    """setMap/delMap/del: operand {"key": ValueExpr, "val": ValueExpr};
+    root[StringOf(key)] = val / delete root[key]
+    (reference foreach.go:65-101, validator_core.go:103-112)."""
+    if not isinstance(operand, dict):
+        raise SchemaError(f"'{keyword}' operand must be object, path:{path}")
+    key_v = parse_value(operand.get("key"))
+    val_v = None if delete else parse_value(operand.get("val"))
+    guards = list(ctx.guards)
+    mc = _map_column(ctx)
+
+    def apply(df: DataFrame, root: ValueRef) -> DataFrame:
+        from ..core.coerce import string_of
+
+        kb = key_v.bind(root)
+        key_col = string_of(kb.col, kb.dtype)
+        val_col = None if delete else val_v.bind(root).col
+        cond = _guard_cond(guards, root)
+        return _apply_map_write(df, mc, key_col, val_col, cond)
+
+    ctx.transforms.append(TransformOp(apply, keyword))
+
+
+@register_keyword("setMap")
+def kw_set_map(operand, path, siblings, ctx) -> None:
+    _map_op(operand, path, ctx, "setMap", delete=False)
+    return None
+
+
+@register_keyword("delMap")
+def kw_del_map(operand, path, siblings, ctx) -> None:
+    _map_op(operand, path, ctx, "delMap", delete=True)
+    return None
+
+
+@register_keyword("del")
+def kw_del(operand, path, siblings, ctx) -> None:
+    _map_op(operand, path, ctx, "del", delete=True)
+    return None
+
+
+@register_keyword("setExpr")
+def kw_set_expr(operand, path, siblings, ctx) -> None:
+    """Both key AND value computed per row
+    (reference validator_magics.go:203-244): '${user}:${ip}' -> 'true'.
+    Dynamic keys land in the designated map column."""
+    if not isinstance(operand, dict):
+        raise SchemaError(f"'setExpr' operand must be object, path:{path}")
+    pairs = [(parse_value(k), parse_value(v)) for k, v in operand.items()]
+    guards = list(ctx.guards)
+    mc = _map_column(ctx)
+
+    def apply(df: DataFrame, root: ValueRef) -> DataFrame:
+        from ..core.coerce import string_of
+
+        cond = _guard_cond(guards, root)
+        for key_v, val_v in pairs:
+            kb = key_v.bind(root)
+            df = _apply_map_write(
+                df, mc, string_of(kb.col, kb.dtype), val_v.bind(root).col, cond
+            )
+        return df
+
+    ctx.transforms.append(TransformOp(apply, "setExpr"))
+    return None

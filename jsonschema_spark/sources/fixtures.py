@@ -34,8 +34,10 @@ _WORDS = (
 
 def _h(seed: int, *cols):
     """Deterministic uniform int64 from xxhash64 — the only randomness
-    source, so output is a pure function of (n_convs, seed)."""
-    return F.xxhash64(F.lit(seed), *cols)
+    source, so output is a pure function of (n_convs, seed).  Plain
+    strings are tag literals, never column names."""
+    wrapped = [F.lit(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(F.lit(seed), *wrapped)
 
 
 def _u(seed: int, *cols):
@@ -150,4 +152,22 @@ TRANSCRIPT_CORE_SCHEMA = {
         "role": {"type": "string", "enum": ["system", "user", "assistant", "tool"]},
         "text": {"type": "string", "minLength": 1, "maxLength": 4000},
     },
+}
+
+
+# richer flagship rule: every hot-path keyword class (type/pattern/
+# length/bounds/enum + conditional required) — the scaling-benchmark
+# workload (BASELINE.md)
+TRANSCRIPT_FULL_SCHEMA = {
+    "required": ["conv_id", "turn_idx", "role", "text"],
+    "properties": {
+        "conv_id": {"type": "string", "pattern": "^c[0-9]{8}$", "minLength": 9, "maxLength": 9},
+        "turn_idx": {"type": "integer", "minimum": 0, "maximum": 100000},
+        "role": {"type": "string", "enum": ["system", "user", "assistant", "tool"]},
+        "text": {"type": "string", "minLength": 1, "maxLength": 4000,
+                 "pattern": "^[\\x20-\\x7E\\s]*$"},
+        "tool": {"pattern": "^tool_[0-9]{2}$"},
+    },
+    "if": {"keyMatch": {"role": "tool"}},
+    "then": {"required": ["tool"]},
 }

@@ -1,0 +1,89 @@
+"""Structured Streaming validation — continuous constraint checking
+over a transcript stream.
+
+The reference is purely synchronous/in-memory (SURVEY.md §2.9:
+streaming = none); this module is the engine-level addition: the SAME
+compiled Column plan that validates a batch DataFrame annotates a
+streaming DataFrame unchanged (it is a stateless projection), and the
+table-level verdicts become watermarked windowed aggregations:
+
+  * ``annotate_stream``  — violations column on a readStream source.
+  * ``windowed_verdicts`` — per (event-time window, check) pass/fail
+    counts with a watermark bounding late-data state.
+  * ``stateful_dedup_stream`` — dropDuplicatesWithinWatermark on
+    (conv_id, turn_idx): streaming uniqueness with bounded state.
+
+Scale notes: stateless projection shards perfectly; the windowed agg
+shuffles on (window) only; watermark eviction keeps state O(windows in
+flight), which is what makes 10^12-turn continuous ingest viable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def annotate_stream(stream_df: DataFrame, plan) -> DataFrame:
+    """Apply a compiled schema plan to a streaming DataFrame.  The plan
+    is a pure Column expression — identical semantics to the batch
+    path, no state."""
+    return plan.annotate(stream_df)
+
+
+def windowed_verdicts(
+    stream_df: DataFrame,
+    plan,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per event-time window: rows, bad rows, violation total — the
+    streaming analog of SchemaCheck.verdicts.  Late rows beyond the
+    watermark are dropped (documented north-star late-data policy)."""
+    ann = plan.annotate(stream_df)
+    return (
+        ann.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.size("violations") > 0).cast("long")).alias("bad_rows"),
+            F.sum(F.size("violations")).alias("violation_total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "rows",
+            "bad_rows",
+            "violation_total",
+            (F.col("bad_rows") == 0).alias("pass"),
+        )
+    )
+
+
+def stateful_dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming uniqueness enforcement: keep the first row per key
+    within the watermark horizon; duplicates beyond the horizon are
+    out of contract (bounded state by design)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def violation_rate_alert(
+    stream_df: DataFrame,
+    plan,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    max_bad_ratio: float = 0.05,
+) -> DataFrame:
+    """Windows whose bad-row ratio exceeds the threshold — the
+    continuous drift/quality alert feed."""
+    v = windowed_verdicts(stream_df, plan, ts_col, window, watermark)
+    return v.filter(
+        (F.col("bad_rows") / F.greatest(F.col("rows"), F.lit(1))) > max_bad_ratio
+    )

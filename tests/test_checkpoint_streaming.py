@@ -1,0 +1,130 @@
+"""Checkpoint/resume manifest + structured-streaming validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import jsonschema_spark as js
+from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+from jsonschema_spark.operators import checks
+from jsonschema_spark.streaming.validate import (
+    stateful_dedup_stream,
+    windowed_verdicts,
+)
+
+
+@pytest.fixture()
+def part_df(spark):
+    rows = [
+        ("2025-01-01", "c1", 0), ("2025-01-01", "c1", 0),   # dup in day1
+        ("2025-01-02", "c2", 0), ("2025-01-02", "c2", 1),
+    ]
+    return spark.createDataFrame(rows, "day string, conv_id string, turn_idx int")
+
+
+def test_resumable_run_skips_completed(spark, part_df, tmp_path):
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+    suite = checks.CheckSuite(
+        [checks.Uniqueness(keys=["conv_id", "turn_idx"], partition_by=["day"])]
+    )
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["day"], source_id="test")
+
+    first = run.run(part_df).collect()
+    assert {r["partition_id"] for r in first} == {"day=2025-01-01", "day=2025-01-02"}
+
+    # second run: everything checkpointed -> nothing re-executed
+    second = run.run(part_df).collect()
+    assert second == []
+
+    # a NEW partition arrives -> only it runs
+    more = part_df.union(
+        spark.createDataFrame([("2025-01-03", "c3", 0)], part_df.schema)
+    )
+    third = run.run(more).collect()
+    assert {r["partition_id"] for r in third} == {"day=2025-01-03"}
+
+    # manifest carries lineage + metrics rows
+    m = manifest.read(spark)
+    assert m.count() == 3
+    cols = set(m.columns)
+    assert {"partition_id", "check", "completed_at", "lineage", "metrics"} <= cols
+
+
+def test_resume_invalidated_by_config_change(spark, part_df, tmp_path):
+    manifest = CheckpointManifest(str(tmp_path / "manifest2"))
+    s1 = checks.CheckSuite([checks.Uniqueness(keys=["conv_id", "turn_idx"],
+                                              partition_by=["day"])])
+    ResumableRun(suite=s1, manifest=manifest, partition_by=["day"],
+                 source_id="test").run(part_df)
+    # different check config (different keys) => different lineage => re-runs
+    s2 = checks.CheckSuite([checks.Uniqueness(keys=["conv_id"],
+                                              partition_by=["day"])])
+    out = ResumableRun(suite=s2, manifest=manifest, partition_by=["day"],
+                       source_id="test").run(part_df).collect()
+    assert len(out) == 2
+
+
+PLAN_DOC = {
+    "required": ["conv_id", "role"],
+    "properties": {"role": {"enum": ["user", "assistant"]}},
+}
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    rows = [
+        ("c1", 0, "user", "2025-01-01 00:00:10"),
+        ("c1", 1, "assistant", "2025-01-01 00:00:20"),
+        ("c1", 1, "assistant", "2025-01-01 00:00:21"),  # dup key
+        ("c2", 0, "narrator", "2025-01-01 00:01:10"),   # enum violation
+        ("c2", 1, None, "2025-01-01 00:01:30"),         # required violation
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    path = str(tmp_path / "stream_src")
+    df.coalesce(1).write.parquet(path)
+    return spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, ts timestamp"
+    ).parquet(path)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_verdicts_stream(spark, stream_src):
+    plan = js.compile_schema(PLAN_DOC)
+    out = windowed_verdicts(stream_src, plan, window="1 minute")
+    # complete mode: append would only emit windows already sealed by
+    # the watermark, which never happens within one availableNow batch
+    q = (
+        out.writeStream.format("memory")
+        .queryName("verdicts_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = {str(r["window_start"]): (r["rows"], r["bad_rows"], r["pass"])
+            for r in spark.sql("select * from verdicts_t").collect()}
+    assert rows["2025-01-01 00:00:00"] == (3, 0, True)
+    assert rows["2025-01-01 00:01:00"] == (2, 2, False)
+
+
+def test_stateful_dedup_stream(spark, stream_src):
+    out = stateful_dedup_stream(stream_src, keys=["conv_id", "turn_idx"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("select conv_id, turn_idx from dedup_t").collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in got)
+    assert keys == [("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)]

@@ -1,0 +1,136 @@
+"""Table-level checks: stats, uniqueness (salted), RI, drift, suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import jsonschema_spark as js
+from jsonschema_spark.operators import checks
+from jsonschema_spark.sources.fixtures import dim_roles, dim_tools, transcripts
+
+
+def _verdict(df, name):
+    rows = [r for r in df.collect() if r["check"] == name]
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_column_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], "x int, s string"
+    )
+    chk = checks.ColumnStats(columns=["x", "s"], approx=False,
+                             expectations={"x": {"max_null_rate": 0.1}})
+    v = _verdict(chk.verdicts(df), "column_stats")
+    m = v["metrics"]
+    assert m["row_count"] == "4"
+    assert m["x.null_rate"] == "0.250000"
+    assert m["x.min"] == "1" and m["x.max"] == "3"
+    assert m["x.distinct"] == "3"
+    assert m["s.distinct"] == "2"
+    assert v["pass"] is False  # null rate 0.25 > 0.1
+
+
+def test_column_stats_partitioned(spark):
+    df = spark.createDataFrame(
+        [("p1", 1), ("p1", 2), ("p2", 3)], "part string, x int"
+    )
+    chk = checks.ColumnStats(columns=["x"], approx=False, partition_by=["part"])
+    got = {r["partition_id"]: r["metrics"]["row_count"] for r in chk.verdicts(df).collect()}
+    assert got == {"part=p1": "2", "part=p2": "1"}
+
+
+def test_uniqueness_detects_duplicates(spark):
+    df = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c1", 1), ("c2", 0), ("c2", 0), ("c2", 0)],
+        "conv_id string, turn_idx int",
+    )
+    for salt in (0, 4):
+        chk = checks.Uniqueness(keys=["conv_id", "turn_idx"], salt_buckets=salt)
+        dups = {(r["conv_id"], r["turn_idx"]): r["dup_count"]
+                for r in chk.duplicates(df).collect()}
+        assert dups == {("c1", 1): 2, ("c2", 0): 3}
+        v = _verdict(chk.verdicts(df), "uniqueness")
+        assert v["pass"] is False and v["violation_count"] == 3  # extra rows
+
+
+def test_uniqueness_pass_verdict(spark):
+    df = spark.createDataFrame([("c1", 0), ("c1", 1)], "conv_id string, turn_idx int")
+    v = _verdict(checks.Uniqueness(keys=["conv_id", "turn_idx"]).verdicts(df),
+                 "uniqueness")
+    assert v["pass"] is True and v["violation_count"] == 0
+
+
+def test_referential_integrity(spark):
+    dim = spark.createDataFrame([("user",), ("tool",)], "role string")
+    df = spark.createDataFrame(
+        [("user",), ("user",), ("narrator",), (None,)], "role string"
+    )
+    chk = checks.ReferentialIntegrity(dim=dim, fact_key="role", dim_key="role")
+    orphans = {r["role"]: r["orphan_rows"] for r in chk.orphans(df).collect()}
+    assert orphans == {"narrator": 1}  # null skipped
+    v = _verdict(chk.verdicts(df), "referential_integrity")
+    assert v["pass"] is False and v["violation_count"] == 1
+
+
+def test_ri_plan_is_broadcast(spark):
+    dim = spark.createDataFrame([("user",)], "role string")
+    df = spark.createDataFrame([("user",)], "role string")
+    chk = checks.ReferentialIntegrity(dim=dim, fact_key="role", dim_key="role")
+    plan = chk.orphans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_drift_detects_shift(spark):
+    base = spark.range(0, 10000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(0, 5000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 5000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("v")
+    )
+    chk_same = checks.Drift(column="v", baseline=base)
+    v = _verdict(chk_same.verdicts(same), "drift")
+    assert v["pass"] is True
+    chk_shift = checks.Drift(column="v", baseline=base)
+    v2 = _verdict(chk_shift.verdicts(shifted), "drift")
+    assert v2["pass"] is False
+    assert float(v2["metrics"]["psi"]) > 0.2
+
+
+def test_suite_over_transcripts(spark):
+    """End-to-end: the north-star suite over the synthetic corpus finds
+    every planted violation class."""
+    df = transcripts(spark, n_convs=300).cache()
+    plan = js.compile_schema(
+        {
+            "required": ["conv_id", "turn_idx", "role", "text"],
+            "properties": {
+                "conv_id": {"pattern": "^c[0-9]{8}$"},
+                "turn_idx": {"minimum": 0},
+                "role": {"enum": ["system", "user", "assistant", "tool"]},
+                "text": {"minLength": 1, "maxLength": 4000},
+            },
+        }
+    )
+    suite = checks.CheckSuite(
+        [
+            checks.SchemaCheck(plan=plan, name="schema"),
+            checks.Uniqueness(keys=["conv_id", "turn_idx"]),
+            checks.ReferentialIntegrity(
+                dim=dim_roles(spark), fact_key="role", dim_key="role", name="ri_role"
+            ),
+            checks.ReferentialIntegrity(
+                dim=dim_tools(spark), fact_key="tool", dim_key="tool", name="ri_tool"
+            ),
+        ]
+    )
+    verdicts = {r["check"]: r for r in suite.run(df).collect()}
+    # the generator plants violations of every class (fixtures.py)
+    assert verdicts["schema"]["pass"] is False
+    assert verdicts["uniqueness"]["pass"] is False
+    assert verdicts["ri_role"]["pass"] is False
+    assert verdicts["ri_tool"]["pass"] is False
+    # violation rows carry reference-format paths
+    viols = suite.violations(df)["schema"]
+    paths = {r["path"] for r in viols.limit(200).collect()}
+    assert paths <= {"$.conv_id", "$.turn_idx", "$.role", "$.text"}
+    df.unpersist()

@@ -1,0 +1,193 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "The quick  brown fox jumps over the lazy dog"),         # normalizes to dup
+        (3, "the quick brown fox leaps over the lazy dog"),          # near-dup
+        (4, "completely different content about spark engines"),
+        (5, "totally unrelated words regarding quantum physics"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 3  # docs 0,1,2 collapse after normalization
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0 and pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(0, 3)] < 1.0  # near-dup
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs  # near-dup estimated high
+    assert (0, 4) not in pairs
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_distance=3).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    assert (0, 4) not in pairs
+
+
+def test_simhash_banding_equals_bruteforce(spark, docs):
+    """pigeonhole: bands=4, distance<=3 ⇒ banded result == all-pairs."""
+    sigs = docs.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("sig")
+    )
+    a = sigs.selectExpr("doc_id id_a", "sig sa")
+    b = sigs.selectExpr("doc_id id_b", "sig sb")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dedup.hamming64(F.col("sa"), F.col("sb")).alias("h"))
+        .filter(F.col("h") <= 3)
+    )
+    banded = dedup.simhash_pairs(docs, max_distance=3, bands=4)
+    assert sorted((r["id_a"], r["id_b"]) for r in brute.collect()) == sorted(
+        (r["id_a"], r["id_b"]) for r in banded.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        # small deterministic perturbation; the i-term keeps every
+        # vector unique (no accidental cosine ties)
+        vec = [x + 0.01 * ((i * 7 + j) % 5) + (0.0001 * i if j == 7 else 0.0)
+               for j, x in enumerate(base)]
+        rows.append((i, [float(v) for v in vec]))
+    rows.append((100, rows[0][1]))  # exact dup of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup_bruteforce(spark, vectors):
+    pairs = dedup.embedding_neardup_pairs(vectors, threshold=0.999, planes=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got
+
+
+def test_embedding_neardup_lsh_subset_of_bruteforce(spark, vectors):
+    brute = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_neardup_pairs(vectors, threshold=0.99, planes=0).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_neardup_pairs(vectors, threshold=0.99, planes=4).collect()}
+    assert lsh <= brute
+    assert (0, 100) in lsh  # identical vectors always share every bucket
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = sorted(similarity.brute_force_topk(vectors, q, k=3).collect(),
+                 key=lambda r: r["rank"])
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] == 100  # the exact dup ranks first
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_ivf_topk_recall(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 2)
+    exact = similarity.brute_force_topk(vectors, q, k=3)
+    approx = similarity.ivf_topk(vectors, q, k=3, n_cells=4, nprobe=4)
+    # nprobe == n_cells ⇒ full scan ⇒ identical to exact
+    e = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect())
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in approx.collect())
+    assert e == a
+
+
+def test_text_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 42 times"), (1, ""), (2, "   "), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"]) for r in df.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).collect()}
+    assert out[0] == (4, 6)  # [Hello][,][world][!][42][times]
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (1, 1)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it was happy"),
+            (1, "der hund ist nicht mit der katze und sie"),
+            (2, "le chat est dans la maison pour le moment"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", text.lang_id(F.col("text")).alias("g")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_quality_score_range_and_signal(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox jumps over the lazy dog near the river bank."),
+            (1, "!!! ??? ,,, ;;; !!!"),
+            (2, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["quality_score"]
+           for r in text.quality_score(df).select("doc_id", "quality_score").collect()}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    assert out[0] > out[1] and out[0] > out[2]
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l"), (1, "a b c d e f g h i j k l"),
+         (2, "totally different words here now ok yes no maybe")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[0] == out[1] and out[0] != out[2]
+
+
+def test_multimodal_plumbing(spark):
+    m = multimodal.synth_media(spark, 24)
+    meta = multimodal.media_metadata(m)
+    assert meta.count() == 24
+    feats = multimodal.extract_image_features(m, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 8  # every 3rd is an image
+    assert all(16 <= r["width"] <= 80 for r in rows)
+    frames = multimodal.sample_frames(m, fake=True, every_n=4)
+    assert frames.count() > 0
+    # stub decode raises without fake mode
+    with pytest.raises(Exception):
+        multimodal.extract_image_features(m, fake=False).collect()

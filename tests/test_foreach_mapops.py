@@ -1,0 +1,82 @@
+"""foreach (__key/__val bindings) and dynamic-key map ops
+(setMap/delMap/del/setExpr)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import jsonschema_spark as js
+
+
+@pytest.fixture()
+def arr_df(spark):
+    return spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [-1, 5]), ("c", None)],
+        "id string, nums array<int>",
+    )
+
+
+def test_foreach_array_assertion(spark, arr_df):
+    plan = js.compile_schema({"foreach": {"nums": {"gte": {"__val": 0}}}})
+    res = plan.validate(arr_df, keys=["id"])
+    viols = res.violations.collect()
+    assert len(viols) == 1
+    assert viols[0]["id"] == "b"  # only the -1 element fails; null array skips
+
+
+def test_foreach_key_binding(spark, arr_df):
+    # __key is the element index (reference foreach.go:23)
+    plan = js.compile_schema({"foreach": {"nums": {"lt": {"__key": 10}}}})
+    assert plan.validate(arr_df, keys=["id"]).violations.count() == 0
+
+
+def test_foreach_map_values(spark):
+    df = spark.createDataFrame(
+        [("a", {"x": 1, "y": -2})], "id string, m map<string,int>"
+    )
+    plan = js.compile_schema({"foreach": {"m": {"gte": {"__val": 0}}}})
+    v = plan.validate(df, keys=["id"]).violations.collect()
+    assert len(v) == 1
+
+
+@pytest.fixture()
+def map_df(spark):
+    return spark.createDataFrame(
+        [("u1", "admin", {"seen": "1"}), ("u2", "guest", None)],
+        "user string, role string, attrs map<string,string>",
+    )
+
+
+def test_set_map(spark, map_df):
+    plan = js.compile_schema({"setMap": {"key": "role_tag", "val": "${role}"}})
+    out = {r["user"]: r["attrs"] for r in plan.transform(map_df).collect()}
+    assert out["u1"] == {"seen": "1", "role_tag": "admin"}
+    assert out["u2"] == {"role_tag": "guest"}  # null map auto-initialized
+
+
+def test_del_map(spark, map_df):
+    plan = js.compile_schema({"delMap": {"key": "seen"}})
+    out = {r["user"]: r["attrs"] for r in plan.transform(map_df).collect()}
+    assert out["u1"] == {}
+    assert out["u2"] == {}
+
+
+def test_set_expr_dynamic_key(spark, map_df):
+    plan = js.compile_schema({"setExpr": {"${user}:${role}": "true"}})
+    out = {r["user"]: r["attrs"] for r in plan.transform(map_df).collect()}
+    assert out["u1"]["u1:admin"] == "true"
+    assert out["u2"]["u2:guest"] == "true"
+
+
+def test_set_map_overwrites_existing_key(spark, map_df):
+    plan = js.compile_schema({"setMap": {"key": "seen", "val": "2"}})
+    out = {r["user"]: r["attrs"] for r in plan.transform(map_df).collect()}
+    assert out["u1"] == {"seen": "2"}
+
+
+def test_map_op_requires_map_column(spark):
+    df = spark.createDataFrame([("a",)], "id string")
+    plan = js.compile_schema({"setMap": {"key": "k", "val": "v"}})
+    with pytest.raises(js.SchemaError, match="map_column"):
+        plan.transform(df)
