@@ -250,6 +250,11 @@ def main() -> None:
     path = transcripts_path(spark, n_convs)
     flagship = flagship_suite(spark, path)
     log(f"flagship: {flagship}")
+    # scaling needs a longer job: fixed driver/scheduling overhead
+    # (~0.5s) is a 30% penalty on a 1.6s 32-core run but 4% on the
+    # 8-core run, which systematically understates the ratio
+    scale_convs = int(os.environ.get("SPARK_GRAFT_SCALE_NCONVS", "4800000"))
+    scale_path = transcripts_path(spark, scale_convs)
     spark.stop()
 
     result = {
@@ -262,7 +267,7 @@ def main() -> None:
         "flagship": flagship,
     }
     if do_scaling:
-        result["scaling"] = scaling_evidence(path)
+        result["scaling"] = scaling_evidence(scale_path)
     print(json.dumps(result), flush=True)
 
 

@@ -1,0 +1,685 @@
+"""Expression-language subset compiler: the Spark-native answer to the
+reference's ``expr/`` rule engine (SURVEY.md §2.6; ~9k LoC Go:
+tokenizer script.go:911-1351, goyacc grammar ast/expr.y, interpreter
+lexer.go).  The reference interprets per document; here an expression
+string compiles ONCE to a ``pyspark.sql.Column`` tree, so scripts run
+columnar inside whole-stage codegen — no interpreter in the hot path.
+
+Supported subset (the constructs the reference's own tests/readme use
+in schemas — schema_expr_test.go:38-42, expr/readme.md):
+
+  * literals: numbers (float64 semantics), 'strings' with ``${path}``
+    interpolation, true/false/nil
+  * ``$`` document refs: ``$.a.b``, ``$.arr[0]``; bare identifiers are
+    script-local variables
+  * operators: ``+ - * / %`` ; ``== != < <= > >=`` ; ``&& || !`` ;
+    ``a ? b : c`` ; ``a in b`` ; ``a or b`` (first non-empty,
+    funcs.go:188-196); unary ``-``
+  * calls: function registry below (len/number/int/bool/string/
+    sprintf/str_* /md5_sum/... ) and method sugar ``x.to_upper()``
+  * statements (';'-separated or list items): expression,
+    ``lvalue = expr`` assignment ($.path targets become document
+    transforms; identifiers become let-bindings), ``return(args...)``
+    (validation error, schema_expr.go:34-38), ``if(cond, expr)``
+    conditional execution
+
+Excluded by design (documented, SURVEY.md §2.6): goroutines/http/exec
+side effects, data-dependent loops, lambdas — route those to a pandas
+UDF batch instead.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.coerce import bool_of, number_of, string_of
+from ..core.refs import ValueRef, resolve
+
+
+class ExprError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ tokens
+
+TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+\.\d+|\d+)
+    | (?P<str>'(?:[^'\\]|\\.)*')
+    | (?P<id>[A-Za-z_$][A-Za-z0-9_]*)
+    | (?P<op>&&|\|\||==|!=|<=|>=|\?\?|!!|\+=|[-+*/%^&|<>=!?:;,.()\[\]{}])
+    )""",
+    re.VERBOSE,
+)
+
+KEYWORDS = {"in", "or", "orr", "true", "false", "nil", "null", "return", "as"}
+
+
+@dataclass
+class Tok:
+    kind: str  # num str id op kw eof
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(src):
+        m = TOKEN_RE.match(src, i)
+        if not m or m.end() == m.start():
+            if src[i:].strip() == "":
+                break
+            raise ExprError(f"bad token at: {src[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup == "num":
+            out.append(Tok("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(Tok("str", m.group("str")[1:-1]))
+        elif m.lastgroup == "id":
+            t = m.group("id")
+            out.append(Tok("kw" if t in KEYWORDS else "id", t))
+        else:
+            out.append(Tok("op", m.group("op")))
+    out.append(Tok("eof", ""))
+    return out
+
+
+# --------------------------------------------------------------- AST
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Ref:  # $-rooted document path, e.g. $.a.b[0]
+    path: str  # jsonpath-lite without leading '$.'
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Un:
+    op: str
+    operand: object
+
+
+@dataclass
+class Tern:
+    cond: object
+    then: object
+    other: object
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list
+
+
+@dataclass
+class Interp:  # 'a ${x} b'
+    parts: list  # str | AST
+
+
+@dataclass
+class Assign:
+    target: object  # Ref or Var
+    value: object
+
+
+@dataclass
+class Return:
+    args: list
+
+
+class Parser:
+    """Pratt parser over the token stream."""
+
+    BIN_PREC = {
+        "||": 2, "or": 2, "orr": 2,
+        "&&": 3,
+        "in": 4,
+        "==": 5, "!=": 5,
+        "<": 6, "<=": 6, ">": 6, ">=": 6,
+        "+": 7, "-": 7, "|": 7, "^": 7,
+        "*": 8, "/": 8, "%": 8, "&": 8,
+    }
+
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise ExprError(f"expected {text!r}, got {t.text!r}")
+
+    def parse_statement(self):
+        if self.peek().kind == "kw" and self.peek().text == "return":
+            self.next()
+            args = []
+            if self.peek().text == "(":
+                self.next()
+                while self.peek().text != ")":
+                    args.append(self.parse_expr(0))
+                    if self.peek().text == ",":
+                        self.next()
+                self.expect(")")
+            else:
+                args.append(self.parse_expr(0))
+            return Return(args)
+        e = self.parse_expr(0)
+        if self.peek().text == "=":
+            self.next()
+            if not isinstance(e, (Ref, Var)):
+                raise ExprError("left side of '=' must be $.path or identifier")
+            return Assign(e, self.parse_expr(0))
+        return e
+
+    def parse_expr(self, min_prec: int):
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.text == "?" and min_prec <= 1:
+                self.next()
+                then = self.parse_expr(0)
+                self.expect(":")
+                other = self.parse_expr(1)
+                left = Tern(left, then, other)
+                continue
+            prec = self.BIN_PREC.get(t.text)
+            if prec is None or prec < min_prec:
+                return left
+            self.next()
+            right = self.parse_expr(prec + 1)
+            left = Bin(t.text, left, right)
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.text in ("!", "-"):
+            self.next()
+            return Un(t.text, self.parse_unary())
+        return self.parse_postfix(self.parse_primary())
+
+    def parse_primary(self):
+        t = self.next()
+        if t.kind == "num":
+            return Lit(float(t.text) if "." in t.text else float(int(t.text)))
+        if t.kind == "str":
+            return parse_interp(t.text)
+        if t.kind == "kw":
+            if t.text in ("true", "false"):
+                return Lit(t.text == "true")
+            if t.text in ("nil", "null"):
+                return Lit(None)
+            if t.text == "return":
+                self.i -= 1
+                return self.parse_statement()
+            raise ExprError(f"unexpected keyword {t.text!r}")
+        if t.text == "(":
+            e = self.parse_expr(0)
+            self.expect(")")
+            return e
+        if t.text == "[":
+            items = []
+            while self.peek().text != "]":
+                items.append(self.parse_expr(0))
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("]")
+            return Call("__array__", items)
+        if t.kind == "id":
+            if t.text == "$":
+                return Ref("")
+            if self.peek().text == "(":
+                return self._call(t.text)
+            return Var(t.text)
+        raise ExprError(f"unexpected token {t.text!r}")
+
+    def _call(self, name: str) -> Call:
+        self.expect("(")
+        args = []
+        while self.peek().text != ")":
+            if self.peek().kind == "kw" and self.peek().text == "return":
+                args.append(self.parse_statement())
+            else:
+                args.append(self.parse_expr(0))
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return Call(name, args)
+
+    def parse_postfix(self, e):
+        while True:
+            t = self.peek()
+            if t.text == ".":
+                self.next()
+                name = self.next()
+                if name.kind not in ("id", "kw"):
+                    raise ExprError(f"expected name after '.', got {name.text!r}")
+                if self.peek().text == "(":
+                    # method sugar: x.f(a) == f(x, a)
+                    call = self._call(name.text)
+                    e = Call(name.text, [e] + call.args)
+                elif isinstance(e, Ref):
+                    e = Ref(f"{e.path}.{name.text}" if e.path else name.text)
+                else:
+                    raise ExprError(
+                        f"member access '.{name.text}' only on $ refs or as method call"
+                    )
+                continue
+            if t.text == "[":
+                self.next()
+                idx = self.parse_expr(0)
+                self.expect("]")
+                if isinstance(e, Ref) and isinstance(idx, Lit) and isinstance(idx.value, float):
+                    e = Ref(f"{e.path}[{int(idx.value)}]")
+                else:
+                    e = Call("get", [e, idx])
+                continue
+            return e
+
+
+def parse_interp(s: str) -> object:
+    """'a ${x.y} b' -> Interp([...]); plain strings stay Lit."""
+    parts: list = []
+    i = 0
+    buf = ""
+    while i < len(s):
+        if s.startswith("${", i):
+            j = s.index("}", i)
+            if buf:
+                parts.append(buf)
+                buf = ""
+            inner = s[i + 2 : j].strip()
+            toks = tokenize(inner if inner.startswith("$") else "$." + inner)
+            parts.append(Parser(toks).parse_expr(0))
+            i = j + 1
+            continue
+        if s[i] == "\\" and i + 1 < len(s):
+            buf += s[i + 1]
+            i += 2
+            continue
+        buf += s[i]
+        i += 1
+    if buf:
+        parts.append(buf)
+    if len(parts) == 1 and isinstance(parts[0], str):
+        return Lit(parts[0])
+    if not parts:
+        return Lit("")
+    return Interp(parts)
+
+
+def parse_statements(src) -> list:
+    """Parse a script: string (';'-separated) or list of strings."""
+    stmts: list = []
+    sources = src if isinstance(src, list) else [src]
+    for chunk in sources:
+        if not isinstance(chunk, str):
+            raise ExprError(f"script statements must be strings, got {type(chunk)}")
+        toks = tokenize(chunk)
+        p = Parser(toks)
+        while p.peek().kind != "eof":
+            stmts.append(p.parse_statement())
+            while p.peek().text == ";":
+                p.next()
+    return stmts
+
+
+# -------------------------------------------------------- compilation
+
+@dataclass
+class CVal:
+    """Compiled value: Column + loose static type."""
+
+    col: Column
+    dtype: T.DataType | None = None
+
+    def num(self) -> Column:
+        return number_of(self.col, self.dtype)
+
+    def str_(self) -> Column:
+        return string_of(self.col, self.dtype)
+
+    def bool_(self) -> Column:
+        return bool_of(self.col, self.dtype)
+
+    def cond_(self) -> Column:
+        """Expr-engine truthiness (BoolCond, expr/utils.go:43-52):
+        bool -> itself, nil -> false, ANY other value -> true (even ''
+        and 0).  Dynamic non-boolean values approximate as non-null."""
+        if isinstance(self.dtype, T.BooleanType):
+            return F.coalesce(self.col.cast("boolean"), F.lit(False))
+        return self.col.isNotNull()
+
+
+class Env:
+    """Compile-time environment: root document ref + let-bound vars."""
+
+    def __init__(self, root: ValueRef, variables: dict[str, CVal] | None = None):
+        self.root = root
+        self.vars = dict(variables or {})
+
+
+def _ref_cval(root: ValueRef, path: str) -> CVal:
+    if path == "":
+        return CVal(F.lit(None), None)  # whole-doc ref: not materializable
+    r = resolve(root, path)
+    return CVal(r.col, r.dtype)
+
+
+def _is_empty(v: CVal) -> Column:
+    """Reference notNil: nil, '', 0, false are 'empty' (common.go:131-140)."""
+    s = v.str_()
+    return v.col.isNull() | (s == "") | (s == "0") | (s == "false")
+
+
+def compile_expr(node, env: Env) -> CVal:
+    if isinstance(node, Lit):
+        return CVal(F.lit(node.value), T.DoubleType() if isinstance(node.value, float) else None)
+    if isinstance(node, Ref):
+        return _ref_cval(env.root, node.path)
+    if isinstance(node, Var):
+        if node.name in env.vars:
+            return env.vars[node.name]
+        # unknown identifier == absent doc key -> nil (reference env lookup)
+        return CVal(F.lit(None), None)
+    if isinstance(node, Interp):
+        cols = [
+            F.lit(p) if isinstance(p, str) else compile_expr(p, env).str_()
+            for p in node.parts
+        ]
+        return CVal(F.concat_ws("", *[F.coalesce(c, F.lit("")) for c in cols]), T.StringType())
+    if isinstance(node, Un):
+        v = compile_expr(node.operand, env)
+        if node.op == "!":
+            return CVal(~v.cond_(), T.BooleanType())
+        return CVal(-v.num(), T.DoubleType())
+    if isinstance(node, Tern):
+        c = compile_expr(node.cond, env).cond_()
+        a = compile_expr(node.then, env)
+        b = compile_expr(node.other, env)
+        dt = a.dtype if type(a.dtype) == type(b.dtype) else None
+        if dt is None or isinstance(dt, T.StringType):
+            return CVal(F.when(c, a.str_()).otherwise(b.str_()), T.StringType())
+        if isinstance(dt, T.NumericType):
+            return CVal(F.when(c, a.num()).otherwise(b.num()), T.DoubleType())
+        return CVal(F.when(c, a.col).otherwise(b.col), dt)
+    if isinstance(node, Bin):
+        return _compile_bin(node, env)
+    if isinstance(node, Call):
+        return _compile_call(node, env)
+    if isinstance(node, Return):
+        raise ExprError("'return' is a statement, not a value expression")
+    raise ExprError(f"cannot compile {node!r}")
+
+
+def _both_numeric(a: CVal, b: CVal) -> bool:
+    return isinstance(a.dtype, T.NumericType) and isinstance(b.dtype, T.NumericType)
+
+
+def _compile_bin(node: Bin, env: Env) -> CVal:
+    op = node.op
+    a = compile_expr(node.left, env)
+    b = compile_expr(node.right, env)
+    if op == "&&":
+        return CVal(a.cond_() & b.cond_(), T.BooleanType())
+    if op == "||":
+        return CVal(a.cond_() | b.cond_(), T.BooleanType())
+    if op in ("or", "orr"):
+        # first non-empty (funcs.go:188-196)
+        return CVal(F.when(~_is_empty(a), a.col).otherwise(b.col), a.dtype)
+    if op == "in":
+        if isinstance(node.right, Call) and node.right.fn == "__array__":
+            items = [compile_expr(x, env).str_() for x in node.right.args]
+            return CVal(a.str_().isin(*items) if items else F.lit(False), T.BooleanType())
+        if isinstance(b.dtype, T.ArrayType):
+            return CVal(F.array_contains(b.col, a.col.cast(b.dtype.elementType)), T.BooleanType())
+        if isinstance(b.dtype, T.MapType):
+            return CVal(F.map_contains_key(b.col, a.col), T.BooleanType())
+        return CVal(b.str_().contains(a.str_()), T.BooleanType())
+    if op in ("==", "!="):
+        if _both_numeric(a, b):
+            eq = a.num() == b.num()
+        elif isinstance(a.dtype, T.BooleanType) or isinstance(b.dtype, T.BooleanType):
+            eq = a.bool_().eqNullSafe(b.bool_())
+        else:
+            eq = a.str_().eqNullSafe(b.str_()) if (a.dtype is None or b.dtype is None) else (a.col == b.col)
+        return CVal(eq if op == "==" else ~eq, T.BooleanType())
+    if op in ("<", "<=", ">", ">="):
+        x, y = a.num(), b.num()
+        col = {"<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y}[op]
+        return CVal(col, T.BooleanType())
+    if op in ("+", "-", "*", "/", "%", "&", "|", "^"):
+        if op == "+" and (
+            isinstance(a.dtype, T.StringType) or isinstance(b.dtype, T.StringType)
+        ):
+            return CVal(F.concat(a.str_(), b.str_()), T.StringType())
+        x, y = a.num(), b.num()
+        if op == "+":
+            return CVal(x + y, T.DoubleType())
+        if op == "-":
+            return CVal(x - y, T.DoubleType())
+        if op == "*":
+            return CVal(x * y, T.DoubleType())
+        if op == "/":
+            return CVal(x / F.when(y == 0, F.lit(None)).otherwise(y), T.DoubleType())
+        if op == "%":
+            return CVal(F.pmod(x, y), T.DoubleType())
+        xi, yi = x.cast("long"), y.cast("long")
+        if op == "&":
+            return CVal(xi.bitwiseAND(yi), T.LongType())
+        if op == "|":
+            return CVal(xi.bitwiseOR(yi), T.LongType())
+        return CVal(xi.bitwiseXOR(yi), T.LongType())
+    raise ExprError(f"unsupported operator {op!r}")
+
+
+# function registry (expr funtables, expr/funcs.go:40-134) ------------
+
+_FN: dict[str, object] = {}
+
+
+def expr_fn(name):
+    def deco(f):
+        _FN[name] = f
+        return f
+
+    return deco
+
+
+def _compile_call(node: Call, env: Env) -> CVal:
+    if node.fn == "__array__":
+        return CVal(F.array(*[compile_expr(a, env).col for a in node.args]), None)
+    fn = _FN.get(node.fn)
+    if fn is None:
+        raise ExprError(f"unknown function '{node.fn}' (supported: {sorted(_FN)})")
+    return fn(env, *node.args)
+
+
+def _v(env, a) -> CVal:
+    return compile_expr(a, env)
+
+
+@expr_fn("len")
+def _fn_len(env, a):
+    v = _v(env, a)
+    if isinstance(v.dtype, (T.ArrayType, T.MapType)):
+        return CVal(F.size(v.col).cast("double"), T.DoubleType())
+    # Go len(string) is bytes (expr funcs.go:1061-1078)
+    return CVal(F.octet_length(v.str_()).cast("double"), T.DoubleType())
+
+
+@expr_fn("number")
+def _fn_number(env, a):
+    return CVal(_v(env, a).num(), T.DoubleType())
+
+
+@expr_fn("int")
+def _fn_int(env, a):
+    return CVal(_v(env, a).num().cast("long").cast("double"), T.DoubleType())
+
+
+@expr_fn("bool")
+def _fn_bool(env, a):
+    return CVal(_v(env, a).bool_(), T.BooleanType())
+
+
+@expr_fn("string")
+def _fn_string(env, a):
+    return CVal(_v(env, a).str_(), T.StringType())
+
+
+@expr_fn("is_empty")
+def _fn_is_empty(env, a):
+    return CVal(_is_empty(_v(env, a)), T.BooleanType())
+
+
+@expr_fn("not")
+def _fn_not(env, a):
+    return CVal(~_v(env, a).bool_(), T.BooleanType())
+
+
+@expr_fn("ternary")
+def _fn_ternary(env, c, a, b):
+    return compile_expr(Tern(c, a, b), env)
+
+
+@expr_fn("sprintf")
+def _fn_sprintf(env, fmt, *args):
+    f_ = _v(env, fmt)
+    cols = [_v(env, a).col for a in args]
+    fmt_s = fmt.value if isinstance(fmt, Lit) else None
+    if fmt_s is None:
+        raise ExprError("sprintf format must be a literal string")
+    # Go verbs -> java format: %v ~ %s
+    return CVal(F.format_string(fmt_s.replace("%v", "%s"), *cols), T.StringType())
+
+
+def _str2(g):
+    def fn(env, a, b):
+        return CVal(g(_v(env, a).str_(), _v(env, b).str_()), None)
+
+    return fn
+
+
+_FN["str_has_prefix"] = lambda env, a, b: CVal(
+    _v(env, a).str_().startswith(_v(env, b).str_()), T.BooleanType()
+)
+_FN["str_has_suffix"] = lambda env, a, b: CVal(
+    _v(env, a).str_().endswith(_v(env, b).str_()), T.BooleanType()
+)
+_FN["has_prefix"] = _FN["str_has_prefix"]
+_FN["has_suffix"] = _FN["str_has_suffix"]
+_FN["contains"] = lambda env, a, b: CVal(
+    _v(env, a).str_().contains(_v(env, b).str_()), T.BooleanType()
+)
+_FN["str_split"] = lambda env, a, b: CVal(
+    F.split(_v(env, a).str_(), _v(env, b).str_(), -1),
+    T.ArrayType(T.StringType()),
+)
+_FN["split"] = _FN["str_split"]
+
+
+@expr_fn("str_join")
+def _fn_str_join(env, arr, sep):
+    return CVal(
+        F.array_join(_v(env, arr).col, sep.value if isinstance(sep, Lit) else ""),
+        T.StringType(),
+    )
+
+
+_FN["join"] = _FN["str_join"]
+_FN["str_trim"] = lambda env, a, *r: CVal(F.trim(_v(env, a).str_()), T.StringType())
+_FN["trim"] = _FN["str_trim"]
+_FN["str_to_upper"] = lambda env, a: CVal(F.upper(_v(env, a).str_()), T.StringType())
+_FN["to_upper"] = _FN["str_to_upper"]
+_FN["str_to_lower"] = lambda env, a: CVal(F.lower(_v(env, a).str_()), T.StringType())
+_FN["to_lower"] = _FN["str_to_lower"]
+_FN["replace"] = lambda env, a, b, c: CVal(
+    F.replace(_v(env, a).str_(), _v(env, b).str_(), _v(env, c).str_()), T.StringType()
+)
+_FN["md5_sum"] = lambda env, a: CVal(F.md5(_v(env, a).str_()), T.StringType())
+_FN["md5"] = _FN["md5_sum"]
+_FN["sha256_sum"] = lambda env, a: CVal(F.sha2(_v(env, a).str_(), 256), T.StringType())
+_FN["hex_encode_str"] = lambda env, a: CVal(F.hex(_v(env, a).str_()), T.StringType())
+_FN["base64_encode"] = lambda env, a: CVal(
+    F.base64(_v(env, a).str_().cast("binary")), T.StringType()
+)
+_FN["base64_decode"] = lambda env, a: CVal(
+    F.unbase64(_v(env, a).str_()).cast("string"), T.StringType()
+)
+_FN["sqrt"] = lambda env, a: CVal(F.sqrt(_v(env, a).num()), T.DoubleType())
+_FN["pow"] = lambda env, a, b: CVal(F.pow(_v(env, a).num(), _v(env, b).num()), T.DoubleType())
+_FN["log10"] = lambda env, a: CVal(F.log10(_v(env, a).num()), T.DoubleType())
+_FN["add"] = lambda env, a, b: CVal(_v(env, a).num() + _v(env, b).num(), T.DoubleType())
+_FN["sub"] = lambda env, a, b: CVal(_v(env, a).num() - _v(env, b).num(), T.DoubleType())
+_FN["mul"] = lambda env, a, b: CVal(_v(env, a).num() * _v(env, b).num(), T.DoubleType())
+_FN["div"] = lambda env, a, b: CVal(_v(env, a).num() / _v(env, b).num(), T.DoubleType())
+_FN["mod"] = lambda env, a, b: CVal(F.pmod(_v(env, a).num(), _v(env, b).num()), T.DoubleType())
+_FN["json_to"] = lambda env, a: CVal(F.to_json(_v(env, a).col), T.StringType())
+_FN["to_json_str"] = _FN["json_to"]
+_FN["get"] = lambda env, a, b: CVal(
+    F.try_element_at(_v(env, a).col, _v(env, b).col), None
+)
+_FN["time_format"] = lambda env, a, *r: CVal(
+    F.date_format(_v(env, a).col.cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+    T.StringType(),
+)
+
+
+@expr_fn("eq")
+def _fn_eq(env, a, b):
+    return compile_expr(Bin("==", a, b), env)
+
+
+@expr_fn("neq")
+def _fn_neq(env, a, b):
+    return compile_expr(Bin("!=", a, b), env)
+
+
+for _name, _op in [("lt", "<"), ("lte", "<="), ("gt", ">"), ("gte", ">=")]:
+    _FN[_name] = (lambda _o: lambda env, a, b: compile_expr(Bin(_o, a, b), env))(_op)
+
+_FN["and"] = lambda env, *args: CVal(
+    __import__("functools").reduce(
+        lambda x, y: x & y, [_v(env, a).bool_() for a in args]
+    ),
+    T.BooleanType(),
+)
+_FN["or_fn"] = lambda env, *args: CVal(
+    __import__("functools").reduce(
+        lambda x, y: x | y, [_v(env, a).bool_() for a in args]
+    ),
+    T.BooleanType(),
+)
+
+
+def register_expr_fn(name: str, fn) -> None:
+    """Extension surface mirroring expr.RegisterFunc
+    (expr/funcs.go:188-204): fn(env, *ast_args) -> CVal."""
+    _FN[name] = fn

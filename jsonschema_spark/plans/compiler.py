@@ -189,7 +189,7 @@ def compile_node(doc, path: str, ctx: CompileCtx) -> Node:
 
 def _ensure_registered():
     # import for registration side effects
-    from . import keywords_base, keywords_logic, keywords_magic  # noqa: F401
+    from . import keywords_base, keywords_logic, keywords_magic, keywords_script  # noqa: F401
 
 
 class CompiledSchema:

@@ -1,0 +1,128 @@
+"""`script` keyword + expr-language subset compiler
+(reference schema_expr.go, expr/; SURVEY.md §2.6/§3.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import jsonschema_spark as js
+from jsonschema_spark.functions.expr_lang import ExprError, parse_statements
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            ("dd", 30.0, "23", None),
+            ("ee", 7.5, None, None),
+            ("ff", 5.0, "9", None),
+        ],
+        "name string, age double, sms string, hd string",
+    )
+
+
+def test_script_return_conditional(spark, docs):
+    # the reference's own test statement (schema_expr_test.go:40):
+    # integer check via return
+    plan = js.compile_schema(
+        {"script": ["if(number(int($.age)) != $.age, return(100,'invalid ')) "]}
+    )
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert len(v) == 1
+    assert v[0]["name"] == "ee"  # 7.5 is not integral
+    assert v[0]["path"] == "$"
+    assert v[0]["info"] == "err :[100 invalid ]"
+
+
+def test_script_ternary_default_assignment(spark, docs):
+    # "$.sms = $.sms ? $.sms : '500'" (schema_expr_test.go:39)
+    plan = js.compile_schema({"script": ["$.sms = $.sms ? $.sms : '500'"]})
+    out = {r["name"]: r["sms"] for r in plan.transform(docs).collect()}
+    assert out["dd"] == "23" and out["ee"] == "500" and out["ff"] == "9"
+
+
+def test_script_computed_field(spark, docs):
+    # "$.hd = $.name == 'dd' && $.age > 20 ? 'teg' : 'seg'"
+    plan = js.compile_schema(
+        {"script": ["$.hd = $.name == 'dd' && $.age > 20 ? 'teg' : 'seg'"]}
+    )
+    out = {r["name"]: r["hd"] for r in plan.transform(docs).collect()}
+    assert out["dd"] == "teg" and out["ee"] == "seg"
+
+
+def test_script_sequential_mutation_visible(spark, docs):
+    # later statements read earlier in-script assignments
+    plan = js.compile_schema(
+        {"script": [
+            "$.sms = '7'",
+            "if($.sms != '7', return('not seven'))",
+        ]}
+    )
+    assert plan.validate(docs, keys=["name"]).violations.count() == 0
+    out = plan.transform(docs).select("sms").distinct().collect()
+    assert [r["sms"] for r in out] == ["7"]
+
+
+def test_script_let_bindings_and_functions(spark, docs):
+    plan = js.compile_schema(
+        {"script": [
+            "limit = 10",
+            "if($.age > limit && str_has_prefix($.name, 'd'), return('big d'))",
+        ]}
+    )
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert [r["name"] for r in v] == ["dd"]
+    assert v[0]["info"] == "err :[big d]"
+
+
+def test_script_interpolation(spark, docs):
+    plan = js.compile_schema(
+        {"script": ["if($.age > 20, return('age ${name} too big'))"]}
+    )
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert v[0]["info"] == "err :[age dd too big]"
+
+
+def test_script_string_methods_and_ops(spark, docs):
+    plan = js.compile_schema(
+        {"script": [
+            "if($.name.to_upper() == 'DD' && len($.name) == 2 && "
+            "($.age + 1) * 2 > 60, return('m'))",
+        ]}
+    )
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert [r["name"] for r in v] == ["dd"]
+
+
+def test_script_in_operator(spark, docs):
+    plan = js.compile_schema(
+        {"script": ["if($.name in ['dd', 'ff'], return('listed'))"]}
+    )
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert sorted(r["name"] for r in v) == ["dd", "ff"]
+
+
+def test_script_or_coalesce(spark, docs):
+    # 'or' = first non-empty (funcs.go:188-196)
+    plan = js.compile_schema({"script": ["$.sms = $.sms or 'none'"]})
+    out = {r["name"]: r["sms"] for r in plan.transform(docs).collect()}
+    assert out["ee"] == "none" and out["dd"] == "23"
+
+
+def test_script_rejects_side_effects(spark):
+    with pytest.raises(js.SchemaError, match="side-effectful"):
+        js.compile_schema({"script": ["http_request('get', 'http://x')"]})
+
+
+def test_script_rejects_unknown_function(spark, docs):
+    plan = js.compile_schema({"script": ["if(frobnicate($.age), return('x'))"]})
+    with pytest.raises(Exception, match="frobnicate"):
+        plan.validate(docs, keys=["name"]).violations.collect()
+
+
+def test_parse_statement_shapes():
+    stmts = parse_statements(["a = 1; b = a + 2", "return('x')"])
+    assert len(stmts) == 3
+    with pytest.raises(ExprError):
+        parse_statements(["$$ ="])
