@@ -1,0 +1,182 @@
+"""spark-submit entrypoint: run a validation suite from a JSON config.
+
+North-rule operational contract: the driver submits via
+``spark-submit --py-files jsonschema_spark.zip jsonschema_spark/cli.py
+run config.json`` to a multi-executor cluster; the same invocation
+works on ``--master local[N]`` for development.
+
+Config shape (all paths accept the ``iceberg:``/``table:`` prefixes of
+sources.tables.read_table)::
+
+    {
+      "source": "/data/transcripts.parquet",
+      "where": "ts >= '2025-01-01'",            // optional pushdown
+      "schema": { ...schema document... },       // row-level rules
+      "keys": ["conv_id", "turn_idx"],           // violation row keys
+      "partition_by": ["day"],                   // verdict granularity
+      "checks": {
+        "uniqueness": {"keys": ["conv_id", "turn_idx"], "salt_buckets": 0},
+        "referential": [
+          {"name": "ri_role", "fact_key": "role",
+           "dim": "/data/dim_roles.parquet", "dim_key": "role"}
+        ],
+        "stats": {"columns": ["role", "text"], "approx": true,
+                   "expectations": {"role": {"max_null_rate": 0.01}}},
+        "drift": {"column": "text_len", "baseline": "/data/baseline.parquet"}
+      },
+      "output": {
+        "verdicts": "/out/verdicts",
+        "violations": "/out/violations",
+        "manifest": "/out/manifest"              // enables resume
+      }
+    }
+
+A second run with the same config + manifest skips every
+(partition, check) already recorded (checkpoint.ResumableRun).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_suite(spark: SparkSession, cfg: dict):
+    from . import compile_schema
+    from .operators import checks
+    from .sources.tables import read_table
+
+    suite = []
+    if cfg.get("schema"):
+        plan = compile_schema(cfg["schema"])
+        suite.append(
+            checks.SchemaCheck(
+                plan=plan, partition_by=cfg.get("partition_by"), name="schema"
+            )
+        )
+    c = cfg.get("checks", {})
+    if "uniqueness" in c:
+        u = c["uniqueness"]
+        suite.append(
+            checks.Uniqueness(
+                keys=u["keys"],
+                partition_by=cfg.get("partition_by"),
+                salt_buckets=int(u.get("salt_buckets", 0)),
+            )
+        )
+    for ri in c.get("referential", []):
+        suite.append(
+            checks.ReferentialIntegrity(
+                dim=read_table(spark, ri["dim"]),
+                fact_key=ri["fact_key"],
+                dim_key=ri["dim_key"],
+                partition_by=cfg.get("partition_by"),
+                name=ri.get("name", f"ri_{ri['fact_key']}"),
+            )
+        )
+    if "stats" in c:
+        s = c["stats"]
+        suite.append(
+            checks.ColumnStats(
+                columns=s["columns"],
+                partition_by=cfg.get("partition_by"),
+                approx=bool(s.get("approx", True)),
+                expectations=s.get("expectations", {}),
+            )
+        )
+    if "drift" in c:
+        d = c["drift"]
+        suite.append(
+            checks.Drift(
+                column=d["column"],
+                baseline=read_table(spark, d["baseline"]),
+                partition_by=cfg.get("partition_by"),
+                psi_threshold=float(d.get("psi_threshold", 0.2)),
+                ks_threshold=float(d.get("ks_threshold", 0.2)),
+            )
+        )
+    return suite
+
+
+def cmd_run(args) -> int:
+    from .checkpoint import CheckpointManifest, ResumableRun
+    from .operators.checks import CheckSuite
+    from .sources.tables import read_table, write_output
+
+    cfg = json.load(open(args.config))
+    spark = (
+        SparkSession.builder.appName("jsonschema_spark-run")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    df = read_table(spark, cfg["source"], where=cfg.get("where"))
+    suite = CheckSuite(build_suite(spark, cfg))
+    out = cfg.get("output", {})
+
+    if out.get("manifest"):
+        run = ResumableRun(
+            suite=suite,
+            manifest=CheckpointManifest(out["manifest"]),
+            partition_by=cfg.get("partition_by"),
+            source_id=cfg["source"],
+        )
+        verdicts = run.run(df)
+    else:
+        verdicts = suite.run(df)
+
+    n_fail = verdicts.filter("NOT pass").count()
+    if out.get("verdicts"):
+        write_output(verdicts, out["verdicts"])
+    else:
+        verdicts.show(100, truncate=False)
+
+    if out.get("violations") and cfg.get("schema"):
+        from . import compile_schema
+
+        plan = compile_schema(cfg["schema"])
+        viols = plan.validate(df, keys=cfg.get("keys", [])).violations
+        write_output(viols, out["violations"])
+
+    print(f"checks_failed={n_fail}", file=sys.stderr)
+    return 1 if n_fail and args.fail_on_violation else 0
+
+
+def cmd_validate(args) -> int:
+    """Ad-hoc: show violations of one schema over one table."""
+    from . import compile_schema
+    from .sources.tables import read_table
+
+    spark = SparkSession.builder.appName("jsonschema_spark-validate").getOrCreate()
+    doc = json.load(open(args.schema))
+    df = read_table(spark, args.source)
+    plan = compile_schema(doc)
+    res = plan.validate(df, keys=args.keys.split(",") if args.keys else [])
+    res.violations.show(args.limit, truncate=False)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jsonschema_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a validation suite from a JSON config")
+    r.add_argument("config")
+    r.add_argument("--fail-on-violation", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    v = sub.add_parser("validate", help="ad-hoc schema validation of a table")
+    v.add_argument("schema")
+    v.add_argument("source")
+    v.add_argument("--keys", default="")
+    v.add_argument("--limit", type=int, default=100)
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

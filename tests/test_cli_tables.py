@@ -1,0 +1,80 @@
+"""CLI run/validate + table IO round trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jsonschema_spark.sources.fixtures import dim_roles, transcripts
+from jsonschema_spark.sources.tables import read_table, write_output
+
+
+@pytest.fixture()
+def data_dir(spark, tmp_path):
+    d = tmp_path / "data"
+    transcripts(spark, n_convs=100).write.parquet(str(d / "transcripts"))
+    dim_roles(spark).write.parquet(str(d / "dim_roles"))
+    return d
+
+
+def test_cli_run_with_manifest_resume(spark, data_dir, tmp_path, capsys):
+    from jsonschema_spark.cli import main
+
+    cfg = {
+        "source": str(data_dir / "transcripts"),
+        "schema": {
+            "required": ["conv_id", "role"],
+            "properties": {"turn_idx": {"minimum": 0}},
+        },
+        "keys": ["conv_id", "turn_idx"],
+        "checks": {
+            "uniqueness": {"keys": ["conv_id", "turn_idx"]},
+            "referential": [
+                {"name": "ri_role", "fact_key": "role",
+                 "dim": str(data_dir / "dim_roles"), "dim_key": "role"}
+            ],
+            "stats": {"columns": ["role", "text"], "approx": True},
+        },
+        "output": {
+            "verdicts": str(tmp_path / "verdicts"),
+            "violations": str(tmp_path / "violations"),
+            "manifest": str(tmp_path / "manifest"),
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc = main(["run", str(cfg_path)])
+    assert rc == 0
+    verdicts = spark.read.parquet(str(tmp_path / "verdicts"))
+    assert {r["check"] for r in verdicts.collect()} == {
+        "schema", "uniqueness", "ri_role", "column_stats",
+    }
+    viols = spark.read.parquet(str(tmp_path / "violations"))
+    assert viols.count() > 0
+    assert set(viols.columns) == {"conv_id", "turn_idx", "path", "info"}
+
+    # resume: second run sees the manifest and re-runs nothing
+    rc2 = main(["run", str(cfg_path)])
+    assert rc2 == 0
+    manifest = spark.read.parquet(str(tmp_path / "manifest"))
+    assert manifest.count() == 4  # still one row per check, not doubled
+
+
+def test_read_table_pushdown(spark, data_dir):
+    df = read_table(
+        spark, str(data_dir / "transcripts"),
+        where="turn_idx >= 0", columns=["conv_id", "turn_idx"],
+    )
+    assert df.columns == ["conv_id", "turn_idx"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(turn_idx), GreaterThanOrEqual(turn_idx,0)]" in plan
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in plan
+
+
+def test_write_output_partitioned(spark, data_dir, tmp_path):
+    df = read_table(spark, str(data_dir / "transcripts"))
+    write_output(df.limit(50), str(tmp_path / "out"), partition_by=["role"])
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 50
