@@ -103,7 +103,10 @@ class ColumnStats(Check):
     columns: Sequence[str]
     partition_by: Sequence[str] | None = None
     approx: bool = True
-    rsd: float = 0.01
+    # rsd 0.05 = Spark's default HLL precision; tighter values blow up
+    # the per-group sketch buffer (rsd 0.01 ≈ 1.7k longs PER COLUMN,
+    # which forces SortAggregate and a huge shuffle of partial states)
+    rsd: float = 0.05
     expectations: dict = field(default_factory=dict)
     name: str = "column_stats"
 

@@ -226,6 +226,56 @@ class CompiledSchema:
         ann = self.annotate(df)
         return ValidationResult(ann, keys or [])
 
+    def referenced_columns(self) -> set[str]:
+        """Top-level column names the schema document references —
+        feed to a pruned scan (`read_table(columns=...)`) so the
+        parquet ReadSchema only carries what the plan needs (the
+        lazy-parse idea the reference abandoned, SURVEY §4, is free
+        here via column pruning)."""
+        cols: set[str] = set()
+
+        def walk(doc):
+            if isinstance(doc, list):
+                for d in doc:
+                    walk(d)
+                return
+            if not isinstance(doc, dict):
+                return
+            for kw, operand in doc.items():
+                if kw in ("properties", "props") and isinstance(operand, dict):
+                    cols.update(operand.keys())
+                    for sub in operand.values():
+                        walk(sub)
+                elif kw == "required" and isinstance(operand, list):
+                    cols.update(str(k) for k in operand)
+                elif kw in ("keyMatch", "equals", "eq", "gt", "lt", "gte", "lte",
+                            "neq", "startWiths", "endWiths", "containss",
+                            "maxLengths", "minLengths", "patterns", "dependencies",
+                            "children", "foreach", "defaultVals") and isinstance(operand, dict):
+                    cols.update(str(k).split(".")[0].split("[")[0] for k in operand.keys())
+                    for sub in operand.values():
+                        walk(sub)
+                elif kw == "case" and isinstance(operand, dict):
+                    for sub in operand.values():  # {case_value: sub-schema}
+                        walk(sub)
+                elif kw in ("allOf", "anyOf", "oneOf", "and", "or", "not",
+                            "if", "then", "else", "defaults", "items") and isinstance(
+                    operand, (dict, list)
+                ):
+                    walk(operand)
+                elif kw == "switch" and isinstance(operand, str):
+                    cols.add(operand.split(".")[0])
+                elif kw == "script":
+                    import re as _re
+
+                    for stmt in operand if isinstance(operand, list) else [operand]:
+                        cols.update(
+                            m.split(".")[0].split("[")[0]
+                            for m in _re.findall(r"\$\.([A-Za-z_][A-Za-z0-9_.]*)", str(stmt))
+                        )
+        walk(self.doc)
+        return cols
+
 
 @dataclass
 class ValidationResult:

@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the plans we designed for 100 TB
+must stay the plans Catalyst actually picks (pushdown, broadcast,
+partial aggregation, no cartesian, no Python in the hot path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import jsonschema_spark as js
+from jsonschema_spark.operators import checks, dedup, similarity
+from jsonschema_spark.sources.fixtures import dim_roles, transcripts
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    transcripts(spark, n_convs=50).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_validation_is_single_project_no_python(tdf):
+    plan = js.compile_schema(
+        {"required": ["conv_id"], "properties": {"turn_idx": {"minimum": 0}}}
+    )
+    p = plan_of(plan.annotate(tdf))
+    assert "Exchange" not in p, "row-level validation must not shuffle"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "*(1) Project" in p  # '*' marks whole-stage codegen
+
+
+def test_validation_filter_pushdown_composes(tdf):
+    """A user filter composed before validation reaches the scan."""
+    plan = js.compile_schema({"properties": {"turn_idx": {"minimum": 0}}})
+    df = plan.annotate(tdf.filter(F.col("role") == "user"))
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in p
+
+
+def test_stats_is_two_phase_aggregate(tdf):
+    chk = checks.ColumnStats(columns=["role", "turn_idx"], approx=True)
+    p = plan_of(chk.stats(tdf))
+    # partial (map-side) + final aggregate around exactly one exchange:
+    # the shuffle carries one sketch-state row per input partition, not
+    # data rows.  (String min/max buffers legitimately pick
+    # SortAggregate — over a constant grouping key the sort is free.)
+    assert "partial_count" in p and "partial_approx_count_distinct" in p
+    assert p.count("Exchange") == 1
+
+
+def test_uniqueness_is_hash_aggregate_not_sort(tdf):
+    chk = checks.Uniqueness(keys=["conv_id", "turn_idx"])
+    p = plan_of(chk.duplicates(tdf))
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+
+
+def test_ri_is_broadcast_anti_join(spark, tdf):
+    chk = checks.ReferentialIntegrity(
+        dim=dim_roles(spark), fact_key="role", dim_key="role"
+    )
+    p = plan_of(chk.orphans(tdf))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_minhash_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = plan_of(dedup.minhash_lsh_pairs(docs, k=8, bands=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_query_side_broadcast(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    p = plan_of(similarity.brute_force_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in p  # queries broadcast, corpus streams
+
+
+def test_transform_pipeline_stays_narrow(tdf):
+    plan = js.compile_schema(
+        {
+            "properties": {
+                "text": {"defaultVal": ""},
+                "role": {"formatVal": "upper"},
+            },
+            "set": {"tag": "${role}:${conv_id}"},
+        }
+    )
+    p = plan_of(plan.transform(tdf))
+    assert "Exchange" not in p, "transform pipeline must not shuffle"
