@@ -35,6 +35,13 @@ from .plans.compiler import (
 )
 from .plans.formats import register_format
 from .functions.values import register_func
+from .functions.expr_lang import register_expr_fn
+from .core.generate import (
+    generate_schema,
+    generate_schema_doc,
+    get_schema,
+    register_schema,
+)
 
 __all__ = [
     "CompiledSchema",
@@ -42,9 +49,14 @@ __all__ = [
     "ValidationResult",
     "add_ignore_key",
     "compile_schema",
+    "generate_schema",
+    "generate_schema_doc",
+    "get_schema",
+    "register_schema",
     "register_keyword",
     "register_format",
     "register_func",
+    "register_expr_fn",
 ]
 
 __version__ = "0.1.0"

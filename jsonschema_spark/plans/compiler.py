@@ -291,6 +291,20 @@ class ValidationResult:
         return self.annotated.filter(F.size("violations") > 0)
 
     @property
+    def errors(self) -> DataFrame:
+        """Invalid rows + an ``error`` string column in the reference's
+        concatenated form ``'path' info; `` (errsToString,
+        schema.go:161-172) — byte-compatible error text."""
+        err = F.aggregate(
+            F.col("violations"),
+            F.lit(""),
+            lambda acc, v: F.concat(
+                acc, F.lit("'"), v["path"], F.lit("' "), v["info"], F.lit("; ")
+            ),
+        )
+        return self.invalid.withColumn("error", err).drop("violations")
+
+    @property
     def violations(self) -> DataFrame:
         """Exploded (keys..., path, info) rows — the golden-file shape
         (FIXTURES.md §3)."""
