@@ -469,6 +469,59 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_validate_part(spark, sf_dir):
+    """multipleOf + bounds + enum over part (SURVEY §2.1)."""
+    part = _t(spark, sf_dir, "part")
+    plan = js.compile_schema(
+        {
+            "required": ["p_partkey"],
+            "properties": {
+                "p_size": {"type": "integer", "minimum": 1, "maximum": 50,
+                            "multipleOf": 5},
+                "p_retailprice": {"minimum": 900},
+                "p_brand": {"pattern": "^Brand#[0-9]+$"},
+            },
+        }
+    )
+    return plan.validate(part, keys=["p_partkey"]).violations
+
+
+def q_events_top_users(spark, sf_dir):
+    """Deterministic top-k aggregation: 10 busiest users."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def q_stats_by_event_type(spark, sf_dir):
+    """Grouped column stats (per-dimension verdict granularity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0 / F.count(F.lit(1)), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count_distinct("user_id").alias("users"),
+    )
+
+
+def q_window_gaps(spark, sf_dir):
+    """lead/lag window coverage: seconds since previous event per
+    user (first event per user omitted)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(secs).over(w)
+    return (
+        ev.select("user_id", "event_id", (secs - prev).alias("gap_sec"))
+        .filter(F.col("gap_sec").isNotNull())
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -478,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
         "validate_events": q_validate_events,
+        "validate_part": q_validate_part,
+        "events_top_users": q_events_top_users,
+        "stats_by_event_type": q_stats_by_event_type,
+        "window_gaps": q_window_gaps,
         "transform_events": q_transform_events,
         "stats_lineitem": q_stats_lineitem,
         "uniqueness_lineitem": q_uniqueness_lineitem,
@@ -752,6 +809,55 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders": _oracle_validate_orders(),
         "validate_events": _oracle_validate_events(),
+        "validate_part": """
+            WITH p AS (SELECT * FROM part)
+            SELECT p_partkey, '$.p_size' AS path,
+                   'value must be larger or equal than 1' AS info
+              FROM p WHERE p_size IS NOT NULL AND NOT (p_size >= 1)
+            UNION ALL
+            SELECT p_partkey, '$.p_size', 'value must be <= than 50'
+              FROM p WHERE p_size IS NOT NULL AND NOT (p_size <= 50)
+            UNION ALL
+            SELECT p_partkey, '$.p_size',
+                   'value must be multipleOf 5,but:' || CAST(p_size AS VARCHAR)
+                   || ', divide:' || CAST(p_size / 5.0 AS VARCHAR)
+              FROM p WHERE p_size IS NOT NULL AND p_size % 5 <> 0
+            UNION ALL
+            SELECT p_partkey, '$.p_retailprice', 'value must be larger or equal than 900'
+              FROM p WHERE p_retailprice IS NOT NULL AND NOT (p_retailprice >= 900)
+            UNION ALL
+            SELECT p_partkey, '$.p_brand',
+                   p_brand || ' ,value does not match pattern: ^Brand#[0-9]+$'
+              FROM p WHERE p_brand IS NOT NULL
+                       AND NOT regexp_matches(p_brand, '^Brand#[0-9]+$')
+            UNION ALL
+            SELECT p_partkey, '$.p_partkey', 'field is required'
+              FROM p WHERE p_partkey IS NULL
+        """,
+        "events_top_users": """
+            SELECT user_id, count(*) AS n_events FROM events
+            GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "stats_by_event_type": """
+            SELECT event_type, count(*) AS n,
+                   round(SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 / count(*), 6)
+                       AS avg_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY event_type
+        """,
+        "window_gaps": """
+            SELECT user_id, event_id, gap_sec FROM (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) -
+                     lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+              FROM events
+            ) WHERE gap_sec IS NOT NULL
+        """,
+
         "transform_events": """
             SELECT event_id,
                    COALESCE(props, '{}') AS props,
@@ -876,8 +982,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": """
             WITH w AS (
               SELECT user_id,
-                     CAST(epoch(ts) AS BIGINT) AS secs,
-                     lag(CAST(epoch(ts) AS BIGINT))
+                     CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
               FROM events
             )

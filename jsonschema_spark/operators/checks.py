@@ -196,22 +196,26 @@ class Uniqueness(Check):
         return counts.filter(F.col("dup_count") > 1)
 
     def verdicts(self, df: DataFrame) -> DataFrame:
-        dups = self.duplicates(df)
-        agg = dups.groupBy("partition_id").agg(
-            F.count(F.lit(1)).alias("dup_keys"),
-            F.sum(F.col("dup_count") - 1).alias("extra_rows"),
+        # ONE scan: per-(partition, key) counts (the scan + first
+        # shuffle), then a per-partition re-aggregate of the tiny
+        # count rows.  Partitions without duplicates fall out naturally
+        # with dup_keys=0 — no second pass over the fact table.
+        pid = _partition_id(self.partition_by).alias("partition_id")
+        counts = (
+            df.select(pid, *[F.col(k) for k in self.keys])
+            .groupBy("partition_id", *self.keys)
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        # partitions with zero duplicates still need a passing verdict
-        all_pids = df.select(
-            _partition_id(self.partition_by).alias("partition_id")
-        ).distinct()
-        full = all_pids.join(agg, "partition_id", "left").fillna(0, ["dup_keys", "extra_rows"])
+        agg = counts.groupBy("partition_id").agg(
+            F.sum((F.col("c") > 1).cast("long")).alias("dup_keys"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias("extra_rows"),
+        )
         metrics = F.create_map(
             F.lit("dup_keys"), F.col("dup_keys").cast("string"),
             F.lit("extra_rows"), F.col("extra_rows").cast("string"),
             F.lit("keys"), F.lit(",".join(self.keys)),
         )
-        return full.select(*_verdict_select(self.name, F.col("extra_rows"), metrics))
+        return agg.select(*_verdict_select(self.name, F.col("extra_rows"), metrics))
 
     def violations(self, df: DataFrame) -> DataFrame:
         return self.duplicates(df)
@@ -248,23 +252,30 @@ class ReferentialIntegrity(Check):
         return facts.join(F.broadcast(dim_keys), self.fact_key, "left_anti")
 
     def verdicts(self, df: DataFrame) -> DataFrame:
-        orph = self.orphans(df)
-        agg = orph.groupBy("partition_id").agg(
-            F.count(F.lit(1)).alias("orphan_keys"),
-            F.sum("orphan_rows").alias("orphan_rows"),
+        # ONE scan + broadcast LEFT join (membership flag), so
+        # partitions with zero orphans keep their passing verdict
+        # without a second pass over the fact table.
+        pid = _partition_id(self.partition_by).alias("partition_id")
+        dim_keys = (
+            self.dim.select(F.col(self.dim_key).alias(self.fact_key))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-        all_pids = df.select(
-            _partition_id(self.partition_by).alias("partition_id")
-        ).distinct()
-        full = all_pids.join(agg, "partition_id", "left").fillna(
-            0, ["orphan_keys", "orphan_rows"]
+        flagged = (
+            df.select(pid, F.col(self.fact_key))
+            .join(F.broadcast(dim_keys), self.fact_key, "left")
+        )
+        orphan = F.col(self.fact_key).isNotNull() & F.col("__hit").isNull()
+        agg = flagged.groupBy("partition_id").agg(
+            F.count_distinct(F.when(orphan, F.col(self.fact_key))).alias("orphan_keys"),
+            F.sum(orphan.cast("long")).alias("orphan_rows"),
         )
         metrics = F.create_map(
             F.lit("orphan_keys"), F.col("orphan_keys").cast("string"),
             F.lit("orphan_rows"), F.col("orphan_rows").cast("string"),
             F.lit("fact_key"), F.lit(self.fact_key),
         )
-        return full.select(
+        return agg.select(
             *_verdict_select(self.name, F.col("orphan_rows"), metrics)
         )
 

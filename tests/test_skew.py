@@ -1,0 +1,55 @@
+"""Skew utilities: salted two-phase aggregation correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.skew import (
+    key_histogram,
+    salted_agg,
+    salted_collect_list,
+)
+
+
+def _df(spark):
+    rows = [("hot", i, f"t{i}") for i in range(500)] + [
+        ("cold", i, f"c{i}") for i in range(5)
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _df(spark)
+    plain = {r["conv_id"]: (r["n"], r["mx"]) for r in
+             df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"),
+                                       F.max("turn_idx").alias("mx")).collect()}
+    salted = {r["conv_id"]: (r["n"], r["mx"]) for r in
+              salted_agg(df, ["conv_id"],
+                         aggs={"n": F.count(F.lit(1)), "mx": F.max("turn_idx")},
+                         merges={"n": F.sum("n"), "mx": F.max("mx")},
+                         buckets=8).collect()}
+    assert salted == plain
+
+
+def test_salted_collect_list_ordered(spark):
+    df = _df(spark)
+    out = {r["conv_id"]: r["texts"] for r in
+           salted_collect_list(df, ["conv_id"], "text",
+                               order_by="turn_idx", buckets=4).collect()}
+    assert out["cold"] == ["c0", "c1", "c2", "c3", "c4"]
+    assert out["hot"][:3] == ["t0", "t1", "t2"] and len(out["hot"]) == 500
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    df = _df(spark)
+    from jsonschema_spark.operators.skew import with_salt
+
+    buckets = with_salt(df, ["conv_id"], 8).filter("conv_id = 'hot'") \
+        .select("__salt").distinct().count()
+    assert buckets >= 6  # hot key spread over (almost) all buckets
+
+
+def test_key_histogram(spark):
+    df = _df(spark)
+    top = key_histogram(df, ["conv_id"], top=1).collect()
+    assert top[0]["conv_id"] == "hot" and top[0]["rows"] == 500
