@@ -522,6 +522,42 @@ def q_window_gaps(spark, sf_dir):
     )
 
 
+def q_stream_windowed_verdicts(spark, sf_dir):
+    """Structured Streaming coverage: the same compiled plan over a
+    readStream source, watermarked 1-hour windowed verdicts, drained
+    with availableNow into a memory sink.  Equals the batch windowed
+    aggregation (the oracle)."""
+    from jsonschema_spark.streaming.validate import windowed_verdicts
+
+    # the file source needs a directory: point it at sf_dir with a
+    # glob filter selecting just the events file
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    plan = js.compile_schema(EVENTS_SCHEMA)
+    out = windowed_verdicts(stream, plan, window="1 hour", watermark="2 hours")
+    name = "stream_verdicts_sink"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = spark.table(name)
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "rows",
+        "bad_rows",
+        "violation_total",
+        "pass",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -535,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
         "window_gaps": q_window_gaps,
+        "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "transform_events": q_transform_events,
         "stats_lineitem": q_stats_lineitem,
         "uniqueness_lineitem": q_uniqueness_lineitem,
@@ -847,6 +884,28 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY event_type
+        """,
+        "stream_windowed_verdicts": """
+            WITH v AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS w, ts, event_id,
+                     (CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                            ('click','view','purchase','signup','error') THEN 1 ELSE 0 END
+                    + CASE WHEN value IS NOT NULL AND NOT (value >= 0) THEN 1 ELSE 0 END
+                    + CASE WHEN value IS NOT NULL AND NOT (value <= 450) THEN 1 ELSE 0 END
+                    + CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$') THEN 1 ELSE 0 END
+                    + CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN ts IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                           AND NOT (value >= 5) THEN 1 ELSE 0 END) AS nv
+              FROM events
+            )
+            SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS rows,
+                   SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS bad_rows,
+                   SUM(nv) AS violation_total,
+                   SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS pass
+            FROM v GROUP BY w
         """,
         "window_gaps": """
             SELECT user_id, event_id, gap_sec FROM (
