@@ -390,6 +390,7 @@ class SchemaCheck(Check):
 
     plan: "object"  # CompiledSchema
     partition_by: Sequence[str] | None = None
+    keys: Sequence[str] | None = None  # violation row identity columns
     name: str = "schema"
 
     def verdicts(self, df: DataFrame) -> DataFrame:
@@ -409,7 +410,9 @@ class SchemaCheck(Check):
         return agg.select(*_verdict_select(self.name, F.col("bad_rows"), metrics))
 
     def violations(self, df: DataFrame) -> DataFrame:
-        keys = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+        keys = list(self.keys) if self.keys else [
+            c for c in ("conv_id", "turn_idx") if c in df.columns
+        ]
         return self.plan.validate(df, keys=keys).violations
 
 
