@@ -55,8 +55,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_nation_revenue",
+    "validate_part",
     "window_rank_events",
+    "window_gaps",
     "sessionize_events",
+    "stats_by_event_type",
+    "stream_windowed_verdicts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
