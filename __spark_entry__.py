@@ -558,6 +558,28 @@ def q_stream_windowed_verdicts(spark, sf_dir):
     )
 
 
+def q_validate_customer_combinators(spark, sf_dir):
+    """Combinator coverage: anyOf (all-branch errors on total miss),
+    not, switch/case (SURVEY §2.3) over customer."""
+    cust = _t(spark, sf_dir, "customer")
+    plan = js.compile_schema(
+        {
+            "properties": {
+                "c_mktsegment": {
+                    "anyOf": [
+                        {"enum": ["BUILDING", "AUTOMOBILE"]},
+                        {"pattern": "^M"},
+                    ]
+                },
+                "c_acctbal": {"not": {"maximum": 0}},
+            },
+            "switch": "c_mktsegment",
+            "case": {"FURNITURE": {"gt": {"c_acctbal": 500}}},
+        }
+    )
+    return plan.validate(cust, keys=["c_custkey"]).violations
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -568,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": q_validate_orders,
         "validate_events": q_validate_events,
         "validate_part": q_validate_part,
+        "validate_customer_combinators": q_validate_customer_combinators,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
         "window_gaps": q_window_gaps,
@@ -870,6 +893,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT p_partkey, '$.p_partkey', 'field is required'
               FROM p WHERE p_partkey IS NULL
+        """,
+        "validate_customer_combinators": """
+            WITH c AS (SELECT * FROM customer)
+            SELECT c_custkey, '$.c_mktsegment' AS path,
+                   'value is invalid , shoule be one of [BUILDING AUTOMOBILE]' AS info
+              FROM c WHERE c_mktsegment IS NOT NULL
+                       AND c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')
+                       AND NOT regexp_matches(c_mktsegment, '^M')
+            UNION ALL
+            SELECT c_custkey, '$.c_mktsegment',
+                   c_mktsegment || ' ,value does not match pattern: ^M'
+              FROM c WHERE c_mktsegment IS NOT NULL
+                       AND c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')
+                       AND NOT regexp_matches(c_mktsegment, '^M')
+            UNION ALL
+            SELECT c_custkey, '$.c_acctbal', 'is not valid'
+              FROM c WHERE c_acctbal IS NOT NULL AND c_acctbal <= 0
+            UNION ALL
+            SELECT c_custkey, '$.c_acctbal', 'should greater than 500'
+              FROM c WHERE c_mktsegment = 'FURNITURE'
+                       AND NOT (c_acctbal > 500)
         """,
         "events_top_users": """
             SELECT user_id, count(*) AS n_events FROM events
