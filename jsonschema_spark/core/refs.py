@@ -142,9 +142,37 @@ def split_path(path: str) -> list[str | int]:
     return segs
 
 
+_DYN = re.compile(r"^\$\{(.+)\}$")
+
+
 def resolve(root: ValueRef, path: str) -> ValueRef:
-    """Resolve a jsonpath-lite string from the root document ref."""
+    """Resolve a jsonpath-lite string from the root document ref.
+
+    ``${var}`` segments are INDIRECT keys (jsonpath.go:452-481): the key
+    is the runtime value of another document path.  Static structs
+    cannot be indexed dynamically, so indirect segments require the
+    parent to be a MapType column."""
     ref = root
     for seg in split_path(path):
-        ref = ref.index(seg) if isinstance(seg, int) else ref.child(seg)
+        if isinstance(seg, int):
+            ref = ref.index(seg)
+            continue
+        m = _DYN.match(seg)
+        if m:
+            key_ref = resolve(root, m.group(1))
+            if isinstance(ref.dtype, T.MapType):
+                ref = ValueRef(
+                    F.try_element_at(
+                        ref.col, key_ref.col.cast(ref.dtype.keyType)
+                    ),
+                    ref.dtype.valueType,
+                    f"{ref.path}.${{{m.group(1)}}}",
+                )
+            else:
+                # dynamic key on a fixed struct: statically unresolvable
+                ref = ValueRef(
+                    F.lit(None), None, f"{ref.path}.${{{m.group(1)}}}", exists=False
+                )
+            continue
+        ref = ref.child(seg)
     return ref

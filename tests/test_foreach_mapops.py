@@ -80,3 +80,24 @@ def test_map_op_requires_map_column(spark):
     plan = js.compile_schema({"setMap": {"key": "k", "val": "v"}})
     with pytest.raises(js.SchemaError, match="map_column"):
         plan.transform(df)
+
+
+def test_indirect_jsonpath_key(spark):
+    """${var} indirect map key (reference jsonpath.go:452-481)."""
+    df = spark.createDataFrame(
+        [("u1", "color", {"color": "red", "size": "L"}),
+         ("u2", "size", {"color": "blue", "size": "XL"})],
+        "user string, want string, attrs map<string,string>",
+    )
+    plan = js.compile_schema({"eq": {"attrs.${want}": "red"}})
+    v = plan.validate(df, keys=["user"]).violations.collect()
+    assert [(r["user"], r["path"]) for r in v] == [("u2", "$.attrs.${want}")]
+
+
+def test_indirect_key_on_struct_is_missing(spark):
+    df = spark.createDataFrame([("u1", "x")], "user string, want string")
+    # dynamic key on a fixed struct: value is statically missing; eq
+    # compares StringOf(nil)="" vs "red" and FAILS, like the reference
+    # (keyMatch coercing equal, validator_logic.go:257-335)
+    plan = js.compile_schema({"eq": {"user.${want}": "red"}})
+    assert plan.validate(df, keys=["user"]).violations.count() == 1
