@@ -53,3 +53,25 @@ def test_key_histogram(spark):
     df = _df(spark)
     top = key_histogram(df, ["conv_id"], top=1).collect()
     assert top[0]["conv_id"] == "hot" and top[0]["rows"] == 500
+
+
+def test_scalable_window_ranked_equals_plain(spark):
+    from jsonschema_spark.operators.order import (
+        scalable_window_ranked,
+        window_ranked,
+    )
+
+    df = _df(spark)  # 'hot' conv with 500 turns, 'cold' with 5
+    plain = {(r["conv_id"], r["turn_idx"]): r["turn_rank"]
+             for r in window_ranked(df, order_by=("turn_idx",)).collect()}
+    scal = {(r["conv_id"], r["turn_idx"]): r["turn_rank"]
+            for r in scalable_window_ranked(
+                df, order_by=("turn_idx",), num_partitions=13).collect()}
+    assert scal == plain
+    # the hot conversation really is spread over multiple range
+    # partitions (the point of the rewrite)
+    from pyspark.sql import functions as F
+    ranged = df.repartitionByRange(13, F.col("conv_id"), F.col("turn_idx"))
+    spread = (ranged.withColumn("p", F.spark_partition_id())
+              .filter("conv_id = 'hot'").select("p").distinct().count())
+    assert spread > 1
