@@ -103,6 +103,8 @@ EVENTS_SCHEMA = {
 # queries
 # --------------------------------------------------------------------
 
+_STREAM_SINK_N = 0
+
 def q_validate_orders(spark, sf_dir):
     """Flagship row-level validation: compiled keyword plan → exploded
     violation rows (SURVEY.md §2.1: required/enum/min/max/pattern)."""
@@ -541,7 +543,9 @@ def q_stream_windowed_verdicts(spark, sf_dir):
     )
     plan = js.compile_schema(EVENTS_SCHEMA)
     out = windowed_verdicts(stream, plan, window="1 hour", watermark="2 hours")
-    name = "stream_verdicts_sink"
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    name = f"stream_verdicts_sink_{_STREAM_SINK_N}"
     q = (
         out.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
