@@ -683,3 +683,77 @@ def register_expr_fn(name: str, fn) -> None:
     """Extension surface mirroring expr.RegisterFunc
     (expr/funcs.go:188-204): fn(env, *ast_args) -> CVal."""
     _FN[name] = fn
+
+
+# --- object-method set (reference funcs_obj.go:326-654, via the
+# method-call sugar x.f(a) == f(x, a)) -------------------------------
+
+def _trim_prefix(env, a, b):
+    s, p = _v(env, a).str_(), _v(env, b).str_()
+    return CVal(
+        F.when(s.startswith(p), s.substr(F.length(p) + 1, F.length(s))).otherwise(s),
+        T.StringType(),
+    )
+
+
+def _trim_suffix(env, a, b):
+    s, p = _v(env, a).str_(), _v(env, b).str_()
+    return CVal(
+        F.when(s.endswith(p), s.substr(F.lit(1), F.length(s) - F.length(p))).otherwise(s),
+        T.StringType(),
+    )
+
+
+_FN["trim_prefix"] = _trim_prefix
+_FN["str_trim_prefix"] = _trim_prefix
+_FN["trim_suffix"] = _trim_suffix
+_FN["str_trim_suffix"] = _trim_suffix
+_FN["has"] = _FN["contains"]
+_FN["fields"] = lambda env, a: CVal(
+    F.split(F.trim(F.regexp_replace(_v(env, a).str_(), r"\s+", " ")), " "),
+    T.ArrayType(T.StringType()),
+)
+_FN["index"] = lambda env, a, b: CVal(
+    (F.instr(_v(env, a).str_(), (_v(env, b).str_())) - 1).cast("double"),
+    T.DoubleType(),
+)
+
+
+@expr_fn("slice")
+def _fn_slice(env, a, st_, ed=None):
+    """s.slice(st, ed): substring [st, ed) 0-based (funcs_obj slice)."""
+    s = _v(env, a).str_()
+    st_c = _v(env, st_).num().cast("int")
+    if ed is None:
+        return CVal(s.substr(st_c + 1, F.length(s)), T.StringType())
+    ed_c = _v(env, ed).num().cast("int")
+    return CVal(s.substr(st_c + 1, ed_c - st_c), T.StringType())
+
+
+_FN["hex"] = lambda env, a: CVal(F.hex(_v(env, a).str_()), T.StringType())
+_FN["json_str"] = lambda env, a: CVal(F.to_json(_v(env, a).col), T.StringType())
+_FN["keys"] = lambda env, a: CVal(F.map_keys(_v(env, a).col), None)
+_FN["merge"] = lambda env, a, b: CVal(
+    F.map_zip_with(
+        _v(env, a).col, _v(env, b).col, lambda k, v1, v2: F.coalesce(v2, v1)
+    ),
+    None,
+)
+@expr_fn("clone")
+def _fn_clone(env, a):
+    return _v(env, a)  # columns are immutable: clone == identity
+
+
+# time methods (funcs_obj.go:602-643): operate on timestamp-typed refs
+_FN["unix"] = lambda env, a: CVal(
+    _v(env, a).col.cast("timestamp").cast("long").cast("double"), T.DoubleType()
+)
+_FN["unix_mill"] = lambda env, a: CVal(
+    (F.unix_micros(_v(env, a).col.cast("timestamp")) / 1000).cast("double"),
+    T.DoubleType(),
+)
+for _part, _f in [("day", F.dayofmonth), ("hour", F.hour), ("month", F.month),
+                  ("year", F.year), ("minute", F.minute), ("second", F.second)]:
+    _FN[_part] = (lambda _g: lambda env, a: CVal(
+        _g(_v(env, a).col.cast("timestamp")).cast("double"), T.DoubleType()
+    ))(_f)

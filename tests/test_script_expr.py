@@ -126,3 +126,30 @@ def test_parse_statement_shapes():
     assert len(stmts) == 3
     with pytest.raises(ExprError):
         parse_statements(["$$ ="])
+
+
+def test_script_object_methods_extended(spark, docs):
+    plan = js.compile_schema(
+        {"script": [
+            "$.hd = $.name.trim_prefix('d')",
+            "if($.name.index('d') == 0 && $.name.slice(0, 1) == 'd', "
+            "return('starts d ${hd}'))",
+        ]}
+    )
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert [r["name"] for r in v] == ["dd"]
+    assert v[0]["info"] == "err :[starts d d]"
+    out = {r["name"]: r["hd"] for r in plan.transform(docs).collect()}
+    assert out["dd"] == "d" and out["ee"] == "ee"
+
+
+def test_script_time_methods(spark):
+    df = spark.createDataFrame(
+        [("a", "2025-03-05 07:08:09")], "id string, ts_s string"
+    ).selectExpr("id", "to_timestamp(ts_s) as ts")
+    plan = js.compile_schema(
+        {"script": ["if($.ts.year() == 2025 && $.ts.month() == 3 && "
+                    "$.ts.day() == 5 && $.ts.hour() == 7, return('march'))"]}
+    )
+    v = plan.validate(df, keys=["id"]).violations.collect()
+    assert len(v) == 1 and v[0]["info"] == "err :[march]"
