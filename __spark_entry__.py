@@ -584,6 +584,27 @@ def q_validate_customer_combinators(spark, sf_dir):
     return plan.validate(cust, keys=["c_custkey"]).violations
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (scale path): seeded centroids, nprobe cells, exact
+    re-rank inside probed cells.  No SQL oracle (iterative centroid
+    assignment); recall vs brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup (scale path; bucket-local join).
+    No SQL oracle; subset-of-brute-force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.4, planes=6).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -621,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
