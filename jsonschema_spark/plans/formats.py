@@ -158,3 +158,105 @@ def f_regex(c: Column) -> Column:
 def f_phone(c: Column) -> Column:
     # len==11 && starts '1' (validator_format.go:285-291)
     return c.rlike(r"^1[0-9]{10}$")
+
+
+# ------------------------------------------------- strict UDF variants
+#
+# The regex forms above stay in whole-stage codegen (the right default
+# at 100 TB).  Where Go's semantics are a PARSER, not a regex
+# (mail.ParseAddress, net.ParseIP, RE2-compile), the '-strict'
+# variants below run the real Python parser as an Arrow-batched
+# pandas UDF — the documented slow path (SURVEY §2.4): ~10-100x the
+# cost of the regex, still vectorized batch transfer, never per-row
+# py4j.  Use: {"format": "email-strict"}.
+
+import pandas as pd  # noqa: E402  (type hints must resolve at module scope)
+
+
+def _pandas_bool_udf(fn):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: False if v is None else bool(fn(v)))
+
+    return udf
+
+
+def _strict_email(v: str) -> bool:
+    # Go mail.ParseAddress analog (validator_format.go:82-90)
+    from email.utils import parseaddr
+
+    name, addr = parseaddr(v)
+    return addr != "" and "@" in addr and addr == v
+
+
+def _strict_ipv4(v: str) -> bool:
+    import ipaddress
+
+    try:
+        ipaddress.IPv4Address(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _strict_ipv6(v: str) -> bool:
+    import ipaddress
+
+    try:
+        ipaddress.IPv6Address(v)
+        return ":" in v
+    except ValueError:
+        return False
+
+
+def _strict_regex(v: str) -> bool:
+    # 'compiles under RE2' (validator_format.go:206-211); python re is
+    # a superset of RE2 for the common fixtures
+    import re as _re
+
+    try:
+        _re.compile(v)
+        return True
+    except _re.error:
+        return False
+
+
+def _strict_uri(v: str) -> bool:
+    from urllib.parse import urlparse
+
+    try:
+        p = urlparse(v)
+        return bool(p.scheme) and "\\" not in v
+    except ValueError:
+        return False
+
+
+def _lazy_udf_format(fn):
+    """Build the pandas UDF on first use — constructing it needs an
+    active SparkSession, which may not exist at import time."""
+    holder: dict = {}
+
+    def check(c):
+        if "u" not in holder:
+            holder["u"] = _pandas_bool_udf(fn)
+        return holder["u"](c)
+
+    return check
+
+
+def register_strict_formats() -> None:
+    """Register the '-strict' pandas-UDF formats (idempotent)."""
+    for name, fn in [
+        ("email-strict", _strict_email),
+        ("ipv4-strict", _strict_ipv4),
+        ("ipv6-strict", _strict_ipv6),
+        ("regex-strict", _strict_regex),
+        ("uri-strict", _strict_uri),
+    ]:
+        if name not in _FORMATS:
+            _FORMATS[name] = _lazy_udf_format(fn)
+
+
+register_strict_formats()

@@ -319,3 +319,21 @@ def test_ignored_keys(spark):
     plan = compile_schema({"title": "x", "description": "y", "required": ["id"]})
     df = spark.createDataFrame([(1,)], "id int")
     assert plan.annotate(df).collect()[0]["violations"] == []
+
+
+def test_strict_udf_formats(spark):
+    """'-strict' formats run the real Python parser as an Arrow-batched
+    pandas UDF (the documented slow path, SURVEY §2.4)."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com"), (2, "not an email"), (3, None), (4, "1.2.3.4")],
+        "id int, e string",
+    )
+    plan = js.compile_schema({"properties": {"e": {"format": "email-strict"}}})
+    bad = sorted(r["id"] for r in plan.validate(df, keys=["id"]).violations.collect())
+    assert bad == [2, 4]  # null skips, like every non-required keyword
+    plan2 = js.compile_schema({"properties": {"e": {"format": "regex-strict"}}})
+    df2 = spark.createDataFrame([(1, "a(b"), (2, "a.*b")], "id int, e string")
+    bad2 = sorted(r["id"] for r in plan2.validate(df2, keys=["id"]).violations.collect())
+    assert bad2 == [1]
