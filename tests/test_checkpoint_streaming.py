@@ -128,3 +128,52 @@ def test_stateful_dedup_stream(spark, stream_src):
     got = spark.sql("select conv_id, turn_idx from dedup_t").collect()
     keys = sorted((r["conv_id"], r["turn_idx"]) for r in got)
     assert keys == [("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)]
+
+
+def test_ks_grouped_udaf(spark):
+    from jsonschema_spark.operators.sketches import ks_grouped
+
+    base = spark.range(0, 4000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = spark.range(0, 2000).selectExpr(
+        "'same' AS part", "CAST(id % 100 AS DOUBLE) AS v"
+    )
+    shifted = spark.range(0, 2000).selectExpr(
+        "'shift' AS part", "CAST(id % 100 + 75 AS DOUBLE) AS v"
+    )
+    cur = same.union(shifted)
+    out = {r["partition_id"]: r for r in
+           ks_grouped(cur, base, "v", partition_by=["part"]).collect()}
+    assert out["part=same"]["drifted"] is False
+    assert out["part=shift"]["drifted"] is True
+    assert out["part=shift"]["ks"] > 0.5
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    import jsonschema_spark as js
+    from jsonschema_spark.streaming.stateful import conversation_progress
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, None),
+        ("c2", 0, "narrator"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    src = str(tmp_path / "state_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string"
+    ).parquet(src)
+    plan = js.compile_schema(
+        {"required": ["role"], "properties": {"role": {"enum": ["user", "assistant"]}}}
+    )
+    out = conversation_progress(plan.annotate(stream), timeout_ms=0)
+    q = (
+        out.writeStream.format("memory").queryName("conv_state_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["conv_id"]: r for r in spark.sql("select * from conv_state_t").collect()}
+    assert got["c1"]["n_turns"] == 3 and got["c1"]["max_turn"] == 2
+    assert got["c1"]["bad"] == 1      # null role
+    assert got["c2"]["bad"] == 1      # enum violation
+    assert got["c1"]["complete"] is False
