@@ -121,30 +121,53 @@ class ResumableRun:
         """Execute only the (partition, check) pairs missing from the
         manifest; append new checkpoint rows; return the verdicts of
         THIS run (empty if everything was already done)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         spark = df.sparkSession
         lineages = {c.name: _lineage(self.source_id, c) for c in self.suite.checks}
         done = self.manifest.completed(spark, lineages)
 
-        # all partitions present in the input (driver-small)
-        pids = [
-            r["partition_id"]
-            for r in df.select(
-                _partition_id(self.partition_by).alias("partition_id")
-            ).distinct().collect()
-        ]
+        # all partitions present in the input (driver-small): keep the
+        # RAW column values — the pruning predicate must be on the
+        # partition columns themselves, a computed pid string would
+        # defeat partition pruning
+        if self.partition_by:
+            raw = df.select(*self.partition_by).distinct().collect()
+            tuples = [tuple(r[c] for c in self.partition_by) for r in raw]
+            pid_of = {
+                t: "/".join(f"{c}={v}" for c, v in zip(self.partition_by, t))
+                for t in tuples
+            }
+            pids = [pid_of[t] for t in tuples]
+        else:
+            tuples, pid_of, pids = [()], {(): "ALL"}, ["ALL"]
+
+        def prune_to(todo_tuples):
+            """OR-of-equalities on the partition columns — the form
+            Catalyst turns into PartitionFilters, so completed
+            partitions' files are never read."""
+            cols = list(self.partition_by)
+            if len(cols) == 1:
+                return df.filter(F.col(cols[0]).isin([t[0] for t in todo_tuples]))
+            preds = [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(v) for c, v in zip(cols, t)],
+                )
+                for t in todo_tuples
+            ]
+            return df.filter(reduce(lambda a, b: a | b, preds))
 
         all_new: DataFrame | None = None
         new_rows: list = []
         for check in self.suite.checks:
-            todo = [p for p in pids if (p, check.name) not in done]
-            if not todo:
+            todo_t = [t for t in tuples if (pid_of[t], check.name) not in done]
+            if not todo_t:
                 continue
-            if self.partition_by and len(todo) < len(pids):
-                # partition-pruning predicate: completed partitions'
-                # files are never read on a partitioned table
-                sub = df.filter(
-                    _partition_id(self.partition_by).isin(todo)
-                )
+            if self.partition_by and len(todo_t) < len(tuples):
+                sub = prune_to(todo_t)
             else:
                 sub = df
             v = check.verdicts(sub)

@@ -177,3 +177,43 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert got["c1"]["bad"] == 1      # null role
     assert got["c2"]["bad"] == 1      # enum violation
     assert got["c1"]["complete"] is False
+
+
+def test_resume_prunes_partition_files(spark, tmp_path):
+    """The resume filter must reach the scan as a partition filter —
+    completed partitions' files are never read."""
+    from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+
+    src = str(tmp_path / "parts")
+    spark.createDataFrame(
+        [("2025-01-01", "c1", 0), ("2025-01-01", "c1", 0),
+         ("2025-01-02", "c2", 0), ("2025-01-03", "c3", 1)],
+        "day string, conv_id string, turn_idx int",
+    ).write.partitionBy("day").parquet(src)
+    df = spark.read.parquet(src)
+
+    manifest = CheckpointManifest(str(tmp_path / "m"))
+    suite = checks.CheckSuite(
+        [checks.Uniqueness(keys=["conv_id", "turn_idx"], partition_by=["day"])]
+    )
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["day"], source_id="t")
+    first = run.run(df)
+    assert {r["partition_id"] for r in first.collect()} == {
+        "day=2025-01-01", "day=2025-01-02", "day=2025-01-03"
+    }
+
+    # add a new partition; the re-run's scan must carry a partition
+    # filter on `day` (raw column, prunable), not a computed string
+    spark.createDataFrame(
+        [("2025-01-04", "c4", 0)], "day string, conv_id string, turn_idx int"
+    ).write.mode("append").partitionBy("day").parquet(src)
+    df2 = spark.read.parquet(src)
+    out = run.run(df2)
+    assert {r["partition_id"] for r in out.collect()} == {"day=2025-01-04"}
+
+    # the pruning predicate shape reaches the scan as PartitionFilters
+    pruned = df2.filter(F.col("day").isin(["2025-01-04"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "2025-01-04" in pf
