@@ -605,6 +605,29 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal binary-column plumbing: deterministic synthetic media
+    payloads (binary) -> typed metadata, all columnar (no Python)."""
+    from jsonschema_spark.operators import multimodal
+
+    m = multimodal.synth_media(spark, n=64, seed=42)
+    return multimodal.media_metadata(m)
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    """mapInPandas (Arrow-batched) image feature extraction with the
+    deterministic stub decoder — the UDF path itself is under the
+    oracle (the fake decode is md5-derived, reproducible in SQL)."""
+    from jsonschema_spark.operators import multimodal
+
+    m = multimodal.synth_media(spark, n=64, seed=42)
+    feats = multimodal.extract_image_features(m, fake=True)
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"), "phash",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -644,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_image_features": q_multimodal_image_features,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1142,6 +1167,38 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events
+        """,
+        "multimodal_metadata": """
+            WITH g AS (SELECT unnest(range(64)) AS id),
+            m AS (
+              SELECT g.id AS media_id,
+                     (['image','audio','video'])[CAST(g.id % 3 AS INT) + 1] AS kind,
+                     ('blob:' || sha256(CAST(g.id AS VARCHAR) || ':42') || repeat('x', CAST((g.id * 37) % 256 AS INT))) AS p
+              FROM g
+            )
+            SELECT media_id, kind,
+                   CAST(length(p) AS INT) AS n_bytes,
+                   md5(p) AS checksum
+            FROM m
+        """,
+        "multimodal_image_features": """
+            WITH g AS (SELECT unnest(range(64)) AS id),
+            m AS (
+              SELECT g.id AS media_id,
+                     (['image','audio','video'])[CAST(g.id % 3 AS INT) + 1] AS kind,
+                     md5(('blob:' || sha256(CAST(g.id AS VARCHAR) || ':42') || repeat('x', CAST((g.id * 37) % 256 AS INT)))) AS h
+              FROM g
+            )
+            SELECT media_id,
+                   CAST(16 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INT) AS width,
+                   CAST(16 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64 AS INT) AS height,
+                   CAST(1 + ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 3 AS INT) AS channels,
+                   round(CAST((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 18, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 19, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 20, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 21, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 22, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 23, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 24, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 25, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 26, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 27, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 28, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 29, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 30, 1)) - 1)) + ((strpos('0123456789abcdef', substr(h, 31, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 32, 1)) - 1))) AS DOUBLE) / (16 * 255.0), 6) AS mean_intensity,
+                   CAST((CAST(((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 18, 1)) - 1)) AS HUGEINT) * CAST(72057594037927936 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 19, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 20, 1)) - 1)) AS HUGEINT) * CAST(281474976710656 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 21, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 22, 1)) - 1)) AS HUGEINT) * CAST(1099511627776 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 23, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 24, 1)) - 1)) AS HUGEINT) * CAST(4294967296 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 25, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 26, 1)) - 1)) AS HUGEINT) * CAST(16777216 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 27, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 28, 1)) - 1)) AS HUGEINT) * CAST(65536 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 29, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 30, 1)) - 1)) AS HUGEINT) * CAST(256 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 31, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 32, 1)) - 1)) AS HUGEINT) * CAST(1 AS HUGEINT))
+                        - CASE WHEN (CAST(((strpos('0123456789abcdef', substr(h, 17, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 18, 1)) - 1)) AS HUGEINT) * CAST(72057594037927936 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 19, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 20, 1)) - 1)) AS HUGEINT) * CAST(281474976710656 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 21, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 22, 1)) - 1)) AS HUGEINT) * CAST(1099511627776 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 23, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 24, 1)) - 1)) AS HUGEINT) * CAST(4294967296 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 25, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 26, 1)) - 1)) AS HUGEINT) * CAST(16777216 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 27, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 28, 1)) - 1)) AS HUGEINT) * CAST(65536 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 29, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 30, 1)) - 1)) AS HUGEINT) * CAST(256 AS HUGEINT) + CAST(((strpos('0123456789abcdef', substr(h, 31, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 32, 1)) - 1)) AS HUGEINT) * CAST(1 AS HUGEINT)) >= CAST(9223372036854775808 AS HUGEINT)
+                               THEN CAST(18446744073709551616 AS HUGEINT)
+                               ELSE 0 END AS BIGINT) AS phash
+            FROM m WHERE kind = 'image'
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS text_hash,
