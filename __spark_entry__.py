@@ -628,6 +628,15 @@ def q_multimodal_image_features(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_samples(spark, sf_dir):
+    """UDTF-shaped mapInPandas: one output row per sampled video frame
+    (rows out > rows in); stub decode is md5-derived, oracle-checked."""
+    from jsonschema_spark.operators import multimodal
+
+    m = multimodal.synth_media(spark, n=64, seed=42)
+    return multimodal.sample_frames(m, every_n=4, fake=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -669,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_frame_samples": q_multimodal_frame_samples,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1199,6 +1209,24 @@ def oracle_sql() -> dict[str, str]:
                                THEN CAST(18446744073709551616 AS HUGEINT)
                                ELSE 0 END AS BIGINT) AS phash
             FROM m WHERE kind = 'image'
+        """,
+        "multimodal_frame_samples": """
+            WITH g AS (SELECT unnest(range(64)) AS id),
+            m AS (
+              SELECT g.id AS media_id, (['image','audio','video'])[CAST(g.id % 3 AS INT) + 1] AS kind, ('blob:' || sha256(CAST(g.id AS VARCHAR) || ':42') || repeat('x', CAST((g.id * 37) % 256 AS INT))) AS p
+              FROM g
+            ),
+            v AS (
+              SELECT media_id, p,
+                     8 + (ascii(substr(p, length(p), 1)) % 24) AS n_frames
+              FROM m WHERE kind = 'video'
+            )
+            SELECT media_id,
+                   CAST(f.fi AS INT) AS frame_idx,
+                   md5(p || ':' || CAST(f.fi AS VARCHAR)) AS frame_checksum
+            FROM v, LATERAL (
+              SELECT unnest(range(0, n_frames, 4)) AS fi
+            ) f
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS text_hash,

@@ -128,7 +128,9 @@ def sample_frames(df: DataFrame, every_n: int = 4, fake: bool = False) -> DataFr
                 data = bytes(payload)
                 n_frames = 8 + data[-1] % 24 if data else 8
                 for fi in range(0, n_frames, every_n):
-                    fr = hashlib.md5(data + fi.to_bytes(4, "big")).hexdigest()
+                    # ASCII frame suffix keeps the fake checksum
+                    # reproducible by any engine's md5(varchar)
+                    fr = hashlib.md5(data + b":" + str(fi).encode()).hexdigest()
                     out.append((mid, fi, fr))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_checksum"]
