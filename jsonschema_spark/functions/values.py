@@ -363,3 +363,44 @@ def _rand16(args, root):
 @register_func("rand.new32")
 def _rand32(args, root):
     return Bound(F.regexp_replace(F.expr("uuid()"), "-", ""), T.StringType())
+
+
+@register_func("map.get")
+def _map_get(args, root):
+    """["map.get()", map-value, key] (funcs.go:249-259)."""
+    m, k = args[0], args[1]
+    if isinstance(m.dtype, T.MapType):
+        return Bound(
+            F.try_element_at(m.col, _str(k).cast(m.dtype.keyType)),
+            m.dtype.valueType,
+        )
+    return Bound(F.lit(None), None)
+
+
+@register_func("map.set")
+def _map_set(args, root):
+    """["map.set()", map-value, key, val]: returns the modified map
+    (pure — the engine never mutates in place)."""
+    m, k, v = args[0], args[1], args[2]
+    if not isinstance(m.dtype, T.MapType):
+        return m
+    key = _str(k).cast(m.dtype.keyType)
+    removed = F.map_filter(
+        F.coalesce(m.col, F.create_map().cast(m.dtype)), lambda kk, vv: kk != key
+    )
+    return Bound(
+        F.map_concat(removed, F.create_map(key, v.col.cast(m.dtype.valueType))),
+        m.dtype,
+    )
+
+
+def _map_del_impl(args, root):
+    m, k = args[0], args[1]
+    if not isinstance(m.dtype, T.MapType):
+        return m
+    key = _str(k).cast(m.dtype.keyType)
+    return Bound(F.map_filter(m.col, lambda kk, vv: kk != key), m.dtype)
+
+
+register_func("map.del")(_map_del_impl)
+register_func("delete")(_map_del_impl)

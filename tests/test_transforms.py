@@ -157,3 +157,24 @@ def test_transform_sequencing_sees_prior_columns(spark):
     )
     assert out[1]["a2"] == "x!"
     assert out[1]["b2"] == "x!?"
+
+
+def test_map_value_functions(spark):
+    """map.get/map.set/map.del value functions (funcs.go:249-259,
+    198-207) — pure map expressions usable inside `set`."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame(
+        [("u1", {"a": "1", "b": "2"})], "user string, attrs map<string,string>"
+    )
+    plan = js.compile_schema({"set": {
+        "got": ["map.get()", "${attrs}", "a"],
+        "attrs": ["map.set()", "${attrs}", "c", "3"],
+    }})
+    out = plan.transform(df).collect()[0]
+    assert out["got"] == "1"
+    assert dict(out["attrs"]) == {"a": "1", "b": "2", "c": "3"}
+
+    plan2 = js.compile_schema({"set": {"attrs": ["map.del()", "${attrs}", "a"]}})
+    out2 = plan2.transform(df).collect()[0]
+    assert dict(out2["attrs"]) == {"b": "2"}
