@@ -275,8 +275,10 @@ def q_q3_top_unshipped(spark, sf_dir):
     rev = F.sum(
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     )
+    # broadcast ONLY the filtered dimension (customer); orders is a
+    # fact table — at corpus scale its join must stay shuffle/AQE-chosen
     agg = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev.alias("revenue_e4"))
