@@ -52,7 +52,7 @@ TOKEN_RE = re.compile(
       (?P<num>\d+\.\d+|\d+)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<id>[A-Za-z_$][A-Za-z0-9_]*)
-    | (?P<op>&&|\|\||==|!=|<=|>=|\?\?|!!|\+=|[-+*/%^&|<>=!?:;,.()\[\]{}])
+    | (?P<op>&&|\|\||==|!=|<=|>=|\?\?|!!|\+=|=>|[-+*/%^&|<>=!?:;,.()\[\]{}])
     )""",
     re.VERBOSE,
 )
@@ -145,6 +145,12 @@ class Assign:
 @dataclass
 class Return:
     args: list
+
+
+@dataclass
+class Lambda:  # {x} => body   (reference lambda.go:10-56)
+    params: list
+    body: object
 
 
 class Parser:
@@ -243,6 +249,19 @@ class Parser:
             e = self.parse_expr(0)
             self.expect(")")
             return e
+        if t.text == "{":
+            # lambda literal {x} => body / {k, v} => body
+            params = []
+            while self.peek().text != "}":
+                pt = self.next()
+                if pt.kind != "id":
+                    raise ExprError(f"lambda params must be identifiers, got {pt.text!r}")
+                params.append(pt.text)
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("}")
+            self.expect("=>")
+            return Lambda(params, self.parse_expr(0))
         if t.text == "[":
             items = []
             while self.peek().text != "]":
@@ -435,6 +454,9 @@ def compile_expr(node, env: Env) -> CVal:
         return _compile_call(node, env)
     if isinstance(node, Return):
         raise ExprError("'return' is a statement, not a value expression")
+    if isinstance(node, Lambda):
+        raise ExprError("lambdas are only valid as arguments of "
+                        "filter/map/all/any/sort")
     raise ExprError(f"cannot compile {node!r}")
 
 
@@ -757,3 +779,85 @@ for _part, _f in [("day", F.dayofmonth), ("hour", F.hour), ("month", F.month),
     _FN[_part] = (lambda _g: lambda env, a: CVal(
         _g(_v(env, a).col.cast("timestamp")).cast("double"), T.DoubleType()
     ))(_f)
+
+
+# --- higher-order functions taking lambda literals -------------------
+# filter/map/all/any over arrays; the lambda body compiles against a
+# child Env binding the params to the HOF's element variables, so the
+# whole thing stays a codegen'd Spark higher-order expression
+# (reference `all`/`for` funcs.go:108-121, lambdas lambda.go:10-56).
+
+def _hof_lambda(env: Env, lam, elem_dtype):
+    if not isinstance(lam, Lambda):
+        raise ExprError("expected a lambda literal, e.g. {x} => x > 3")
+
+    def spark_fn(*cols):
+        inner = Env(env.root, env.vars)
+        for name, col in zip(lam.params, cols):
+            inner.vars[name] = CVal(col, elem_dtype if len(cols) == 1 else None)
+        return compile_expr(lam.body, inner)
+
+    return spark_fn
+
+
+def _arr(env, a):
+    v = _v(env, a)
+    if not isinstance(v.dtype, T.ArrayType):
+        raise ExprError("first argument must be an array value")
+    return v
+
+
+@expr_fn("filter")
+def _fn_filter(env, a, lam):
+    v = _arr(env, a)
+    fn = _hof_lambda(env, lam, v.dtype.elementType)
+    return CVal(F.filter(v.col, lambda x: fn(x).cond_()), v.dtype)
+
+
+@expr_fn("map")
+def _fn_map(env, a, lam):
+    v = _arr(env, a)
+    fn = _hof_lambda(env, lam, v.dtype.elementType)
+    return CVal(F.transform(v.col, lambda x: fn(x).col), None)
+
+
+@expr_fn("all")
+def _fn_all(env, a, lam):
+    # reference `all` = filter-by-cond (funcs.go:1120-1152)
+    return _fn_filter(env, a, lam)
+
+
+@expr_fn("every")
+def _fn_every(env, a, lam):
+    v = _arr(env, a)
+    fn = _hof_lambda(env, lam, v.dtype.elementType)
+    return CVal(F.forall(v.col, lambda x: fn(x).cond_()), T.BooleanType())
+
+
+@expr_fn("any")
+def _fn_any(env, a, lam):
+    v = _arr(env, a)
+    fn = _hof_lambda(env, lam, v.dtype.elementType)
+    return CVal(F.exists(v.col, lambda x: fn(x).cond_()), T.BooleanType())
+
+
+@expr_fn("sort")
+def _fn_sort(env, a, *lam):
+    v = _arr(env, a)
+    if not lam:
+        return CVal(F.array_sort(v.col), v.dtype)
+    fn = _hof_lambda(env, lam[0], v.dtype.elementType)
+    return CVal(
+        F.array_sort(v.col, lambda x, y: fn(x, y).num().cast("int")), v.dtype
+    )
+
+
+@expr_fn("reduce")
+def _fn_reduce(env, a, init, lam):
+    v = _arr(env, a)
+    init_v = _v(env, init)
+    fn = _hof_lambda(env, lam, v.dtype.elementType)
+    return CVal(
+        F.aggregate(v.col, init_v.num(), lambda acc, x: fn(acc, x).num()),
+        T.DoubleType(),
+    )

@@ -153,3 +153,41 @@ def test_script_time_methods(spark):
     )
     v = plan.validate(df, keys=["id"]).violations.collect()
     assert len(v) == 1 and v[0]["info"] == "err :[march]"
+
+
+@pytest.fixture()
+def arr_docs(spark):
+    return spark.createDataFrame(
+        [("a", [1, -2, 3, 10]), ("b", [5, 6])],
+        "id string, nums array<int>",
+    )
+
+
+def test_script_lambda_filter_and_every(spark, arr_docs):
+    plan = js.compile_schema(
+        {"script": ["if(len(filter($.nums, {x} => x < 0)) > 0, "
+                    "return('has negative'))"]}
+    )
+    v = plan.validate(arr_docs, keys=["id"]).violations.collect()
+    assert [r["id"] for r in v] == ["a"]
+
+    plan2 = js.compile_schema(
+        {"script": ["if(every($.nums, {x} => x > 0), return('all positive'))"]}
+    )
+    v2 = plan2.validate(arr_docs, keys=["id"]).violations.collect()
+    assert [r["id"] for r in v2] == ["b"]
+
+
+def test_script_lambda_reduce(spark, arr_docs):
+    plan = js.compile_schema(
+        {"script": ["if(reduce($.nums, 0, {acc, x} => acc + x) == 12, "
+                    "return('sums twelve'))"]}
+    )
+    v = plan.validate(arr_docs, keys=["id"]).violations.collect()
+    assert [r["id"] for r in v] == ["a"]  # 1-2+3+10 = 12
+
+
+def test_lambda_outside_hof_rejected(spark, arr_docs):
+    plan = js.compile_schema({"script": ["$.id = ({x} => x)"]})
+    with pytest.raises(Exception, match="lambda"):
+        plan.transform(arr_docs)
