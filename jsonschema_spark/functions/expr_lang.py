@@ -306,9 +306,8 @@ class Parser:
                 elif isinstance(e, Ref):
                     e = Ref(f"{e.path}.{name.text}" if e.path else name.text)
                 else:
-                    raise ExprError(
-                        f"member access '.{name.text}' only on $ refs or as method call"
-                    )
+                    # struct-field access on a non-$ value (lambda vars)
+                    e = Call("__field__", [e, Lit(name.text)])
                 continue
             if t.text == "[":
                 self.next()
@@ -537,6 +536,18 @@ def expr_fn(name):
 def _compile_call(node: Call, env: Env) -> CVal:
     if node.fn == "__array__":
         return CVal(F.array(*[compile_expr(a, env).col for a in node.args]), None)
+    if node.fn == "__field__":
+        base = compile_expr(node.args[0], env)
+        name = node.args[1].value
+        if isinstance(base.dtype, T.StructType):
+            for f_ in base.dtype.fields:
+                if f_.name == name:
+                    return CVal(base.col.getField(name), f_.dataType)
+        if isinstance(base.dtype, T.MapType):
+            return CVal(
+                F.try_element_at(base.col, F.lit(name)), base.dtype.valueType
+            )
+        return CVal(base.col.getField(name), None)
     fn = _FN.get(node.fn)
     if fn is None:
         raise ExprError(f"unknown function '{node.fn}' (supported: {sorted(_FN)})")
@@ -787,14 +798,19 @@ for _part, _f in [("day", F.dayofmonth), ("hour", F.hour), ("month", F.month),
 # whole thing stays a codegen'd Spark higher-order expression
 # (reference `all`/`for` funcs.go:108-121, lambdas lambda.go:10-56).
 
-def _hof_lambda(env: Env, lam, elem_dtype):
+def _hof_lambda(env: Env, lam, dtypes):
+    """dtypes: per-parameter static types (list), or a single type
+    applied to a one-parameter lambda."""
     if not isinstance(lam, Lambda):
         raise ExprError("expected a lambda literal, e.g. {x} => x > 3")
+    if not isinstance(dtypes, (list, tuple)):
+        dtypes = [dtypes]
 
     def spark_fn(*cols):
         inner = Env(env.root, env.vars)
-        for name, col in zip(lam.params, cols):
-            inner.vars[name] = CVal(col, elem_dtype if len(cols) == 1 else None)
+        for i, (name, col) in enumerate(zip(lam.params, cols)):
+            dt = dtypes[i] if i < len(dtypes) else None
+            inner.vars[name] = CVal(col, dt)
         return compile_expr(lam.body, inner)
 
     return spark_fn
@@ -818,7 +834,23 @@ def _fn_filter(env, a, lam):
 def _fn_map(env, a, lam):
     v = _arr(env, a)
     fn = _hof_lambda(env, lam, v.dtype.elementType)
-    return CVal(F.transform(v.col, lambda x: fn(x).col), None)
+    # static element type when the body's type is known (enables
+    # chained member access / nested flatten)
+    probe = fn(F.lit(None))
+    out_dt = T.ArrayType(probe.dtype) if probe.dtype is not None else None
+    return CVal(F.transform(v.col, lambda x: fn(x).col), out_dt)
+
+
+@expr_fn("flatten")
+def _fn_flatten(env, a):
+    v = _v(env, a)
+    inner = (
+        v.dtype.elementType
+        if isinstance(v.dtype, T.ArrayType)
+        and isinstance(v.dtype.elementType, T.ArrayType)
+        else None
+    )
+    return CVal(F.flatten(v.col), inner)
 
 
 @expr_fn("all")
@@ -846,7 +878,7 @@ def _fn_sort(env, a, *lam):
     v = _arr(env, a)
     if not lam:
         return CVal(F.array_sort(v.col), v.dtype)
-    fn = _hof_lambda(env, lam[0], v.dtype.elementType)
+    fn = _hof_lambda(env, lam[0], [v.dtype.elementType, v.dtype.elementType])
     return CVal(
         F.array_sort(v.col, lambda x, y: fn(x, y).num().cast("int")), v.dtype
     )
@@ -854,9 +886,24 @@ def _fn_sort(env, a, *lam):
 
 @expr_fn("reduce")
 def _fn_reduce(env, a, init, lam):
+    """Fold; the init literal's type picks numeric vs string folding
+    (the reference's dynamic values fold whatever the body returns)."""
     v = _arr(env, a)
     init_v = _v(env, init)
-    fn = _hof_lambda(env, lam, v.dtype.elementType)
+    is_str = isinstance(init_v.dtype, T.StringType) or (
+        isinstance(init, Lit) and isinstance(init.value, str)
+    )
+    acc_dt = T.StringType() if is_str else T.DoubleType()
+    fn = _hof_lambda(env, lam, [acc_dt, v.dtype.elementType])
+    if isinstance(init_v.dtype, T.StringType) or (
+        isinstance(init, Lit) and isinstance(init.value, str)
+    ):
+        return CVal(
+            F.aggregate(
+                v.col, init_v.str_(), lambda acc, x: fn(acc, x).str_()
+            ),
+            T.StringType(),
+        )
     return CVal(
         F.aggregate(v.col, init_v.num(), lambda acc, x: fn(acc, x).num()),
         T.DoubleType(),

@@ -191,3 +191,24 @@ def test_lambda_outside_hof_rejected(spark, arr_docs):
     plan = js.compile_schema({"script": ["$.id = ({x} => x)"]})
     with pytest.raises(Exception, match="lambda"):
         plan.transform(arr_docs)
+
+
+def test_script_nested_foreach_accumulation(spark):
+    """The reference's TestForeach `line` example
+    (benchmark_test.go:411-423): nested foreach concatenating
+    ws[*].w[*].c — expressed as flatten+map+reduce in script form."""
+    df = spark.createDataFrame(
+        [("d1",
+          [{"w": [{"c": "ni"}, {"c": "hao"}]},
+           {"w": [{"c": "hello"}, {"c": "world"}]}],
+          None)],
+        "id string, ws array<struct<w:array<struct<c:string>>>>, line string",
+    )
+    plan = js.compile_schema(
+        {"script": [
+            "$.line = reduce(flatten(map($.ws, {x} => x.w)), '', "
+            "{acc, e} => acc + e.c)",
+        ]}
+    )
+    out = plan.transform(df).collect()[0]
+    assert out["line"] == "nihaohelloworld"
