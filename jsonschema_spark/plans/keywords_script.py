@@ -89,71 +89,142 @@ def _reject_side_effects(node, path) -> None:
             _reject_side_effects(sub, path)
 
 
+def _parse_items(operand, path):
+    """Parse the script operand into a statement tree: strings parse
+    to expression statements (ParseFromJSONObj string case); `#`-led
+    strings are comments (noneExpr, expr/script.go:793-795); dicts are
+    the object statement forms ({"if":cond,"then":..,"else":..} and
+    {"switch":val,"case":{..},"default":..}, script.go:546-548)."""
+    items = operand if isinstance(operand, list) else [operand]
+    out = []
+    for it in items:
+        if isinstance(it, str):
+            if it.strip().startswith("#"):
+                continue
+            out.extend(parse_statements(it))
+        elif isinstance(it, dict):
+            if "if" in it:
+                cond = parse_statements(it["if"])
+                if len(cond) != 1:
+                    raise SchemaError(f"script if condition must be one expression, path:{path}")
+                out.append({
+                    "kind": "if",
+                    "cond": cond[0],
+                    "then": _parse_items(it.get("then", []), path),
+                    "else": _parse_items(it.get("else", []), path),
+                })
+            elif "switch" in it:
+                sval = parse_statements(it["switch"])
+                if len(sval) != 1:
+                    raise SchemaError(f"script switch value must be one expression, path:{path}")
+                out.append({
+                    "kind": "switch",
+                    "value": sval[0],
+                    "case": {
+                        str(k): _parse_items(v, path)
+                        for k, v in (it.get("case") or {}).items()
+                    },
+                    "default": _parse_items(it.get("default", []), path),
+                })
+            elif "for" in it:
+                raise SchemaError(
+                    "script 'for' statements are data-dependent loops — "
+                    "use filter/map/reduce lambdas instead "
+                    f"(SURVEY §2.6), path:{path}"
+                )
+            else:
+                raise SchemaError(f"unknown script statement object {sorted(it)} at {path}")
+        else:
+            raise SchemaError(f"script statements must be strings or objects, path:{path}")
+    return out
+
+
 @register_keyword("script")
 def kw_script(operand, path, siblings, ctx) -> Rule:
     try:
-        stmts = parse_statements(operand)
+        stmts = _parse_items(operand, path)
     except ExprError as e:
         raise SchemaError(f"script parse error at {path}: {e}") from e
 
-    _reject_side_effects(stmts, path)
+    _reject_side_effects([st for st in stmts if not isinstance(st, dict)], path)
     guards = list(ctx.guards)
 
     def compile_script(root: ValueRef):
-        """Walk statements once, building (violations, transforms)."""
-        env = Env(root)
-        overrides: dict[str, CVal] = {}
-        viols: list[Column] = []
-        assigns: list[tuple[str, CVal]] = []
-        for st in stmts:
-            env = Env(_shadowed_root(root, overrides), env.vars)
-            if isinstance(st, Assign):
-                val = compile_expr(st.value, env)
-                if isinstance(st.target, Var):
-                    env.vars[st.target.name] = val
-                else:
-                    overrides[st.target.path] = val
-                    assigns.append((st.target.path, val))
-            elif isinstance(st, Return):
-                viols.append(
-                    F.array(
-                        F.struct(
-                            F.lit(path).alias("path"),
-                            _return_message(env, st.args).alias("info"),
-                        )
-                    )
+        """Walk the statement tree once, threading an active branch
+        guard (object if/switch forms nest), building
+        (violations, transforms)."""
+        state = {
+            "env_vars": {},
+            "overrides": {},  # path -> CVal (sequential mutation view)
+            "viols": [],
+            "assigns": [],
+        }
+
+        def fresh_env():
+            e = Env(_shadowed_root(root, state["overrides"]), state["env_vars"])
+            return e
+
+        def emit_assign(tgt_path: str, val: CVal, guard):
+            if guard is not None:
+                cur = compile_expr(Ref(tgt_path), fresh_env())
+                val = CVal(F.when(guard, val.col).otherwise(cur.col), val.dtype)
+            state["overrides"][tgt_path] = val
+            state["assigns"].append((tgt_path, val))
+
+        def emit_return(args, guard, env):
+            msg = _return_message(env, args)
+            if guard is None:
+                state["viols"].append(
+                    F.array(F.struct(F.lit(path).alias("path"), msg.alias("info")))
                 )
-            elif isinstance(st, Call) and st.fn == "if":
-                if len(st.args) != 2:
-                    raise SchemaError(f"script if() needs (cond, effect) at {path}")
-                cond = compile_expr(st.args[0], env).cond_()
-                eff = st.args[1]
-                if isinstance(eff, Return):
-                    viols.append(
-                        viol_when(cond, path, _return_message(env, eff.args))
-                    )
-                elif isinstance(eff, Assign) and isinstance(eff.target, Ref):
-                    val = compile_expr(eff.value, env)
-                    cur = compile_expr(Ref(eff.target.path), env)
-                    guarded = CVal(
-                        F.when(cond, val.col).otherwise(cur.col), val.dtype
-                    )
-                    overrides[eff.target.path] = guarded
-                    assigns.append((eff.target.path, guarded))
-                else:
-                    raise SchemaError(
-                        f"script if() effect must be return(...) or $.path = ... at {path}"
-                    )
             else:
-                # bare expression: pure, no effect — reference evaluates
-                # for side effects we do not support; reject loudly
-                # only for known-effectful calls
-                if isinstance(st, Call) and st.fn in ("go", "exec", "http_request", "sleep"):
-                    raise SchemaError(
-                        f"script function '{st.fn}' is side-effectful and "
-                        f"excluded from the columnar engine (SURVEY §2.6)"
-                    )
-        return viols, assigns
+                state["viols"].append(viol_when(guard, path, msg))
+
+        def walk(nodes, guard):
+            for st in nodes:
+                env = fresh_env()
+                if isinstance(st, dict) and st.get("kind") == "if":
+                    cond = compile_expr(st["cond"], env).cond_()
+                    walk(st["then"], cond if guard is None else (guard & cond))
+                    walk(st["else"], ~cond if guard is None else (guard & ~cond))
+                elif isinstance(st, dict) and st.get("kind") == "switch":
+                    sval = compile_expr(st["value"], env).str_()
+                    matched = None
+                    for cv, sub in st["case"].items():
+                        c = sval.eqNullSafe(F.lit(cv))
+                        walk(sub, c if guard is None else (guard & c))
+                        matched = c if matched is None else (matched | c)
+                    if st["default"]:
+                        none = F.lit(True) if matched is None else ~matched
+                        walk(st["default"], none if guard is None else (guard & none))
+                elif isinstance(st, Assign):
+                    val = compile_expr(st.value, env)
+                    if isinstance(st.target, Var):
+                        # let-bindings are pure: no guard needed
+                        state["env_vars"][st.target.name] = val
+                    else:
+                        emit_assign(st.target.path, val, guard)
+                elif isinstance(st, Return):
+                    emit_return(st.args, guard, env)
+                elif isinstance(st, Call) and st.fn == "if":
+                    if len(st.args) != 2:
+                        raise SchemaError(f"script if() needs (cond, effect) at {path}")
+                    cond = compile_expr(st.args[0], env).cond_()
+                    g = cond if guard is None else (guard & cond)
+                    eff = st.args[1]
+                    if isinstance(eff, Return):
+                        emit_return(eff.args, g, env)
+                    elif isinstance(eff, Assign) and isinstance(eff.target, Ref):
+                        emit_assign(eff.target.path, compile_expr(eff.value, env), g)
+                    else:
+                        raise SchemaError(
+                            f"script if() effect must be return(...) or $.path = ... at {path}"
+                        )
+                # bare pure expressions: no effect (side-effectful calls
+                # were rejected at compile time)
+
+        walk(stmts, None)
+        return state["viols"], state["assigns"]
 
     # transforms: registered once at compile time; they re-walk the
     # statements against the *current* DataFrame when applied

@@ -212,3 +212,44 @@ def test_script_nested_foreach_accumulation(spark):
     )
     out = plan.transform(df).collect()[0]
     assert out["line"] == "nihaohelloworld"
+
+
+def test_script_object_if_statement(spark, docs):
+    """{"if": cond, "then": ..., "else": ...} object form
+    (reference ParseFromJSONObj, expr/script.go:556-589)."""
+    plan = js.compile_schema(
+        {"script": [
+            {"if": "$.age > 20",
+             "then": ["$.hd = 'old'", "if($.name == 'dd', return('old dd'))"],
+             "else": "$.hd = 'young'"},
+        ]}
+    )
+    out = {r["name"]: r["hd"] for r in plan.transform(docs).collect()}
+    assert out == {"dd": "old", "ee": "young", "ff": "young"}
+    v = plan.validate(docs, keys=["name"]).violations.collect()
+    assert [r["name"] for r in v] == ["dd"]
+
+
+def test_script_object_switch_statement(spark, docs):
+    plan = js.compile_schema(
+        {"script": [
+            {"switch": "$.name",
+             "case": {"dd": "$.hd = 'double-d'", "ee": "$.hd = 'double-e'"},
+             "default": "$.hd = 'other'"},
+        ]}
+    )
+    out = {r["name"]: r["hd"] for r in plan.transform(docs).collect()}
+    assert out == {"dd": "double-d", "ee": "double-e", "ff": "other"}
+
+
+def test_script_comment_lines_skipped(spark, docs):
+    plan = js.compile_schema(
+        {"script": ["# this is a comment", "$.hd = 'x'"]}
+    )
+    out = plan.transform(docs).select("hd").distinct().collect()
+    assert [r["hd"] for r in out] == ["x"]
+
+
+def test_script_for_statement_rejected(spark):
+    with pytest.raises(js.SchemaError, match="filter/map/reduce"):
+        js.compile_schema({"script": [{"for": "k,v in $.ws", "do": []}]})
