@@ -167,6 +167,43 @@ def flagship_suite(spark: SparkSession, path: str) -> dict:
     }
 
 
+def gateway_benchmark(spark: SparkSession, n_rows: int = 10_000_000) -> dict:
+    """The reference's OWN benchmark workload (exampleSchema,
+    benchmark_test.go:286-308: 955ns/op = ~1.05M validations/s/core on
+    an i7): the same gateway rule compiled columnar, over a
+    deterministic request corpus.  Rebuilds the plan per run (Spark 4
+    collect-result caching)."""
+    import jsonschema_spark as js
+    from jsonschema_spark.sources.fixtures import GATEWAY_SCHEMA, gateway_requests
+
+    path = f"{BENCH_TMP}/gateway_{n_rows}.parquet"
+    if not os.path.exists(path):
+        gateway_requests(spark, n_rows, partitions=64).write.mode("overwrite").parquet(path)
+
+    def job():
+        df = spark.read.parquet(path)
+        plan = js.compile_schema(GATEWAY_SCHEMA)
+        return plan.annotate(df).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.size("violations") > 0).cast("long")).alias("bad"),
+        )
+
+    job().collect()  # warm
+    best, rows, bad = None, 0, 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        r = job().collect()
+        dt = time.monotonic() - t0
+        rows, bad = r[0]["rows"], r[0]["bad"]
+        best = dt if best is None else min(best, dt)
+    return {
+        "rows": rows,
+        "bad_rows": bad,
+        "wall_sec": round(best, 3),
+        "validations_per_sec": round(rows / best, 1),
+    }
+
+
 def bench_queries(spark: SparkSession) -> dict[str, float]:
     import __spark_entry__ as E
 
@@ -254,6 +291,10 @@ def main() -> None:
     path = transcripts_path(spark, n_convs)
     flagship = flagship_suite(spark, path)
     log(f"flagship: {flagship}")
+    gateway = gateway_benchmark(
+        spark, int(os.environ.get("SPARK_GRAFT_GATEWAY_ROWS", "10000000"))
+    )
+    log(f"gateway: {gateway}")
     # scaling needs a longer job: fixed driver/scheduling overhead
     # (~0.5s) is a 30% penalty on a 1.6s 32-core run but 4% on the
     # 8-core run, which systematically understates the ratio
@@ -269,6 +310,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_turns_per_sec": flagship["turns_per_sec"],
         "flagship": flagship,
+        "gateway_validations_per_sec": gateway["validations_per_sec"],
+        "gateway": gateway,
     }
     if do_scaling:
         result["scaling"] = scaling_evidence(scale_path)

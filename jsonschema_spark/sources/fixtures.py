@@ -171,3 +171,56 @@ TRANSCRIPT_FULL_SCHEMA = {
     "if": {"keyMatch": {"role": "tool"}},
     "then": {"required": ["tool"]},
 }
+
+
+def gateway_requests(spark: SparkSession, n_rows: int = 1_000_000,
+                     seed: int = 42, now: int = 1_700_000_000,
+                     partitions: int | None = None) -> DataFrame:
+    """Deterministic corpus for the reference's flagship gateway rule
+    (exampleSchema shape, benchmark_test.go:12-47 exampleJSON): ~2%
+    bad school, ~1% bad signature, ~1% stale timestamp, ~2% property
+    violations; signatures computed with the same md5(concat) the rule
+    checks."""
+    df = spark.range(n_rows, numPartitions=partitions)
+    rid = F.col("id")
+    name = F.when(_u(seed, "gw_name", rid) < 0.02, F.format_string("x%04d", F.pmod(rid, 10000))) \
+            .otherwise(F.format_string("bob%04d", F.pmod(rid, 10000)))
+    age = F.when(_u(seed, "gw_age", rid) < 0.01, F.lit(130.0)) \
+           .otherwise((F.pmod(_h(seed, "age", rid), F.lit(80)) + 18).cast("double"))
+    school = F.when(_u(seed, "gw_sch", rid) < 0.02, F.lit("wh")).otherwise(F.lit("xx"))
+    hobby_ok = F.array(F.lit("ball"), F.lit("game"))
+    hobby = F.when(_u(seed, "gw_hob", rid) < 0.01, F.array(F.lit("knitting"))) \
+             .otherwise(hobby_ok)
+    ts = F.when(_u(seed, "gw_ts", rid) < 0.01, F.lit(now - 4000)) \
+          .otherwise(F.lit(now) + F.pmod(_h(seed, "jit", rid), F.lit(200)) - 100)
+    sig_true = F.md5(F.concat(name, ts.cast("string"), F.lit("secret1")).cast("binary"))
+    sig = F.when(_u(seed, "gw_sig", rid) < 0.01, F.lit("bad")).otherwise(sig_true)
+    return df.select(
+        name.alias("name"), age.alias("age"), school.alias("school"),
+        hobby.alias("hobby"), ts.cast("long").alias("timestamp"), sig.alias("sig"),
+    )
+
+
+GATEWAY_SCHEMA = {
+    "set": {
+        "userinfo": ["append()", "${name}", ":", "${age}"],
+        "user_info": ["sprintf()", "name:%s  age:%s", "${name}", "${age}"],
+    },
+    "and": [
+        {"if": {"neq": {"school": "wh"}},
+         "then": {"set": {"skip_it": True}},
+         "else": {"error": ["sprintf()", "invalid school '%v'", "${school}"]}},
+        {"if": {"not": {"eq": {"sig": [
+            "md5.hex()", ["append()", "${name}", "${timestamp}", "secret1"]]}}},
+         "then": {"error": "sig not match"}},
+        {"if": {"not": {"lt": {"timestamp": 1_700_000_300},
+                          "gt": {"timestamp": 1_699_999_700}}},
+         "then": {"error": "time is valid"}},
+    ],
+    "properties": {
+        "age": {"type": "number", "maximum": 100, "minimum": 0},
+        "hobby": {"type": "array",
+                   "items": {"type": "string", "enum": ["ball", "game", "music"]}},
+        "name": {"type": "string", "startWith": "b", "maxLength": 32},
+    },
+}
