@@ -11,6 +11,8 @@ from .checks import (
     Uniqueness,
 )
 
+from . import dedup, multimodal, order, similarity, sketches, skew, text  # noqa: E402,F401
+
 __all__ = [
     "Check",
     "CheckSuite",
@@ -19,4 +21,11 @@ __all__ = [
     "ReferentialIntegrity",
     "SchemaCheck",
     "Uniqueness",
+    "dedup",
+    "multimodal",
+    "order",
+    "similarity",
+    "sketches",
+    "skew",
+    "text",
 ]

@@ -1,0 +1,17 @@
+"""Structured Streaming validation: stateless plan annotation,
+watermarked windowed verdicts, bounded-state dedup, and
+applyInPandasWithState conversation tracking."""
+
+from .validate import (
+    annotate_stream,
+    stateful_dedup_stream,
+    violation_rate_alert,
+    windowed_verdicts,
+)
+
+__all__ = [
+    "annotate_stream",
+    "stateful_dedup_stream",
+    "violation_rate_alert",
+    "windowed_verdicts",
+]
