@@ -639,6 +639,27 @@ def q_multimodal_frame_samples(spark, sf_dir):
     return multimodal.sample_frames(m, every_n=4, fake=True)
 
 
+def q_events_user_sequence(spark, sf_dir):
+    """Skew-safe ordered collect (operators.skew.salted_collect_list):
+    per-user event-type sequence under deterministic (ts, event_id)
+    ordering, joined to a '>'-separated string for engine-portable
+    comparison."""
+    from jsonschema_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    item = F.struct(secs.alias("o1"), F.col("event_id").alias("o2"),
+                    F.col("event_type").alias("v"))
+    out = salted_agg(
+        ev, ["user_id"],
+        aggs={"part": F.collect_list(item)},
+        merges={"part": F.flatten(F.collect_list("part"))},
+        buckets=8,
+    )
+    seq = F.array_join(F.transform(F.array_sort("part"), lambda s: s["v"]), ">")
+    return out.select("user_id", seq.alias("sequence"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -667,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q_q5_nation_revenue,
         "window_rank_events": q_window_rank_events,
         "sessionize_events": q_sessionize_events,
+        "events_user_sequence": q_events_user_sequence,
         "rollup_orders": q_rollup_orders,
         "scalar_funcs": q_scalar_funcs,
         "json_extract_events": q_json_extract_events,
@@ -1158,6 +1180,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
                    count(*) AS n_events
             FROM w GROUP BY user_id
+        """,
+        "events_user_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                       AS sequence
+            FROM events GROUP BY user_id
         """,
         "rollup_orders": """
             SELECT COALESCE(o_orderstatus, '(all)') AS status,
