@@ -45,9 +45,9 @@ from pyspark.sql import SparkSession
 
 
 def build_suite(spark: SparkSession, cfg: dict):
-    from . import compile_schema
-    from .operators import checks
-    from .sources.tables import read_table
+    from jsonschema_spark import compile_schema
+    from jsonschema_spark.operators import checks
+    from jsonschema_spark.sources.tables import read_table
 
     suite = []
     if cfg.get("schema"):
@@ -102,9 +102,9 @@ def build_suite(spark: SparkSession, cfg: dict):
 
 
 def cmd_run(args) -> int:
-    from .checkpoint import CheckpointManifest, ResumableRun
-    from .operators.checks import CheckSuite
-    from .sources.tables import read_table, write_output
+    from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+    from jsonschema_spark.operators.checks import CheckSuite
+    from jsonschema_spark.sources.tables import read_table, write_output
 
     cfg = json.load(open(args.config))
     spark = (
@@ -134,7 +134,7 @@ def cmd_run(args) -> int:
         verdicts.show(100, truncate=False)
 
     if out.get("violations") and cfg.get("schema"):
-        from . import compile_schema
+        from jsonschema_spark import compile_schema
 
         plan = compile_schema(cfg["schema"])
         viols = plan.validate(df, keys=cfg.get("keys", [])).violations
@@ -146,8 +146,8 @@ def cmd_run(args) -> int:
 
 def cmd_validate(args) -> int:
     """Ad-hoc: show violations of one schema over one table."""
-    from . import compile_schema
-    from .sources.tables import read_table
+    from jsonschema_spark import compile_schema
+    from jsonschema_spark.sources.tables import read_table
 
     spark = SparkSession.builder.appName("jsonschema_spark-validate").getOrCreate()
     doc = json.load(open(args.schema))
