@@ -117,9 +117,12 @@ def _validation_agg(spark: SparkSession, path: str):
 
     df = spark.read.parquet(path)
     plan = js.compile_schema(TRANSCRIPT_FULL_SCHEMA)
-    return plan.annotate(df).agg(
+    # predicate hot path (plans/predicate.py): verdict counting without
+    # violation-array construction
+    pred = plan.fail_predicate(df)
+    return df.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.sum((F.size("violations") > 0).cast("long")).alias("bad_rows"),
+        F.sum(pred.cast("long")).alias("bad_rows"),
     )
 
 
@@ -183,9 +186,10 @@ def gateway_benchmark(spark: SparkSession, n_rows: int = 10_000_000) -> dict:
     def job():
         df = spark.read.parquet(path)
         plan = js.compile_schema(GATEWAY_SCHEMA)
-        return plan.annotate(df).agg(
+        pred = plan.fail_predicate(df)
+        return df.agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum((F.size("violations") > 0).cast("long")).alias("bad"),
+            F.sum(pred.cast("long")).alias("bad"),
         )
 
     job().collect()  # warm

