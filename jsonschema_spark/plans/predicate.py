@@ -446,3 +446,130 @@ def compile_fail_predicate(plan) -> "callable":
         # probe has no schema; only Unsupported is meaningful here
         pass
     return build
+
+
+# --- remaining §2.1 keywords (exact array-path semantics mirrored,
+# including the no-null-skip behaviour of the map forms) -------------
+
+@_kw("format")
+def _p_format(operand, ref, siblings, ctx):
+    from .formats import compile_format
+
+    if ref.dtype is not None and not isinstance(
+        ref.dtype, (T.StringType, T.TimestampType, T.DateType)
+    ):
+        return None
+    check = compile_format(str(operand))
+    return _skipnull(ref, ~F.coalesce(check(ref.col.cast("string")), F.lit(False)))
+
+
+@_kw("patterns")
+def _p_patterns(operand, ref, siblings, ctx):
+    out = _false()
+    for jp, pat in operand.items():
+        target = resolve(ref, jp)
+        s = F.coalesce(string_of(target.col, target.dtype), F.lit(""))
+        out = out | ~s.rlike(str(pat))
+    return out
+
+
+def _p_in_impl(operand, ref, ctx, negate: bool):
+    from ..core.coerce import coercing_equal
+    from ..functions.values import parse_value
+
+    out = _false()
+    for jp, lst in operand.items():
+        target = resolve(ref, jp)
+        ok = F.lit(False)
+        for v in lst:
+            b = parse_value(v).bind(ref)
+            ok = ok | F.coalesce(
+                coercing_equal(target.col, target.dtype, b.col, b.dtype),
+                F.lit(False),
+            )
+        out = out | (ok if negate else ~ok)
+    return out
+
+
+_KW["in"] = lambda o, r, s, c: _p_in_impl(o, r, c, negate=False)
+_KW["notin"] = lambda o, r, s, c: _p_in_impl(o, r, c, negate=True)
+
+
+@_kw("ipIn")
+def _p_ip_in(operand, ref, siblings, ctx):
+    import ipaddress
+
+    out = _false()
+    for jp, cidrs in operand.items():
+        target = resolve(ref, jp)
+        s = string_of(target.col, target.dtype)
+        parts = F.split(s, r"\.")
+        valid = (F.size(parts) == 4) & s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+        octets = [F.try_element_at(parts, F.lit(i + 1)).try_cast("long") for i in range(4)]
+        in_range = F.lit(True)
+        for o in octets:
+            in_range = in_range & o.isNotNull() & (o >= 0) & (o <= 255)
+        num = F.when(
+            valid & in_range,
+            octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3],
+        )
+        ok = F.lit(False)
+        for cdr in cidrs:
+            cs = str(cdr)
+            if "/" not in cs:
+                cs += "/32"
+            net = ipaddress.ip_network(cs, strict=False)
+            ok = ok | ((num >= int(net.network_address)) & (num <= int(net.broadcast_address)))
+        out = out | ~F.coalesce(ok, F.lit(False))
+    return out
+
+
+@_kw("maxB64DLen")
+def _p_max_b64(operand, ref, siblings, ctx):
+    if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
+        return None
+    dlen = F.floor(_octlen(ref.col) / 4) * 3
+    return _skipnull(ref, dlen > int(operand))
+
+
+@_kw("minB64DLen")
+def _p_min_b64(operand, ref, siblings, ctx):
+    if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
+        return None
+    dlen = F.floor(_octlen(ref.col) / 4) * 3
+    return _skipnull(ref, dlen < int(operand))
+
+
+@_kw("children")
+def _p_children(operand, ref, siblings, ctx):
+    out = _false()
+    for k, sub in operand.items():
+        child = ref.child(str(k))
+        if not child.exists:
+            continue
+        out = out | F.when(child.null(), F.lit(False)).otherwise(
+            compile_fail(sub, child, ctx)
+        )
+    return out
+
+
+def _p_propcount(ref):
+    from .keywords_base import _prop_count
+
+    return _prop_count(ref)
+
+
+@_kw("minProperties")
+def _p_min_props(operand, ref, siblings, ctx):
+    cnt = _p_propcount(ref)
+    return None if cnt is None else _skipnull(ref, cnt < int(operand))
+
+
+@_kw("maxProperties")
+def _p_max_props(operand, ref, siblings, ctx):
+    cnt = _p_propcount(ref)
+    if cnt is None:
+        return None
+    if ctx.options.get("replicate_max_properties_bug"):
+        return _skipnull(ref, cnt < int(operand))
+    return _skipnull(ref, cnt > int(operand))

@@ -85,3 +85,30 @@ def test_schemacheck_uses_predicate_counts(spark):
         .collect()[0]["n"]
     )
     assert int(v["metrics"]["bad_rows"]) == slow
+
+
+def test_predicate_full_keyword_breadth(spark):
+    """format/in/notin/ipIn/B64/children/prop-counts/patterns also run
+    on the predicate path, agreeing with the array path."""
+    df = spark.createDataFrame(
+        [
+            (1, "10.0.0.5", "a@b.com", "YWJjZA==", {"x": "1"}, "ball"),
+            (2, "8.8.8.8", "nope", "YWJjZGVmZ2hpamts", {"x": "1", "y": "2", "z": "3"}, "golf"),
+            (3, None, None, None, None, None),
+        ],
+        "id int, ip string, mail string, blob string, m map<string,string>, hobby string",
+    )
+    doc = {
+        "properties": {
+            "mail": {"format": "email"},
+            "blob": {"maxB64DLen": 6},
+            "m": {"maxProperties": 2},
+        },
+        "ipIn": {"ip": ["10.0.0.0/24"]},
+        "in": {"hobby": ["ball", "game"]},
+        "patterns": {"ip": "^[0-9.]*$"},
+        "children": {"mail": {"minLength": 3}},
+    }
+    plan = js.compile_schema(doc)
+    fast, slow = _bad_counts(plan, df)
+    assert fast == slow
