@@ -660,6 +660,20 @@ def q_events_user_sequence(spark, sf_dir):
     return out.select("user_id", seq.alias("sequence"))
 
 
+def q_verdict_counts_orders(spark, sf_dir):
+    """The predicate-only hot path (plans/predicate.py) under the
+    oracle: per-status row/bad-row counts from the compiled boolean,
+    no violation arrays."""
+    orders = _t(spark, sf_dir, "orders")
+    plan = js.compile_schema(ORDERS_SCHEMA)
+    pred = plan.fail_predicate(orders)
+    assert pred is not None
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(pred.cast("long")).alias("bad_rows"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -671,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "validate_part": q_validate_part,
         "validate_customer_combinators": q_validate_customer_combinators,
+        "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
         "window_gaps": q_window_gaps,
@@ -1000,6 +1015,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, '$.c_acctbal', 'should greater than 500'
               FROM c WHERE c_mktsegment = 'FURNITURE'
                        AND NOT (c_acctbal > 500)
+        """,
+        "verdict_counts_orders": """
+            SELECT o_orderstatus, count(*) AS rows,
+                   SUM(CASE WHEN
+                        (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
+                     OR (o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000))
+                     OR (o_totalprice IS NOT NULL AND NOT (o_totalprice <= 400000))
+                     OR (o_orderpriority IS NOT NULL
+                         AND NOT regexp_matches(o_orderpriority, '^[1-4]-[A-Z ]+$'))
+                     OR o_orderkey IS NULL OR o_custkey IS NULL OR o_orderstatus IS NULL
+                   THEN 1 ELSE 0 END) AS bad_rows
+            FROM orders GROUP BY o_orderstatus
         """,
         "events_top_users": """
             SELECT user_id, count(*) AS n_events FROM events
