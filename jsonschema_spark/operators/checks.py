@@ -298,7 +298,12 @@ class Drift(Check):
     """
 
     column: str
-    baseline: DataFrame
+    baseline: DataFrame | None = None
+    # alternative to a live baseline DataFrame: a stored quantile
+    # summary written by save_baseline() — the production drift flow
+    # compares each run against the PREVIOUS run's sketch, not a
+    # recomputed scan (FIXTURES.md §7 'stored baseline')
+    baseline_path: str | None = None
     n_quantiles: int = 20
     psi_threshold: float = 0.2
     ks_threshold: float = 0.2
@@ -353,9 +358,20 @@ class Drift(Check):
         ks = max(abs(cdf(base_q, x) - cdf(cur_q, x)) for x in grid)
         return psi, ks
 
+    def save_baseline(self, df: DataFrame, path: str) -> None:
+        """Persist this run's quantile summary as the next run's
+        baseline (one tiny row; parquet overwrite is atomic enough
+        at this size — use an Iceberg table in production)."""
+        self._quantiles(df, pid=False).write.mode("overwrite").parquet(path)
+
     def verdicts(self, df: DataFrame) -> DataFrame:
         spark = df.sparkSession
-        base = self._quantiles(self.baseline, pid=False).collect()
+        if self.baseline_path is not None:
+            base = spark.read.parquet(self.baseline_path).collect()
+        elif self.baseline is not None:
+            base = self._quantiles(self.baseline, pid=False).collect()
+        else:
+            raise ValueError("Drift needs a baseline DataFrame or baseline_path")
         base_q = list(base[0]["quantiles"]) if base else []
         cur = self._quantiles(df, pid=True).collect()
         rows = []

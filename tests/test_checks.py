@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import jsonschema_spark as js
@@ -134,3 +135,23 @@ def test_suite_over_transcripts(spark):
     paths = {r["path"] for r in viols.limit(200).collect()}
     assert paths <= {"$.conv_id", "$.turn_idx", "$.role", "$.text"}
     df.unpersist()
+
+
+def test_drift_stored_baseline_roundtrip(spark, tmp_path):
+    """Production drift flow: run N stores its quantile sketch; run N+1
+    compares against the stored baseline instead of rescanning."""
+    base = spark.range(0, 8000).select((F.col("id") % 100).cast("double").alias("v"))
+    path = str(tmp_path / "baseline_q")
+    chk = checks.Drift(column="v", baseline=base)
+    chk.save_baseline(base, path)
+
+    same = spark.range(0, 4000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 4000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("v")
+    )
+    stored = checks.Drift(column="v", baseline_path=path)
+    assert _verdict(stored.verdicts(same), "drift")["pass"] is True
+    assert _verdict(stored.verdicts(shifted), "drift")["pass"] is False
+
+    with pytest.raises(ValueError, match="baseline"):
+        checks.Drift(column="v").verdicts(same)

@@ -337,3 +337,38 @@ def test_strict_udf_formats(spark):
     df2 = spark.createDataFrame([(1, "a(b"), (2, "a.*b")], "id int, e string")
     bad2 = sorted(r["id"] for r in plan2.validate(df2, keys=["id"]).violations.collect())
     assert bad2 == [1]
+
+
+def test_items_object_subschema_on_struct_elements(spark):
+    """items with a full object sub-schema per element (the reference's
+    nested-document case): required/enum/bounds on struct fields."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"role": "user", "n": 1}, {"role": "assistant", "n": 2}]),
+            (2, [{"role": "narrator", "n": -1}]),
+            (3, None),
+        ],
+        "id int, turns array<struct<role:string,n:int>>",
+    )
+    plan = js.compile_schema(
+        {
+            "properties": {
+                "turns": {
+                    "type": "array",
+                    "items": {
+                        "required": ["role"],
+                        "properties": {
+                            "role": {"enum": ["user", "assistant"]},
+                            "n": {"minimum": 0},
+                        },
+                    },
+                }
+            }
+        }
+    )
+    v = plan.validate(df, keys=["id"]).violations.collect()
+    got = sorted((r["id"], r["path"]) for r in v)
+    assert (2, "$.turns[*].role") in got and (2, "$.turns[*].n") in got
+    assert all(i != 1 and i != 3 for i, _ in got)  # valid + null skip
