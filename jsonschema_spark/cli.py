@@ -22,7 +22,8 @@ sources.tables.read_table)::
         ],
         "stats": {"columns": ["role", "text"], "approx": true,
                    "expectations": {"role": {"max_null_rate": 0.01}}},
-        "drift": {"column": "text_len", "baseline": "/data/baseline.parquet"}
+        "drift": {"column": "text_len", "baseline_path": "/state/drift_q",
+                   "save_baseline_to": "/state/drift_q_next"}
       },
       "output": {
         "verdicts": "/out/verdicts",
@@ -92,7 +93,10 @@ def build_suite(spark: SparkSession, cfg: dict):
         suite.append(
             checks.Drift(
                 column=d["column"],
-                baseline=read_table(spark, d["baseline"]),
+                baseline=(
+                    read_table(spark, d["baseline"]) if d.get("baseline") else None
+                ),
+                baseline_path=d.get("baseline_path"),
                 partition_by=cfg.get("partition_by"),
                 psi_threshold=float(d.get("psi_threshold", 0.2)),
                 ks_threshold=float(d.get("ks_threshold", 0.2)),
@@ -139,6 +143,15 @@ def cmd_run(args) -> int:
         plan = compile_schema(cfg["schema"])
         viols = plan.validate(df, keys=cfg.get("keys", [])).violations
         write_output(viols, out["violations"])
+
+    # store this run's quantile summary as the next run's drift baseline
+    d = cfg.get("checks", {}).get("drift")
+    if d and d.get("save_baseline_to"):
+        from jsonschema_spark.operators.checks import Drift
+
+        Drift(column=d["column"], baseline_path=d.get("baseline_path")).save_baseline(
+            df, d["save_baseline_to"]
+        )
 
     print(f"checks_failed={n_fail}", file=sys.stderr)
     return 1 if n_fail and args.fail_on_violation else 0

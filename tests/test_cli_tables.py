@@ -78,3 +78,35 @@ def test_write_output_partitioned(spark, data_dir, tmp_path):
     write_output(df.limit(50), str(tmp_path / "out"), partition_by=["role"])
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 50
+
+
+def test_cli_drift_baseline_cycle(spark, data_dir, tmp_path):
+    """Run N saves the drift sketch; run N+1 consumes it via
+    baseline_path — the continuous-drift operational loop."""
+    import json
+
+    from jsonschema_spark.cli import main
+
+    qpath = str(tmp_path / "drift_q")
+    cfg = {
+        "source": str(data_dir / "transcripts"),
+        "checks": {
+            "uniqueness": {"keys": ["conv_id", "turn_idx"]},
+            "drift": {"column": "turn_idx", "baseline": str(data_dir / "transcripts"),
+                       "save_baseline_to": qpath},
+        },
+        "output": {"verdicts": str(tmp_path / "v1")},
+    }
+    p1 = tmp_path / "c1.json"
+    p1.write_text(json.dumps(cfg))
+    assert main(["run", str(p1)]) == 0
+
+    cfg2 = dict(cfg)
+    cfg2["checks"] = {"drift": {"column": "turn_idx", "baseline_path": qpath}}
+    cfg2["output"] = {"verdicts": str(tmp_path / "v2")}
+    p2 = tmp_path / "c2.json"
+    p2.write_text(json.dumps(cfg2))
+    assert main(["run", str(p2)]) == 0
+    v2 = spark.read.parquet(str(tmp_path / "v2"))
+    row = [r for r in v2.collect() if r["check"] == "drift"][0]
+    assert row["pass"] is True  # same distribution vs stored sketch
