@@ -328,34 +328,42 @@ class Drift(Check):
 
     @staticmethod
     def psi_ks(base_q: list[float], cur_q: list[float]) -> tuple[float, float]:
-        """Driver-side arithmetic on two quantile summaries (tiny)."""
-        import bisect
+        """Driver-side arithmetic on two quantile summaries (tiny).
 
-        n = len(base_q) - 1
-        if n <= 0:
+        STEP CDFs, not interpolation: discrete/skewed columns produce
+        REPEATED quantile knots (e.g. turn_idx's grid is [0,0,1,1,...])
+        and a piecewise-linear CDF through duplicated knots is
+        ill-defined — it reported drift for a distribution against
+        itself.  bisect_right/len is exact for the summary's point
+        masses and treats both sides identically."""
+        import bisect
+        import math
+
+        if len(base_q) < 2 or len(cur_q) < 2:
             return 0.0, 0.0
 
         def cdf(q: list[float], x: float) -> float:
-            # piecewise-linear CDF through the quantile grid
-            if x <= q[0]:
-                return 0.0
-            if x >= q[-1]:
-                return 1.0
-            i = bisect.bisect_right(q, x) - 1
-            lo, hi = q[i], q[i + 1]
-            frac = 0.0 if hi == lo else (x - lo) / (hi - lo)
-            return (i + frac) / (len(q) - 1)
+            return bisect.bisect_right(q, x) / len(q)
 
-        # PSI over equal-population baseline bins
+        # PSI over the deduped baseline grid: expected mass from the
+        # baseline's own CDF (uniform only when knots are distinct)
         eps = 1e-6
+        grid = sorted(set(base_q))
         psi = 0.0
-        for i in range(n):
-            expected = 1.0 / n
-            actual = max(cdf(cur_q, base_q[i + 1]) - cdf(cur_q, base_q[i]), eps)
-            psi += (actual - expected) * __import__("math").log(actual / expected)
+        prev_b = prev_c = 0.0
+        for g in grid:
+            b, c = cdf(base_q, g), cdf(cur_q, g)
+            expected = max(b - prev_b, eps)
+            actual = max(c - prev_c, eps)
+            psi += (actual - expected) * math.log(actual / expected)
+            prev_b, prev_c = b, c
+        # tail mass above the last baseline knot
+        expected = max(1.0 - prev_b, eps)
+        actual = max(1.0 - prev_c, eps)
+        psi += (actual - expected) * math.log(actual / expected)
         # KS on the merged grid
-        grid = sorted(set(base_q) | set(cur_q))
-        ks = max(abs(cdf(base_q, x) - cdf(cur_q, x)) for x in grid)
+        merged = sorted(set(base_q) | set(cur_q))
+        ks = max(abs(cdf(base_q, x) - cdf(cur_q, x)) for x in merged)
         return psi, ks
 
     def save_baseline(self, df: DataFrame, path: str) -> None:
