@@ -157,7 +157,7 @@ class Parser:
     """Pratt parser over the token stream."""
 
     BIN_PREC = {
-        "||": 2, "or": 2, "orr": 2,
+        "||": 2, "or": 2, "orr": 2, "??": 2,
         "&&": 3,
         "in": 4,
         "==": 5, "!=": 5,
@@ -203,6 +203,12 @@ class Parser:
             if not isinstance(e, (Ref, Var)):
                 raise ExprError("left side of '=' must be $.path or identifier")
             return Assign(e, self.parse_expr(0))
+        if self.peek().text == "+=":
+            # a += x  ==  a = a + x  (reference lexer.go:526-541)
+            self.next()
+            if not isinstance(e, (Ref, Var)):
+                raise ExprError("left side of '+=' must be $.path or identifier")
+            return Assign(e, Bin("+", e, self.parse_expr(0)))
         return e
 
     def parse_expr(self, min_prec: int):
@@ -418,7 +424,16 @@ def _is_empty(v: CVal) -> Column:
 
 def compile_expr(node, env: Env) -> CVal:
     if isinstance(node, Lit):
-        return CVal(F.lit(node.value), T.DoubleType() if isinstance(node.value, float) else None)
+        v = node.value
+        if isinstance(v, bool):
+            dt = T.BooleanType()
+        elif isinstance(v, float):
+            dt = T.DoubleType()
+        elif isinstance(v, str):
+            dt = T.StringType()
+        else:
+            dt = None
+        return CVal(F.lit(v), dt)
     if isinstance(node, Ref):
         return _ref_cval(env.root, node.path)
     if isinstance(node, Var):
@@ -471,6 +486,9 @@ def _compile_bin(node: Bin, env: Env) -> CVal:
         return CVal(a.cond_() & b.cond_(), T.BooleanType())
     if op == "||":
         return CVal(a.cond_() | b.cond_(), T.BooleanType())
+    if op == "??":
+        # strict null-coalesce (reference ?? operator)
+        return CVal(F.coalesce(a.col, b.col), a.dtype or b.dtype)
     if op in ("or", "orr"):
         # first non-empty (funcs.go:188-196)
         return CVal(F.when(~_is_empty(a), a.col).otherwise(b.col), a.dtype)

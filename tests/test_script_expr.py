@@ -253,3 +253,12 @@ def test_script_comment_lines_skipped(spark, docs):
 def test_script_for_statement_rejected(spark):
     with pytest.raises(js.SchemaError, match="filter/map/reduce"):
         js.compile_schema({"script": [{"for": "k,v in $.ws", "do": []}]})
+
+
+def test_script_null_coalesce_and_plus_equals(spark, docs):
+    plan = js.compile_schema(
+        {"script": ["$.sms = $.sms ?? 'none'", "$.hd = 'x'", "$.hd += 'y'"]}
+    )
+    out = {r["name"]: (r["sms"], r["hd"]) for r in plan.transform(docs).collect()}
+    assert out["ee"] == ("none", "xy")
+    assert out["dd"][0] == "23"
