@@ -300,11 +300,18 @@ def q_q5_nation_revenue(spark, sf_dir):
     nation."""
     for n in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _t(spark, sf_dir, n).createOrReplaceTempView(n)
+    # revenue is CAST ... AS DOUBLE on BOTH engine and oracle sides: a
+    # bare `SUM(bigint) / 10000.0` is DECIMAL in Spark SQL (literal
+    # 10000.0 parses as DECIMAL) but DOUBLE in DuckDB — same values,
+    # different Arrow type, driver hash mismatch (VERDICT.md r1 item 2).
+    # nation/region are broadcast explicitly (tiny dims at any scale);
+    # customer/orders/lineitem stay AQE-planned fact joins.
     return spark.sql(
         """
-        SELECT n_name,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
-                   AS revenue
+        SELECT /*+ BROADCAST(nation), BROADCAST(region), BROADCAST(supplier) */
+               n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -313,6 +320,7 @@ def q_q5_nation_revenue(spark, sf_dir):
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+        ORDER BY n_name
         """
     )
 
@@ -344,6 +352,7 @@ def q_sessionize_events(spark, sf_dir):
             F.sum("new_sess").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .orderBy("user_id")
     )
 
 
@@ -561,7 +570,7 @@ def q_stream_windowed_verdicts(spark, sf_dir):
         "bad_rows",
         "violation_total",
         "pass",
-    )
+    ).orderBy("window_start")
 
 
 def q_validate_customer_combinators(spark, sf_dir):
@@ -668,9 +677,13 @@ def q_verdict_counts_orders(spark, sf_dir):
     plan = js.compile_schema(ORDERS_SCHEMA)
     pred = plan.fail_predicate(orders)
     assert pred is not None
-    return orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(pred.cast("long")).alias("bad_rows"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(pred.cast("long")).alias("bad_rows"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 
@@ -1018,15 +1031,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "verdict_counts_orders": """
             SELECT o_orderstatus, count(*) AS rows,
-                   SUM(CASE WHEN
+                   CAST(SUM(CASE WHEN
                         (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
                      OR (o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000))
                      OR (o_totalprice IS NOT NULL AND NOT (o_totalprice <= 400000))
                      OR (o_orderpriority IS NOT NULL
                          AND NOT regexp_matches(o_orderpriority, '^[1-4]-[A-Z ]+$'))
                      OR o_orderkey IS NULL OR o_custkey IS NULL OR o_orderstatus IS NULL
-                   THEN 1 ELSE 0 END) AS bad_rows
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
             FROM orders GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "events_top_users": """
             SELECT user_id, count(*) AS n_events FROM events
@@ -1059,10 +1073,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
                    count(*) AS rows,
-                   SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS bad_rows,
-                   SUM(nv) AS violation_total,
+                   CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+                   CAST(SUM(nv) AS BIGINT) AS violation_total,
                    SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS pass
             FROM v GROUP BY w
+            ORDER BY window_start
         """,
         "window_gaps": """
             SELECT user_id, event_id, gap_sec FROM (
@@ -1177,8 +1192,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_nation_revenue": """
             SELECT n_name,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
-                       AS revenue
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue
             FROM customer
             JOIN orders   ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1187,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+            ORDER BY n_name
         """,
         "window_rank_events": """
             SELECT user_id, event_id, rn, event_type FROM (
@@ -1204,9 +1220,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   SUM(CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(SUM(CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM w GROUP BY user_id
+            ORDER BY user_id
         """,
         "events_user_sequence": """
             SELECT user_id,
