@@ -50,14 +50,34 @@ CHECKPOINT_SCHEMA = (
 )
 
 
+def _df_fingerprint(df: DataFrame) -> str:
+    """Content fingerprint of a DataFrame-valued check input (RI dim,
+    drift baseline): row count + order-insensitive xxhash64 sum.  One
+    cheap agg job over a table that is small by contract (dim/baseline
+    << fact); makes the lineage change when the dim content changes."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: ANSI-safe (a long sum of xxhash64 overflows)
+        F.sum(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).cast(
+                "decimal(38,0)"
+            )
+        ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
 def _lineage(source_id: str, check: Check) -> str:
     """Stable fingerprint of (input, check config): same lineage ⇒ the
-    cached verdict is valid for this re-run."""
-    cfg = {
-        k: v
-        for k, v in sorted(vars(check).items())
-        if isinstance(v, (str, int, float, bool, list, tuple, dict, type(None)))
-    }
+    cached verdict is valid for this re-run.  DataFrame-valued config
+    (e.g. ReferentialIntegrity.dim, Drift.baseline) contributes a
+    content fingerprint so a changed dim invalidates old manifest rows."""
+    cfg = {}
+    for k, v in sorted(vars(check).items()):
+        if isinstance(v, (str, int, float, bool, list, tuple, dict, type(None))):
+            cfg[k] = v
+        elif isinstance(v, DataFrame):
+            cfg[k] = _df_fingerprint(v)
     blob = json.dumps({"source": source_id, "check": check.name, "cfg": cfg},
                       sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
@@ -108,9 +128,45 @@ class CheckpointManifest:
         df.coalesce(1).write.mode("append").parquet(self.path)
 
 
+def prune_to_partitions(
+    df: DataFrame, cols: Sequence[str], todo_tuples: Sequence[tuple]
+) -> DataFrame:
+    """OR-of-equalities on the partition columns — the form Catalyst
+    turns into PartitionFilters, so completed partitions' files are
+    never read.  NULL partition values get an explicit isNull disjunct:
+    isin/== are never true for NULL and would silently exclude those
+    rows from the re-run."""
+    from functools import reduce
+
+    cols = list(cols)
+    if len(cols) == 1:
+        vals = [t[0] for t in todo_tuples if t[0] is not None]
+        pred = F.col(cols[0]).isin(vals) if vals else F.lit(False)
+        if any(t[0] is None for t in todo_tuples):
+            pred = pred | F.col(cols[0]).isNull()
+        return df.filter(pred)
+    preds = [
+        reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                for c, v in zip(cols, t)
+            ],
+        )
+        for t in todo_tuples
+    ]
+    return df.filter(reduce(lambda a, b: a | b, preds))
+
+
 @dataclass
 class ResumableRun:
-    """Run a CheckSuite over a partitioned table with skip/resume."""
+    """Run a CheckSuite over a partitioned table with skip/resume.
+
+    After ``run``, ``last_ran`` maps each check name to the partition
+    tuples it actually executed this invocation (missing key = the
+    check was fully checkpointed and skipped) — callers use it to scope
+    secondary outputs (e.g. the CLI's violation sink) to the work that
+    was really (re)done."""
 
     suite: CheckSuite
     manifest: CheckpointManifest
@@ -121,44 +177,33 @@ class ResumableRun:
         """Execute only the (partition, check) pairs missing from the
         manifest; append new checkpoint rows; return the verdicts of
         THIS run (empty if everything was already done)."""
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
         spark = df.sparkSession
         lineages = {c.name: _lineage(self.source_id, c) for c in self.suite.checks}
         done = self.manifest.completed(spark, lineages)
+        self.last_ran: dict[str, list[tuple]] = {}
 
         # all partitions present in the input (driver-small): keep the
         # RAW column values — the pruning predicate must be on the
         # partition columns themselves, a computed pid string would
         # defeat partition pruning
         if self.partition_by:
-            raw = df.select(*self.partition_by).distinct().collect()
+            # pids come from the SAME Spark expression the verdicts use
+            # (_partition_id) — a driver-side '/'.join would diverge on
+            # booleans (Python 'True' vs Spark 'true') and NULLs, making
+            # completed() never match and silently re-running everything.
+            raw = (
+                df.select(
+                    _partition_id(self.partition_by).alias("__pid"),
+                    *self.partition_by,
+                )
+                .distinct()
+                .collect()
+            )
             tuples = [tuple(r[c] for c in self.partition_by) for r in raw]
-            pid_of = {
-                t: "/".join(f"{c}={v}" for c, v in zip(self.partition_by, t))
-                for t in tuples
-            }
-            pids = [pid_of[t] for t in tuples]
+            pid_of = {t: r["__pid"] for t, r in zip(tuples, raw)}
+            pids = [r["__pid"] for r in raw]
         else:
             tuples, pid_of, pids = [()], {(): "ALL"}, ["ALL"]
-
-        def prune_to(todo_tuples):
-            """OR-of-equalities on the partition columns — the form
-            Catalyst turns into PartitionFilters, so completed
-            partitions' files are never read."""
-            cols = list(self.partition_by)
-            if len(cols) == 1:
-                return df.filter(F.col(cols[0]).isin([t[0] for t in todo_tuples]))
-            preds = [
-                reduce(
-                    lambda a, b: a & b,
-                    [F.col(c) == F.lit(v) for c, v in zip(cols, t)],
-                )
-                for t in todo_tuples
-            ]
-            return df.filter(reduce(lambda a, b: a | b, preds))
 
         all_new: DataFrame | None = None
         new_rows: list = []
@@ -166,8 +211,9 @@ class ResumableRun:
             todo_t = [t for t in tuples if (pid_of[t], check.name) not in done]
             if not todo_t:
                 continue
+            self.last_ran[check.name] = todo_t
             if self.partition_by and len(todo_t) < len(tuples):
-                sub = prune_to(todo_t)
+                sub = prune_to_partitions(df, self.partition_by, todo_t)
             else:
                 sub = df
             v = check.verdicts(sub)

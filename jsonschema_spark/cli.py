@@ -120,6 +120,7 @@ def cmd_run(args) -> int:
     suite = CheckSuite(build_suite(spark, cfg))
     out = cfg.get("output", {})
 
+    run = None
     if out.get("manifest"):
         run = ResumableRun(
             suite=suite,
@@ -140,9 +141,23 @@ def cmd_run(args) -> int:
     if out.get("violations") and cfg.get("schema"):
         from jsonschema_spark import compile_schema
 
-        plan = compile_schema(cfg["schema"])
-        viols = plan.validate(df, keys=cfg.get("keys", [])).violations
-        write_output(viols, out["violations"])
+        # On a resumed run, scope the violations pass to the partitions
+        # the schema check actually (re)ran — the sink appends, so
+        # re-validating the full table would duplicate every
+        # previously-written violation row.
+        viol_df = df
+        if run is not None:
+            ran = run.last_ran.get("schema")
+            if ran is None:
+                viol_df = None  # fully checkpointed: already written
+            elif cfg.get("partition_by") and len(ran) > 0:
+                from jsonschema_spark.checkpoint import prune_to_partitions
+
+                viol_df = prune_to_partitions(df, cfg["partition_by"], ran)
+        if viol_df is not None:
+            plan = compile_schema(cfg["schema"])
+            viols = plan.validate(viol_df, keys=cfg.get("keys", [])).violations
+            write_output(viols, out["violations"])
 
     # store this run's quantile summary as the next run's drift baseline
     d = cfg.get("checks", {}).get("drift")

@@ -59,8 +59,17 @@ def _partition_id(partition_by: Sequence[str] | None) -> Column:
     ('ALL' for unpartitioned tables)."""
     if not partition_by:
         return F.lit("ALL")
+    # NULL partition values render as "c=null" — F.concat would return
+    # NULL for the segment and concat_ws would silently drop it, mapping
+    # distinct tuples onto the same pid.
     return F.concat_ws(
-        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_by]
+        "/",
+        *[
+            F.concat(
+                F.lit(f"{c}="), F.coalesce(F.col(c).cast("string"), F.lit("null"))
+            )
+            for c in partition_by
+        ],
     )
 
 

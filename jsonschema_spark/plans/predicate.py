@@ -335,14 +335,14 @@ def _eq_fail(target: ValueRef, b) -> Column:
 @_kw("equals")
 @_kw("keyMatch")
 def _p_eq(operand, ref, siblings, ctx):
+    # A statically-missing target flows through the SAME coercion as the
+    # array path (keywords_logic._key_match): lit(None)/None stringifies
+    # to "" via string_of, so e.g. eq:{missing:""} passes on both paths.
     from ..functions.values import parse_value
 
     out = _false()
     for jp, raw in operand.items():
         target = resolve(ref, jp)
-        if not target.exists:
-            out = out | F.lit(True)
-            continue
         out = out | _eq_fail(target, parse_value(raw).bind(ref))
     return out
 
@@ -354,8 +354,6 @@ def _p_neq(operand, ref, siblings, ctx):
     out = _false()
     for jp, raw in operand.items():
         target = resolve(ref, jp)
-        if not target.exists:
-            continue
         out = out | ~_eq_fail(target, parse_value(raw).bind(ref))
     return out
 

@@ -217,3 +217,77 @@ def test_resume_prunes_partition_files(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "2025-01-04" in pf
+
+
+def test_resume_null_and_bool_partitions(spark, tmp_path):
+    """NULL and boolean partition values must checkpoint AND resume:
+    pids are derived from the Spark-side _partition_id expression (not
+    a driver '/'.join that renders True/None differently), and the
+    pruning predicate carries an isNull disjunct (ADVICE r1)."""
+    rows = [
+        ("2025-01-01", True, "c1", 0),
+        ("2025-01-01", True, "c1", 0),   # dup
+        (None, False, "c2", 0),
+        (None, False, "c2", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "day string, flagged boolean, conv_id string, turn_idx int"
+    )
+    manifest = CheckpointManifest(str(tmp_path / "mnull"))
+    suite = checks.CheckSuite(
+        [checks.Uniqueness(keys=["conv_id", "turn_idx"],
+                           partition_by=["day", "flagged"])]
+    )
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["day", "flagged"], source_id="t")
+    first = run.run(df)
+    pids = {r["partition_id"] for r in first.collect()}
+    assert pids == {"day=2025-01-01/flagged=true", "day=null/flagged=false"}
+
+    # full resume: nothing re-runs (pid match must hold for bool/null)
+    assert run.run(df).collect() == []
+
+    # add one partition: ONLY it runs, and the null partition is
+    # neither silently re-run nor excluded
+    more = df.union(spark.createDataFrame(
+        [("2025-01-02", False, "c3", 0)], df.schema))
+    out = run.run(more).collect()
+    assert {r["partition_id"] for r in out} == {"day=2025-01-02/flagged=false"}
+
+    # the pruning helper keeps NULL-partition rows when they are todo
+    from jsonschema_spark.checkpoint import prune_to_partitions
+    kept = prune_to_partitions(df, ["day", "flagged"], [(None, False)])
+    assert kept.count() == 2
+    kept1 = prune_to_partitions(df, ["day"], [(None,)])
+    assert kept1.count() == 2
+
+
+def test_lineage_tracks_dataframe_inputs(spark, part_df, tmp_path):
+    """A changed RI dimension table must invalidate old manifest rows:
+    the lineage fingerprints DataFrame-valued config content (ADVICE
+    r1: scalar-only lineage skipped re-runs after the dim changed)."""
+    manifest = CheckpointManifest(str(tmp_path / "mdim"))
+    dim1 = spark.createDataFrame([("c1",)], "conv_id string")
+    s1 = checks.CheckSuite([checks.ReferentialIntegrity(
+        dim=dim1, fact_key="conv_id", dim_key="conv_id",
+        partition_by=["day"], name="ri_conv")])
+    out1 = ResumableRun(suite=s1, manifest=manifest, partition_by=["day"],
+                        source_id="t").run(part_df).collect()
+    assert len(out1) == 2
+
+    # same config, same dim content -> fully checkpointed
+    dim1b = spark.createDataFrame([("c1",)], "conv_id string")
+    s1b = checks.CheckSuite([checks.ReferentialIntegrity(
+        dim=dim1b, fact_key="conv_id", dim_key="conv_id",
+        partition_by=["day"], name="ri_conv")])
+    assert ResumableRun(suite=s1b, manifest=manifest, partition_by=["day"],
+                        source_id="t").run(part_df).collect() == []
+
+    # changed dim CONTENT (same schema/config) -> lineage differs -> re-runs
+    dim2 = spark.createDataFrame([("c1",), ("c2",)], "conv_id string")
+    s2 = checks.CheckSuite([checks.ReferentialIntegrity(
+        dim=dim2, fact_key="conv_id", dim_key="conv_id",
+        partition_by=["day"], name="ri_conv")])
+    out2 = ResumableRun(suite=s2, manifest=manifest, partition_by=["day"],
+                        source_id="t").run(part_df).collect()
+    assert len(out2) == 2

@@ -56,10 +56,14 @@ def test_cli_run_with_manifest_resume(spark, data_dir, tmp_path, capsys):
     assert set(viols.columns) == {"conv_id", "turn_idx", "path", "info"}
 
     # resume: second run sees the manifest and re-runs nothing
+    n_viols = viols.count()
     rc2 = main(["run", str(cfg_path)])
     assert rc2 == 0
     manifest = spark.read.parquet(str(tmp_path / "manifest"))
     assert manifest.count() == 4  # still one row per check, not doubled
+    # the violations sink must NOT accumulate duplicates on resume
+    # (ADVICE r1: the append sink re-wrote the full table every run)
+    assert spark.read.parquet(str(tmp_path / "violations")).count() == n_viols
 
 
 def test_read_table_pushdown(spark, data_dir):

@@ -112,3 +112,19 @@ def test_predicate_full_keyword_breadth(spark):
     plan = js.compile_schema(doc)
     fast, slow = _bad_counts(plan, df)
     assert fast == slow
+
+
+def test_predicate_eq_missing_target_matches_array_path(spark):
+    """A statically-missing eq/neq target must coerce the same way on
+    both paths (StringOf(nil) == "") — eq:{missing:""} passes, and
+    eq:{missing:"x"} fails, identically (ADVICE r1: _p_eq emitted an
+    unconditional fail for missing targets)."""
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    for doc, expect_bad in (
+        ({"eq": {"missing_field": ""}}, 0),
+        ({"eq": {"missing_field": "x"}}, 2),
+        ({"neq": {"missing_field": ""}}, 2),
+        ({"neq": {"missing_field": "x"}}, 0),
+    ):
+        fast, slow = _bad_counts(js.compile_schema(doc), df)
+        assert fast == slow == expect_bad, (doc, fast, slow)
