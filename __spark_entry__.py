@@ -573,6 +573,66 @@ def q_stream_windowed_verdicts(spark, sf_dir):
     ).orderBy("window_start")
 
 
+JSON_EVENTS_SCHEMA = {
+    "required": ["user"],
+    "properties": {
+        "user": {
+            "type": "object",
+            "required": ["id", "name"],
+            "properties": {
+                "id": {"type": "integer", "minimum": 1},
+                "name": {"type": "string", "pattern": "^u[0-9]+$"},
+            },
+        },
+        "items": {"type": "array", "items": {"properties": {"q": {"maximum": 100}}}},
+        "note": {"maxLength": 10},
+    },
+}
+
+
+def q_validate_json_events(spark, sf_dir):
+    """Dynamic JSON-string-column validation (the reference's actual
+    input domain, schema.go:121-138): a nested JSON document column is
+    parsed ONCE via from_json with a schema inferred from the document
+    (plans/json_input.py), then the SAME compiled keyword plan runs on
+    the parsed struct — nested object required/minimum/pattern, items
+    per-element bounds, maxLength, and malformed-document detection.
+    The payload is built deterministically from events columns so the
+    DuckDB oracle can rebuild the identical documents."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    u = F.col("user_id")
+    name_part = (
+        F.when(F.pmod(u, 17) == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit(', "name": "'),
+                F.when(F.pmod(u, 13) == 0, F.lit("x")).otherwise(F.lit("u")),
+                F.pmod(u, 50).cast("string"),
+                F.lit('"'),
+            )
+        )
+    )
+    payload = F.concat(
+        F.lit('{"user": {"id": '),
+        F.pmod(u, 40).cast("string"),
+        name_part,
+        F.lit('}, "items": [{"q": '),
+        k.cast("string"),
+        F.lit('}, {"q": '),
+        F.pmod(k * 7, 120).cast("string"),
+        F.lit('}], "note": "'),
+        F.repeat(F.lit("n"), F.pmod(F.col("event_id"), 15).cast("int")),
+        F.lit('"}'),
+    )
+    payload = F.when(
+        F.pmod(F.col("event_id"), 97) == 0, F.lit('{"broken": ')
+    ).otherwise(payload)
+    doc_df = ev.select("event_id", payload.alias("payload"))
+    plan = js.compile_schema(JSON_EVENTS_SCHEMA)
+    return plan.validate(doc_df, keys=["event_id"], json_col="payload").violations
+
+
 def q_validate_customer_combinators(spark, sf_dir):
     """Combinator coverage: anyOf (all-branch errors on total miss),
     not, switch/case (SURVEY §2.3) over customer."""
@@ -698,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "validate_part": q_validate_part,
         "validate_customer_combinators": q_validate_customer_combinators,
+        "validate_json_events": q_validate_json_events,
         "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
@@ -1028,6 +1089,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, '$.c_acctbal', 'should greater than 500'
               FROM c WHERE c_mktsegment = 'FURNITURE'
                        AND NOT (c_acctbal > 500)
+        """,
+        "validate_json_events": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ),
+            p AS (
+              SELECT event_id,
+                     user_id % 40 AS idv,
+                     CASE WHEN user_id % 17 = 0 THEN NULL
+                          WHEN user_id % 13 = 0 THEN 'x' || CAST(user_id % 50 AS VARCHAR)
+                          ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS name,
+                     k AS q1, (k * 7) % 120 AS q2,
+                     CAST(event_id % 15 AS INT) AS note_len,
+                     (event_id % 97 = 0) AS broken
+              FROM base
+            )
+            SELECT event_id, '$' AS path, 'invalid json document' AS info
+              FROM p WHERE broken
+            UNION ALL
+            SELECT event_id, '$.user.id', 'value must be larger or equal than 1'
+              FROM p WHERE NOT broken AND NOT (idv >= 1)
+            UNION ALL
+            SELECT event_id, '$.user.name', 'field is required'
+              FROM p WHERE NOT broken AND name IS NULL
+            UNION ALL
+            SELECT event_id, '$.user.name',
+                   name || ' ,value does not match pattern: ^u[0-9]+$'
+              FROM p WHERE NOT broken AND name IS NOT NULL
+                       AND NOT regexp_matches(name, '^u[0-9]+$')
+            UNION ALL
+            SELECT event_id, '$.items[*].q', 'value must be <= than 100'
+              FROM p WHERE NOT broken AND q1 > 100
+            UNION ALL
+            SELECT event_id, '$.items[*].q', 'value must be <= than 100'
+              FROM p WHERE NOT broken AND q2 > 100
+            UNION ALL
+            SELECT event_id, '$.note', 'length must be less or equal than 10'
+              FROM p WHERE NOT broken AND note_len > 10
         """,
         "verdict_counts_orders": """
             SELECT o_orderstatus, count(*) AS rows,

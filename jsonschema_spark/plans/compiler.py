@@ -236,7 +236,82 @@ class CompiledSchema:
             df = op.apply(df, self.root_ref(df))
         return df
 
-    def validate(self, df: DataFrame, keys: list[str] | None = None) -> "ValidationResult":
+    def json_root_type(self) -> T.DataType:
+        """The from_json parse target inferred from the schema document
+        (plans/json_input.py) — cached; the document is immutable."""
+        if not hasattr(self, "_json_root_type"):
+            from .json_input import infer_root_type
+
+            self._json_root_type = infer_root_type(self.doc)
+        return self._json_root_type
+
+    def annotate_json(
+        self,
+        df: DataFrame,
+        json_col: str,
+        col: str = "violations",
+        keep_parsed: str | None = None,
+    ) -> DataFrame:
+        """Validate a dynamic JSON *string* column: parse once with
+        F.from_json (JVM-side, fuses into the same codegen projection
+        as the rules), then run the compiled plan against the parsed
+        value.  The reference's actual input domain — an arbitrary
+        JSON document (schema.go:121-138) — lands here.
+
+        Malformed documents (non-null input, failed parse) get a
+        single ``$ / invalid json document`` violation, mirroring the
+        decode error the reference returns before any rule runs
+        (schema.go:127-131).  ``keep_parsed`` optionally names an
+        output column holding the parsed struct."""
+        from ..core.errors import violation
+
+        dt = self.json_root_type()
+        tmp = keep_parsed or "__jsonschema_parsed__"
+        if isinstance(dt, T.StructType):
+            # PERMISSIVE from_json yields an all-null struct for corrupt
+            # records (not NULL) — a corrupt-record slot makes the
+            # decode failure observable without a second parse
+            corrupt = "__jsonschema_corrupt__"
+            parse_dt = T.StructType(
+                list(dt.fields) + [T.StructField(corrupt, T.StringType(), True)]
+            )
+            parsed = F.from_json(
+                F.col(json_col).cast("string"),
+                parse_dt,
+                {"columnNameOfCorruptRecord": corrupt},
+            )
+
+            def malformed_of(c):
+                # corrupt is ALSO set for partial field-type mismatches;
+                # only a parse that produced nothing at all is "invalid
+                # json" — a partial parse validates with the bad field
+                # nulled (documented static-schema divergence)
+                nothing = F.lit(True)
+                for f_ in dt.fields:
+                    nothing = nothing & c.getField(f_.name).isNull()
+                return c.getField(corrupt).isNotNull() & nothing
+        else:
+            parsed = F.from_json(F.col(json_col).cast("string"), dt)
+            malformed_of = lambda c: F.col(json_col).isNotNull() & c.isNull()  # noqa: E731
+        df2 = df.withColumn(tmp, parsed)
+        root = ValueRef(col=F.col(tmp), dtype=dt, path="$")
+        v = self.node.violations(root)
+        v = F.when(
+            malformed_of(F.col(tmp)), violation("$", "invalid json document")
+        ).otherwise(v)
+        out = df2.withColumn(col, v)
+        return out if keep_parsed else out.drop(tmp)
+
+    def validate(
+        self,
+        df: DataFrame,
+        keys: list[str] | None = None,
+        json_col: str | None = None,
+    ) -> "ValidationResult":
+        """Validate fixed columns (default) or, with ``json_col``, a
+        dynamic JSON-string column against this schema document."""
+        if json_col is not None:
+            return ValidationResult(self.annotate_json(df, json_col), keys or [])
         ann = self.annotate(df)
         return ValidationResult(ann, keys or [])
 

@@ -1,0 +1,139 @@
+"""Dynamic JSON-string-column validation (plans/json_input.py +
+CompiledSchema.annotate_json): the reference's actual input domain —
+arbitrary JSON documents (schema.go:121-138) — over a string column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import jsonschema_spark as js
+from jsonschema_spark.plans.json_input import infer_datatype, infer_root_type
+
+NESTED_DOC = {
+    "required": ["user"],
+    "properties": {
+        "user": {
+            "type": "object",
+            "required": ["id", "name"],
+            "properties": {
+                "id": {"type": "integer", "minimum": 1},
+                "name": {"type": "string", "pattern": "^u[0-9]+$"},
+            },
+        },
+        "items": {"type": "array", "items": {"properties": {"q": {"maximum": 100}}}},
+        "note": {"maxLength": 10},
+    },
+}
+
+
+def test_infer_datatype_shapes():
+    st = infer_root_type(NESTED_DOC)
+    assert st.simpleString() == (
+        "struct<user:struct<id:bigint,name:string>,"
+        "items:array<struct<q:double>>,note:string>"
+    )
+    # type unions take the first named type
+    assert infer_datatype({"type": "string|integer"}) == T.StringType()
+    # keyword-driven inference without explicit type
+    assert infer_datatype({"minimum": 3}) == T.DoubleType()
+    assert infer_datatype({"pattern": "^a"}) == T.StringType()
+    assert infer_datatype({"enum": [1, 2]}) == T.LongType()
+    assert infer_datatype({"enum": ["a"]}) == T.StringType()
+    assert infer_datatype({"const": True}) == T.BooleanType()
+    # required-only keys get a string slot so `required` can fire
+    st2 = infer_root_type({"required": ["a", "b"], "properties": {"a": {"type": "integer"}}})
+    assert [f.name for f in st2.fields] == ["a", "b"]
+    assert st2["b"].dataType == T.StringType()
+    # combinator branches merge their fields
+    st3 = infer_root_type(
+        {
+            "allOf": [
+                {"properties": {"x": {"type": "integer"}}},
+                {"properties": {"y": {"type": "string"}}},
+            ]
+        }
+    )
+    assert [f.name for f in st3.fields] == ["x", "y"]
+    # non-object documents degrade to the dynamic map
+    assert isinstance(infer_root_type({"eq": {"a": "b"}}), T.MapType)
+
+
+def test_validate_json_column_nested(spark):
+    rows = [
+        (1, '{"user": {"id": 5, "name": "u7"}, "items": [{"q": 50}, {"q": 110}], "note": "ok"}'),
+        (2, '{"user": {"id": 0, "name": "bob"}, "items": [], "note": "aaaaaaaaaaaaaaaa"}'),
+        (3, '{"items": [{"q": 10}]}'),
+        (4, 'not json at all {'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, payload string")
+    plan = js.compile_schema(NESTED_DOC)
+    got = {
+        (r["event_id"], r["path"], r["info"])
+        for r in plan.validate(df, keys=["event_id"], json_col="payload")
+        .violations.collect()
+    }
+    assert (1, "$.items[*].q", "value must be <= than 100") in got
+    assert (2, "$.user.id", "value must be larger or equal than 1") in got
+    assert (2, "$.user.name", "bob ,value does not match pattern: ^u[0-9]+$") in got
+    assert (2, "$.note", "length must be less or equal than 10") in got
+    assert (3, "$.user", "field is required") in got
+    # malformed document: exactly ONE '$' violation, no field noise
+    row4 = {(p, i) for (e, p, i) in got if e == 4}
+    assert row4 == {("$", "invalid json document")}
+    # NULL document behaves like an empty document (required fires)
+    assert (5, "$.user", "field is required") in got
+
+
+def test_json_column_wrong_type_parses_to_null(spark):
+    """Documented divergence: a wrong-typed value parses to NULL in
+    PERMISSIVE mode, so required catches it (not a type message)."""
+    df = spark.createDataFrame(
+        [(1, '{"user": {"id": "abc", "name": "u1"}}')], "event_id int, payload string"
+    )
+    plan = js.compile_schema(NESTED_DOC)
+    got = {
+        (r["path"], r["info"])
+        for r in plan.validate(df, keys=["event_id"], json_col="payload")
+        .violations.collect()
+    }
+    assert ("$.user.id", "field is required") in got
+
+
+def test_json_map_fallback_keymatch(spark):
+    """Non-object-shaped documents parse as map<string,string>; the
+    dynamic-key keywords (keyMatch/eq) work against map entries."""
+    df = spark.createDataFrame(
+        [(1, '{"kind": "a", "v": "1"}'), (2, '{"kind": "b", "v": "2"}')],
+        "id int, payload string",
+    )
+    plan = js.compile_schema({"eq": {"kind": "a"}})
+    bad = (
+        plan.annotate_json(df, "payload")
+        .filter(F.size("violations") > 0)
+        .select("id")
+        .collect()
+    )
+    assert [r["id"] for r in bad] == [2]
+
+
+def test_json_path_stays_codegen(spark):
+    """The parse + rules must remain ONE codegen projection: no
+    shuffle, no Python in the row path."""
+    df = spark.createDataFrame([(1, "{}")], "id int, payload string")
+    plan = js.compile_schema(NESTED_DOC)
+    ann = plan.annotate_json(df, "payload")
+    txt = ann._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_json_keep_parsed_column(spark):
+    df = spark.createDataFrame(
+        [(1, '{"user": {"id": 3, "name": "u3"}}')], "id int, payload string"
+    )
+    plan = js.compile_schema(NESTED_DOC)
+    out = plan.annotate_json(df, "payload", keep_parsed="doc")
+    row = out.select("doc.user.id").collect()[0]
+    assert row[0] == 3
