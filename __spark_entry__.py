@@ -656,9 +656,11 @@ def q_validate_customer_combinators(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (scale path): seeded centroids, nprobe cells, exact
-    re-rank inside probed cells.  No SQL oracle (iterative centroid
-    assignment); recall vs brute force asserted in tests."""
+    """IVF ANN (scale path): deterministic md5-strided centroid sample,
+    nprobe cells, exact re-rank inside probed cells.  The full pipeline
+    (centroid choice, argmax cell assignment, probe ranking, top-k) is
+    replayed by the DuckDB oracle; recall vs brute force additionally
+    asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     out = similarity.ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
@@ -669,11 +671,13 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup (scale path; bucket-local join).
-    No SQL oracle; subset-of-brute-force asserted in tests."""
+    dims=64 pins the md5-derived hyperplane matrix driver-side
+    (dedup.hyperplane_signs) so the oracle rebuilds identical buckets;
+    subset-of-brute-force additionally asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.4, planes=6).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
-    )
+    return dedup.embedding_neardup_pairs(
+        emb, threshold=0.4, planes=6, dims=64
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_multimodal_metadata(spark, sf_dir):
@@ -1027,6 +1031,85 @@ def _oracle_ann_topk() -> str:
       FROM scored
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+def _oracle_embedding_lsh() -> str:
+    """Rebuild the hyperplane sign matrix with the SAME driver-side
+    function the engine uses, project (sequential fold order matches
+    dot_double), bucket on the sign bits, then bucket-local pairs."""
+    from jsonschema_spark.operators.dedup import hyperplane_signs
+
+    signs = hyperplane_signs(6, 64, 42)
+
+    def proj(p: int) -> str:
+        terms = " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * {signs[p][i]:.1f}"
+            for i in range(64)
+        )
+        return f"(0.0 + {terms})"
+
+    bucket = "concat(" + ", ".join(
+        f"CASE WHEN {proj(p)} > 0 THEN '1' ELSE '0' END" for p in range(6)
+    ) + ")"
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4
+    """
+
+
+def _oracle_ann_ivf() -> str:
+    """Full IVF replay: md5-strided centroid sample (row_number over the
+    same 60-bit md5 hash), argmax cell assignment with first-index
+    tie-break (ORDER BY s DESC, cell), nprobe probe cells per query,
+    exact top-k inside probed cells."""
+    h = _sql_md5_long("CAST(vec_id AS VARCHAR)", seed=42)
+    dot_ac = _sql_dot("c.embedding", "ct.cv")
+    dot_qc = _sql_dot("q.qv", "ct.cv")
+    cos = _sql_cosine("p.qv", "a.cv")
+    return f"""
+    WITH hsh AS (SELECT vec_id, embedding, {h} AS hh FROM embeddings),
+    cents AS (
+      SELECT embedding AS cv, row_number() OVER (ORDER BY hh) - 1 AS cell
+      FROM hsh QUALIFY row_number() OVER (ORDER BY hh) <= 16
+    ),
+    ascore AS (
+      SELECT c.vec_id AS nid, c.embedding AS cve, ct.cell, {dot_ac} AS s
+      FROM embeddings c CROSS JOIN cents ct
+    ),
+    assign AS (
+      SELECT nid, cve AS cv, cell FROM (
+        SELECT nid, cve, cell,
+               row_number() OVER (PARTITION BY nid ORDER BY s DESC, cell) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    qscore AS (
+      SELECT q.qid, q.qv AS qve, ct.cell, {dot_qc} AS s
+      FROM q CROSS JOIN cents ct
+    ),
+    probe AS (
+      SELECT qid, qve AS qv, cell FROM (
+        SELECT qid, qve, cell,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, cell) AS rn
+        FROM qscore
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.qid AS query_id, a.nid AS neighbor_id, {cos} AS cosine
+      FROM probe p JOIN assign a ON a.cell = p.cell
+      WHERE p.qid <> a.nid
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
     """
 
 
@@ -1414,7 +1497,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_simhash": _oracle_simhash(),
         "embedding_neardup": _oracle_embedding_neardup(),
+        "embedding_neardup_lsh": _oracle_embedding_lsh(),
         "ann_topk": _oracle_ann_topk(),
+        "ann_ivf_topk": _oracle_ann_ivf(),
         "text_tokens": f"""
             SELECT doc_id,
                    CASE WHEN length({norm}) = 0 THEN 0

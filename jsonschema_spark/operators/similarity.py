@@ -90,11 +90,15 @@ def ivf_topk(
     search join is an equality join on `cell` — at 1000 executors the
     per-cell partitions are independent; recall is tunable via nprobe.
     """
-    # deterministic centroid sample: smallest n_cells xxhash64(id) rows
+    # deterministic centroid sample: smallest n_cells md5_long(id) rows
+    # (md5-derived so the DuckDB oracle rebuilds the identical centroid
+    # set; was xxhash64, which no other engine implements)
+    from .dedup import md5_long
+
     sample = (
         corpus.select(
             F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+            md5_long(F.col(id_col), seed).alias("h"),
         )
         .orderBy("h")
         .limit(n_cells)
