@@ -338,9 +338,12 @@ def parse_interp(s: str) -> object:
             if buf:
                 parts.append(buf)
                 buf = ""
+            # the reference parses ${...} content as a FULL expr-language
+            # expression (lexer.go:860-875 parseValueV): bare identifiers
+            # are variable lookups, which fall back to top-level document
+            # keys (schema_expr seeds the context from the document)
             inner = s[i + 2 : j].strip()
-            toks = tokenize(inner if inner.startswith("$") else "$." + inner)
-            parts.append(Parser(toks).parse_expr(0))
+            parts.append(Parser(tokenize(inner)).parse_expr(0))
             i = j + 1
             continue
         if s[i] == "\\" and i + 1 < len(s):
@@ -439,8 +442,10 @@ def compile_expr(node, env: Env) -> CVal:
     if isinstance(node, Var):
         if node.name in env.vars:
             return env.vars[node.name]
-        # unknown identifier == absent doc key -> nil (reference env lookup)
-        return CVal(F.lit(None), None)
+        # unbound identifier -> top-level document key: the reference
+        # seeds the script context from the document object
+        # (schema_expr.go), so variables and doc keys share a namespace
+        return _ref_cval(env.root, node.name)
     if isinstance(node, Interp):
         cols = [
             F.lit(p) if isinstance(p, str) else compile_expr(p, env).str_()
@@ -803,11 +808,97 @@ _FN["unix_mill"] = lambda env, a: CVal(
     (F.unix_micros(_v(env, a).col.cast("timestamp")) / 1000).cast("double"),
     T.DoubleType(),
 )
+_FN["unix_micro"] = lambda env, a: CVal(
+    F.unix_micros(_v(env, a).col.cast("timestamp")).cast("double"), T.DoubleType()
+)
 for _part, _f in [("day", F.dayofmonth), ("hour", F.hour), ("month", F.month),
                   ("year", F.year), ("minute", F.minute), ("second", F.second)]:
     _FN[_part] = (lambda _g: lambda env, a: CVal(
         _g(_v(env, a).col.cast("timestamp")).cast("double"), T.DoubleType()
     ))(_f)
+
+
+_GO_LAYOUT = [  # Go reference-time layout -> JDK pattern (longest first)
+    ("January", "MMMM"), ("Monday", "EEEE"), (".000000", ".SSSSSS"),
+    (".000", ".SSS"), ("2006", "yyyy"), ("Jan", "MMM"), ("Mon", "EEE"),
+    ("MST", "zzz"), ("Z07:00", "XXX"), ("-07:00", "xxx"), ("15", "HH"),
+    ("06", "yy"), ("01", "MM"), ("02", "dd"), ("03", "hh"), ("04", "mm"),
+    ("05", "ss"), ("PM", "a"),
+]
+
+
+def _go_layout(layout: str) -> str:
+    for go, java in _GO_LAYOUT:
+        layout = layout.replace(go, java)
+    return layout
+
+
+def _lit_str(node, what: str) -> str:
+    if isinstance(node, Lit) and isinstance(node.value, str):
+        return node.value
+    raise ExprError(f"{what} must be a literal string")
+
+
+# t.add_mill / t.sub / t.format / t.utc / time_parse (funcs_obj.go:
+# 602-643, funcs.go:1250-1256) — the time methods real gateway rules
+# use.  format/parse take Go reference-time layouts, converted to JDK
+# patterns at compile time.
+_FN["add_mill"] = lambda env, a, ms: CVal(
+    F.timestamp_micros(
+        F.unix_micros(_v(env, a).col.cast("timestamp"))
+        + (_v(env, ms).num() * 1000).cast("long")
+    ),
+    T.TimestampType(),
+)
+_FN["sub"] = lambda env, a, b: CVal(
+    (
+        (
+            F.unix_micros(_v(env, a).col.cast("timestamp"))
+            - F.unix_micros(_v(env, b).col.cast("timestamp"))
+        )
+        / 1000
+    ).cast("double"),
+    T.DoubleType(),
+)
+_FN["format"] = lambda env, a, fmt: CVal(
+    F.date_format(
+        _v(env, a).col.cast("timestamp"), _go_layout(_lit_str(fmt, "format layout"))
+    ),
+    T.StringType(),
+)
+# session timezone is UTC; both conversions are identity there
+_FN["utc"] = lambda env, a: CVal(_v(env, a).col.cast("timestamp"), T.TimestampType())
+_FN["local"] = _FN["utc"]
+_FN["time_parse"] = lambda env, layout, val: CVal(
+    F.try_to_timestamp(
+        _v(env, val).str_(), F.lit(_go_layout(_lit_str(layout, "time_parse layout")))
+    ),
+    T.TimestampType(),
+)
+# time.now() parses as now(time) via method sugar; the self arg is moot
+_FN["now"] = lambda env, *a: CVal(F.current_timestamp(), T.TimestampType())
+
+# regexp_new + r.match (funcs_obj.go:645-654): the compiled regex is
+# represented by its pattern string; match = rlike
+_FN["regexp_new"] = lambda env, a: _v(env, a)
+_FN["match"] = lambda env, self_, src: CVal(
+    F.rlike(_v(env, src).str_(), _v(env, self_).str_()), T.BooleanType()
+)
+
+# error-as-value composition (funcs.go:105-117, 1258-1347): the
+# columnar engine is total — a fallible function's failure IS null
+# (try_to_timestamp, try_element_at, junk-coercions), the analog of
+# the reference's panic -> Result{Err} boundary.  recover(x) evaluates
+# x with failures as nil instead of aborting; recoverd wraps non-nil
+# into Result{Data}, which catch/unwrap immediately project back out.
+# All five therefore collapse to null-transparent identity here, and
+# recover-defaulting rules (`recover(parse(x)) orr default`) compile
+# and agree with the reference.
+for _nm in ("catch", "recover", "recovers", "recoverd", "unwrap"):
+    _FN[_nm] = lambda env, a: _v(env, a)
+
+# orr as a function (funcs.go:106): first non-empty operand
+_FN["orr"] = lambda env, a, b: compile_expr(Bin("orr", a, b), env)
 
 
 # --- higher-order functions taking lambda literals -------------------

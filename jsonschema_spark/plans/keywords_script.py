@@ -127,11 +127,26 @@ def _parse_items(operand, path):
                     "default": _parse_items(it.get("default", []), path),
                 })
             elif "for" in it:
-                raise SchemaError(
-                    "script 'for' statements are data-dependent loops — "
-                    "use filter/map/reduce lambdas instead "
-                    f"(SURVEY §2.6), path:{path}"
-                )
+                # {"for": "k,v in expr", "do": [...]} (script.go:422-484,
+                # parse regex script.go:595-627): compiles to a columnar
+                # fold (F.aggregate) when the body is accumulation-only
+                import re as _re
+
+                m = _re.match(r"^(\w+)\s*,\s*(\w+)\s*in\s*(.+)$", str(it["for"]))
+                if not m:
+                    raise SchemaError(f"invalid for exp {it['for']!r} at {path}")
+                tgt = parse_statements(m.group(3))
+                if len(tgt) != 1:
+                    raise SchemaError(
+                        f"script for target must be one expression, path:{path}"
+                    )
+                out.append({
+                    "kind": "for",
+                    "key": m.group(1),
+                    "val": m.group(2),
+                    "target": tgt[0],
+                    "body": _parse_items(it.get("do", []), path),
+                })
             else:
                 raise SchemaError(f"unknown script statement object {sorted(it)} at {path}")
         else:
@@ -180,6 +195,110 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             else:
                 state["viols"].append(viol_when(guard, path, msg))
 
+        def _exec_for(st, guard):
+            """{"for": "k,v in expr", "do": [name = expr, ...]} as ONE
+            codegen'd F.aggregate fold (script.go:426-484 forRange):
+            arrays bind k=index/v=element, maps k=key/v=value; body
+            statements update accumulator variables sequentially (later
+            statements see earlier updates, same as the reference's
+            Context.Set).  Per-element document mutation and `break`
+            are out of the columnar subset — route those to `foreach`.
+            Accumulators are typed numeric-or-string from a first
+            compile pass (the reference folds dynamic values)."""
+            from pyspark.sql import types as T
+
+            env = fresh_env()
+            tgt = compile_expr(st["target"], env)
+            body = st["body"]
+            for b in body:
+                if not (isinstance(b, Assign) and isinstance(b.target, Var)):
+                    raise SchemaError(
+                        "script 'for' compiles to a columnar fold: the body "
+                        "may only accumulate variables (name = expr); use "
+                        f"the foreach keyword for per-element mutation, path:{path}"
+                    )
+            if not body:
+                return
+            names: list[str] = []
+            for b in body:
+                if b.target.name not in names:
+                    names.append(b.target.name)
+
+            if isinstance(tgt.dtype, T.MapType):
+                entries = F.map_entries(tgt.col)
+                k_dt, v_dt = tgt.dtype.keyType, tgt.dtype.valueType
+
+                def kv(acc, x):
+                    return CVal(x["key"], k_dt), CVal(x["value"], v_dt)
+            elif isinstance(tgt.dtype, T.ArrayType):
+                entries = tgt.col
+                v_dt = tgt.dtype.elementType
+
+                def kv(acc, x):
+                    return CVal(acc["__i"].cast("double"), T.DoubleType()), CVal(x, v_dt)
+            else:
+                raise SchemaError(
+                    f"script 'for' target must be an array or map value, path:{path}"
+                )
+
+            def build(acc_types: dict):
+                inits: dict[str, CVal] = {}
+                for n in names:
+                    cur = state["env_vars"].get(n) or CVal(F.lit(""), T.StringType())
+                    dt = acc_types.get(n, cur.dtype or T.StringType())
+                    if isinstance(dt, T.NumericType):
+                        inits[n] = CVal(cur.num(), T.DoubleType())
+                    else:
+                        inits[n] = CVal(cur.str_(), T.StringType())
+                init_struct = F.struct(
+                    *[inits[n].col.alias(n) for n in names],
+                    F.lit(0).cast("long").alias("__i"),
+                )
+                out_types: dict[str, object] = {}
+
+                def step(acc, x):
+                    kcv, vcv = kv(acc, x)
+                    cur = {n: CVal(acc[n], inits[n].dtype) for n in names}
+                    for b in body:
+                        benv = Env(
+                            env.root,
+                            {**state["env_vars"], **cur,
+                             st["key"]: kcv, st["val"]: vcv},
+                        )
+                        cur[b.target.name] = compile_expr(b.value, benv)
+                    fields = []
+                    for n in names:
+                        out_types[n] = cur[n].dtype
+                        if isinstance(inits[n].dtype, T.NumericType):
+                            fields.append(cur[n].num().alias(n))
+                        else:
+                            fields.append(cur[n].str_().alias(n))
+                    fields.append((acc["__i"] + 1).alias("__i"))
+                    return F.struct(*fields)
+
+                folded = F.aggregate(entries, init_struct, step)
+                return folded, inits, out_types
+
+            # pass 1 discovers each accumulator's body type; rebuild
+            # with numeric accumulators where the body is numeric
+            folded, inits, out_types = build({})
+            retype = {
+                n: out_types[n]
+                for n in names
+                if isinstance(out_types[n], T.NumericType)
+                and not isinstance(inits[n].dtype, T.NumericType)
+            }
+            if retype:
+                folded, inits, out_types = build(retype)
+
+            for n in names:
+                # nil target -> loop body never ran (forRange returns
+                # nil): keep the pre-loop value
+                final = F.when(entries.isNotNull(), folded[n]).otherwise(inits[n].col)
+                if guard is not None:
+                    final = F.when(guard, final).otherwise(inits[n].col)
+                state["env_vars"][n] = CVal(final, inits[n].dtype)
+
         def walk(nodes, guard):
             for st in nodes:
                 env = fresh_env()
@@ -187,6 +306,8 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     cond = compile_expr(st["cond"], env).cond_()
                     walk(st["then"], cond if guard is None else (guard & cond))
                     walk(st["else"], ~cond if guard is None else (guard & ~cond))
+                elif isinstance(st, dict) and st.get("kind") == "for":
+                    _exec_for(st, guard)
                 elif isinstance(st, dict) and st.get("kind") == "switch":
                     sval = compile_expr(st["value"], env).str_()
                     matched = None

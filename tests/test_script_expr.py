@@ -250,9 +250,114 @@ def test_script_comment_lines_skipped(spark, docs):
     assert [r["hd"] for r in out] == ["x"]
 
 
-def test_script_for_statement_rejected(spark):
-    with pytest.raises(js.SchemaError, match="filter/map/reduce"):
-        js.compile_schema({"script": [{"for": "k,v in $.ws", "do": []}]})
+def test_script_for_statement_accumulates(spark):
+    """{"for": "k,v in expr", "do": [...]} (script.go:422-484) compiles
+    to ONE F.aggregate fold: string + numeric accumulation, sequential
+    in-body updates, k=index binding, nil-target no-op."""
+    df = spark.createDataFrame(
+        [(1, [("ni",), ("hao",)]), (2, [("hello",), ("world",)]), (3, None)],
+        "id int, w array<struct<c string>>",
+    )
+    plan = js.compile_schema(
+        {
+            "script": [
+                "line = ''",
+                "total = 0",
+                {"for": "k,v in $.w", "do": [
+                    "line = '${line}${v.c}'",
+                    "total = total + k + 1",
+                ]},
+                "$.out = '${line}|${total}'",
+            ]
+        }
+    )
+    out = {r["id"]: r["out"] for r in plan.transform(df).collect()}
+    assert out[1] == "nihao|3"          # k: 0+1 + 1+1 = 3
+    assert out[2] == "helloworld|3"
+    assert out[3] == "|0"               # nil target: body never runs
+
+
+def test_script_for_over_map(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "1", "b": "2"})], "id int, m map<string,string>"
+    )
+    plan = js.compile_schema(
+        {
+            "script": [
+                "acc = ''",
+                {"for": "k,v in $.m", "do": ["acc = '${acc}${k}=${v};'"]},
+                "$.out = acc",
+            ]
+        }
+    )
+    out = plan.transform(df).collect()[0]["out"]
+    assert out == "a=1;b=2;"
+
+
+def test_script_for_guarded_by_if(spark):
+    """A for inside an object-if only accumulates on the matching rows."""
+    df = spark.createDataFrame(
+        [(1, "go", [1.0, 2.0, 3.0]), (2, "stop", [1.0, 2.0, 3.0])],
+        "id int, mode string, xs array<double>",
+    )
+    plan = js.compile_schema(
+        {
+            "script": [
+                "s = 0",
+                {"if": "$.mode == 'go'",
+                 "then": [{"for": "i,x in $.xs", "do": ["s = s + x"]}]},
+                "$.out = string(s)",
+            ]
+        }
+    )
+    out = {r["id"]: r["out"] for r in plan.transform(df).collect()}
+    assert out[1] == "6" and out[2] == "0"
+
+
+def test_script_for_mutation_body_rejected(spark):
+    df = spark.createDataFrame([([1.0],)], "ws array<double>")
+    with pytest.raises(js.SchemaError, match="accumulate"):
+        js.compile_schema(
+            {"script": [{"for": "k,v in $.ws", "do": ["$.out = v"]}]}
+        ).transform(df)
+
+
+def test_script_time_methods_and_recover(spark):
+    """t.format/add_mill/sub with Go layouts; time_parse failure ->
+    null; catch/recover/unwrap are the null-transparent error boundary
+    (funcs.go:1258-1347); orr provides the default."""
+    df = spark.createDataFrame(
+        [(1, "2025-01-02 03:04:05"), (2, "junk")], "id int, ts_s string"
+    )
+    plan = js.compile_schema(
+        {
+            "script": [
+                "t = time_parse('2006-01-02 15:04:05', $.ts_s)",
+                "d = ternary(is_empty(catch(recoverd(t))), 'nodate', string(format(t, '2006/01/02')))",
+                "t2 = add_mill(t, 61000)",
+                "delta = ternary(is_empty(t), 0, sub(t2, t))",
+                "$.out = '${d}|${delta}'",
+            ]
+        }
+    )
+    out = {r["id"]: r["out"] for r in plan.transform(df).collect()}
+    assert out[1] == "2025/01/02|61000"
+    assert out[2] == "nodate|0"
+
+
+def test_script_regexp_new_match(spark):
+    df = spark.createDataFrame([(1, "u7"), (2, "bob")], "id int, name string")
+    plan = js.compile_schema(
+        {
+            "script": [
+                "r = regexp_new('^u[0-9]+$')",
+                "if(not(r.match($.name)), return('bad name', $.name))",
+            ]
+        }
+    )
+    v = {r["id"]: r["info"] for r in plan.validate(df, keys=["id"]).violations.collect()}
+    assert 1 not in v
+    assert v[2] == "err :[bad name bob]"
 
 
 def test_script_null_coalesce_and_plus_equals(spark, docs):
