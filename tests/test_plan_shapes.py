@@ -100,3 +100,44 @@ def test_transform_pipeline_stays_narrow(tdf):
     )
     p = plan_of(plan.transform(tdf))
     assert "Exchange" not in p, "transform pipeline must not shuffle"
+
+
+def test_q5_snowflake_broadcasts_dims(spark):
+    """q5's snowflake join must broadcast nation/region/supplier and
+    never cartesian — the explicit hints that took the sf0.1 wall time
+    from 4.1s to 2.0s (VERDICT r1 item 8)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.q_q5_nation_revenue(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    # the three hinted dims arrive via broadcast exchanges/joins
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_json_column_validation_single_projection(spark):
+    """from_json + rules must fuse into one codegen projection."""
+    df = spark.createDataFrame([(1, '{"user": {"id": 1}}')], "id int, payload string")
+    plan = js.compile_schema(
+        {"required": ["user"],
+         "properties": {"user": {"properties": {"id": {"minimum": 1}}}}}
+    )
+    p = plan_of(plan.annotate_json(df, "payload"))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_script_for_fold_stays_codegen(spark):
+    """The for-statement fold is a higher-order aggregate inside the
+    projection: no shuffle, no Python."""
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id int, xs array<double>")
+    plan = js.compile_schema(
+        {"script": ["s = 0", {"for": "i,x in $.xs", "do": ["s = s + x"]},
+                    "$.out = string(s)"]}
+    )
+    p = plan_of(plan.transform(df))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
