@@ -186,6 +186,37 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_exp(args) -> int:
+    """expr evaluator / REPL (reference cmd/exp): -s one-shot, -f/-e
+    per-line over a JSON-lines file, else interactive REPL over an
+    optional document (--doc)."""
+    from jsonschema_spark.repl import ExprSession, eval_per_line
+
+    spark = (
+        SparkSession.builder.appName("jsonschema_spark-exp")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.file:
+        if not args.expr:
+            print("exp -f needs -e <expr>", file=sys.stderr)
+            return 2
+        for r in eval_per_line(spark, args.file, args.expr).collect():
+            print(r["out"])
+        return 0
+    sess = ExprSession(spark)
+    if args.doc:
+        sess.load_doc(args.doc)
+    if args.single:
+        res = sess.eval(args.single)
+        if res is not None:
+            print(res)
+        return 1 if res is not None and res.startswith("error:") else 0
+    sess.run_repl()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jsonschema_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -201,6 +232,13 @@ def main(argv=None) -> int:
     v.add_argument("--keys", default="")
     v.add_argument("--limit", type=int, default=100)
     v.set_defaults(fn=cmd_validate)
+
+    e = sub.add_parser("exp", help="expr evaluator / REPL (cmd/exp analog)")
+    e.add_argument("-s", "--single", default="", help="single expression, print result")
+    e.add_argument("-f", "--file", default="", help="JSON-lines file to evaluate over")
+    e.add_argument("-e", "--expr", default="", help="expression for -f mode")
+    e.add_argument("--doc", default="", help="JSON document file bound to $")
+    e.set_defaults(fn=cmd_exp)
 
     args = p.parse_args(argv)
     return args.fn(args)
