@@ -386,27 +386,224 @@ def kw_ref(operand, path, siblings, ctx) -> Rule:
 
 # ------------------------------------------------------------- foreach
 
+# mutation keywords with no per-element columnar analog inside foreach
+_FOREACH_UNSUPPORTED_MUT = {
+    "constVal", "defaultVal", "default", "defaultVals", "replaceKey",
+    "formatVal", "setVal", "setNN", "setMap", "delMap", "del", "delete",
+    "setExpr", "script", "call",
+}
+
+
+def _foreach_mut_program(subdoc: dict, path: str):
+    """Ordered mutation ops from a foreach sub-schema:
+    ("set", [(name, Value), ...]) | ("foreach", jp, subprogram).
+    Returns (program, accumulated names)."""
+    prog: list = []
+    names: list[str] = []
+    for kw, operand in subdoc.items():
+        if kw == "set" and isinstance(operand, dict):
+            items = []
+            for name, raw in operand.items():
+                if "." in name or "[" in name:
+                    raise SchemaError(
+                        "foreach set accumulation supports top-level keys "
+                        f"only, got {name!r}, path:{path}"
+                    )
+                items.append((name, parse_value(raw)))
+                if name not in names:
+                    names.append(name)
+            prog.append(("set", items))
+        elif kw == "foreach" and isinstance(operand, dict):
+            for jp2, sub2 in operand.items():
+                if not isinstance(sub2, dict):
+                    continue
+                p2, n2 = _foreach_mut_program(sub2, f"{path}.{jp2}")
+                if n2:
+                    prog.append(("foreach", jp2, p2))
+                    for n in n2:
+                        if n not in names:
+                            names.append(n)
+        elif kw in _FOREACH_UNSUPPORTED_MUT:
+            raise SchemaError(
+                f"'{kw}' inside foreach mutates the document per element — "
+                "not columnar; accumulate with `set` (compiled to a fold) "
+                f"or use the script keyword, path:{path}"
+            )
+    return prog, names
+
+
+def _register_foreach_fold(ctx, mut_entries, mut_names) -> None:
+    """One TransformOp: run every (jp, program) fold in document order,
+    then assign the final accumulator values to their top-level keys.
+    Accumulators are string-typed unless a first compile pass observes
+    a numeric template, mirroring the script for-fold's 2-pass typing."""
+    import dataclasses
+    from functools import reduce
+
+    from ..core.coerce import number_of
+    from .compiler import TransformOp
+
+    guards = list(ctx.guards)
+
+    def apply_fold(df, root: ValueRef):
+        def bind_ref(ref, kref, vref, cur):
+            bindings = {**(ref.bindings or {}), "__key": kref, "__val": vref}
+            for n, (c, d) in cur.items():
+                bindings[n] = ValueRef(c, d, f"$.{n}")
+            return dataclasses.replace(ref, bindings=bindings)
+
+        def run_fold(ref, jp, prog, acc):
+            target = resolve(ref, jp)
+            dt = target.dtype
+            if not target.exists or not isinstance(dt, (T.ArrayType, T.MapType)):
+                return acc  # non-container: reference silently skips
+            is_map = isinstance(dt, T.MapType)
+            entries_col = F.map_entries(target.col) if is_map else target.col
+            names = list(acc.keys())
+            init = F.struct(
+                *[acc[n][0].alias(n) for n in names],
+                F.lit(0).cast("long").alias("__i"),
+            )
+
+            def step(a, x):
+                if is_map:
+                    kref = ValueRef(x["key"], dt.keyType, "$.__key")
+                    vref = ValueRef(x["value"], dt.valueType, "$.__val")
+                else:
+                    kref = ValueRef(a["__i"], T.LongType(), "$.__key")
+                    vref = ValueRef(x, dt.elementType, "$.__val")
+                cur = {n: (a[n], acc[n][1]) for n in names}
+                for op in prog:
+                    if op[0] == "set":
+                        for name, val in op[1]:
+                            b = val.bind(bind_ref(ref, kref, vref, cur))
+                            tgt_dt = acc[name][1]
+                            col = (
+                                number_of(b.col, b.dtype)
+                                if isinstance(tgt_dt, T.NumericType)
+                                else string_of(b.col, b.dtype)
+                            )
+                            cur[name] = (col, tgt_dt)
+                    else:
+                        _, jp2, p2 = op
+                        cur = run_fold(bind_ref(ref, kref, vref, cur), jp2, p2, cur)
+                return F.struct(
+                    *[cur[n][0].alias(n) for n in names],
+                    (a["__i"] + 1).alias("__i"),
+                )
+
+            folded = F.aggregate(entries_col, init, step)
+            return {
+                n: (
+                    F.when(target.null(), acc[n][0]).otherwise(folded[n]),
+                    acc[n][1],
+                )
+                for n in names
+            }
+
+        # driver-side TYPE PROBE: bind each template once against the
+        # accumulator's INITIAL dtype (the doc column's type, or nil for
+        # an absent key — the reference's first iteration sees exactly
+        # that), so type-dispatching templates (add: numeric sum vs
+        # string concat, funcs.go:72-86) pick the same branch
+        observed: dict[str, object] = {}
+
+        def probe(ref, jp, prog, accd):
+            target = resolve(ref, jp)
+            dt = target.dtype
+            if not target.exists or not isinstance(dt, (T.ArrayType, T.MapType)):
+                return
+            if isinstance(dt, T.MapType):
+                kref = ValueRef(F.lit(None), dt.keyType, "$.__key")
+                vref = ValueRef(F.lit(None), dt.valueType, "$.__val")
+            else:
+                kref = ValueRef(F.lit(None), T.LongType(), "$.__key")
+                vref = ValueRef(F.lit(None), dt.elementType, "$.__val")
+            cur = {n: (F.lit(None), accd[n]) for n in accd}
+            for op in prog:
+                if op[0] == "set":
+                    for name, val in op[1]:
+                        b = val.bind(bind_ref(ref, kref, vref, cur))
+                        observed[name] = accd[name] = b.dtype
+                        cur[name] = (F.lit(None), b.dtype)
+                else:
+                    probe(bind_ref(ref, kref, vref, cur), op[1], op[2], accd)
+
+        accd = {
+            n: (resolve(root, n).dtype if resolve(root, n).exists else None)
+            for n in mut_names
+        }
+        for jp, prog in mut_entries:
+            probe(root, jp, prog, accd)
+
+        acc = {}
+        for n in mut_names:
+            src = resolve(root, n)
+            if isinstance(observed.get(n), T.NumericType):
+                acc[n] = (number_of(src.col, src.dtype), T.DoubleType())
+            else:
+                acc[n] = (string_of(src.col, src.dtype), T.StringType())
+        for jp, prog in mut_entries:
+            acc = run_fold(root, jp, prog, acc)
+
+        cond = None
+        if guards:
+            cond = reduce(lambda a, b: a & b, [g(root) for g in guards])
+        for n in mut_names:
+            col = acc[n][0]
+            if cond is not None:
+                old = F.col(n) if n in df.columns else F.lit(None)
+                col = F.when(cond, col).otherwise(old)
+            df = df.withColumn(n, col)
+        return df
+
+    ctx.transforms.append(TransformOp(apply_fold, "foreach"))
+
+
 @register_keyword("foreach")
 def kw_foreach(operand, path, siblings, ctx) -> Rule:
     """Iterate the array/map at each jsonpath, binding ``__key`` /
     ``__val`` into the root scope and running the sub-schema per
     element (reference foreach.go:5-63).
 
-    Columnar mapping: ``F.transform`` over the array (or map_entries)
-    with a lambda-scoped root ref whose bindings resolve __key/__val;
-    per-element violation arrays are flattened into the row's list.
-    The reference's cross-element MUTATION accumulation (the `line`
-    example, benchmark_test.go:411-423) is out of columnar scope —
-    use the `script` keyword's fold or F.aggregate directly.
+    Columnar mapping: assertions compile to ``F.transform`` over the
+    array (or map_entries) with a lambda-scoped root ref whose bindings
+    resolve __key/__val; per-element violation arrays are flattened
+    into the row's list.  The reference's cross-element MUTATION
+    accumulation (`set` of a top-level key per element, nested foreach
+    included — the `line` example, benchmark_test.go:411-423) compiles
+    to ONE nested F.aggregate fold registered as a single TransformOp:
+    each `set` target becomes a typed accumulator threaded through the
+    iteration in document order, `${target}` inside the template reads
+    the running value via a root binding.  Other mutation keywords
+    inside foreach are rejected at compile time.
     """
     if not isinstance(operand, dict):
         raise SchemaError(f"foreach operand must be object, path:{path}")
     import dataclasses
 
+    from .compiler import TransformOp, compile_node
+
     entries = []
+    mut_entries: list[tuple[str, list]] = []
+    mut_names: list[str] = []
     for jp, sub in operand.items():
-        node = ctx.compile_node(sub, f"{path}.{jp}")
+        # detached ctx: mutation keywords inside the sub-schema must NOT
+        # leak to the global transform pipeline (they would run once per
+        # row with __key/__val unbound)
+        sub_ctx = dataclasses.replace(ctx, transforms=[])
+        node = compile_node(sub, f"{path}.{jp}", sub_ctx)
         entries.append((jp, node))
+        if isinstance(sub, dict):
+            prog, names = _foreach_mut_program(sub, f"{path}.{jp}")
+            if names:
+                mut_entries.append((jp, prog))
+                for n in names:
+                    if n not in mut_names:
+                        mut_names.append(n)
+
+    if mut_entries:
+        _register_foreach_fold(ctx, mut_entries, mut_names)
 
     def fn(ref: ValueRef) -> Column:
         parts = []

@@ -101,3 +101,58 @@ def test_indirect_key_on_struct_is_missing(spark):
     # (keyMatch coercing equal, validator_logic.go:257-335)
     plan = js.compile_schema({"eq": {"user.${want}": "red"}})
     assert plan.validate(df, keys=["user"]).violations.count() == 1
+
+
+def test_foreach_set_accumulation_nested(spark):
+    """The reference's TestForeach shape (benchmark_test.go:411-423):
+    nested foreach + set accumulating a top-level key across elements
+    compiles to ONE nested F.aggregate fold."""
+    import jsonschema_spark as js
+
+    df = spark.read.json(spark.sparkContext.parallelize(
+        ['{"ws":[{"w":[{"c":"ni"},{"c":"hao"}]},{"w":[{"c":"hello"},{"c":"world"}]}]}'], 1))
+    doc = {"foreach": {"ws": {"foreach": {"__val.w": {
+        "set": {"line": "${line}${__val.c}"}}}}}}
+    out = js.compile_schema(doc).transform(df)
+    assert out.select("line").collect()[0][0] == "nihaohelloworld"
+    # plan stays codegen: no Exchange, no Python
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+
+
+def test_foreach_set_numeric_and_map(spark):
+    """add() dispatches numerically when the accumulator starts nil
+    (funcs.go:72-86); maps iterate entries with __key/__val."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], {"a": "5", "b": "7"})],
+        "xs array<double>, m map<string,string>",
+    )
+    d_num = {"foreach": {"xs": {"set": {"total": ["add()", "${total}", "${__val}"]}}}}
+    assert js.compile_schema(d_num).transform(df).select("total").collect()[0][0] == 6.0
+    d_map = {"foreach": {"m": {"set": {"pairs": "${pairs}${__key}=${__val};"}}}}
+    assert (
+        js.compile_schema(d_map).transform(df).select("pairs").collect()[0][0]
+        == "a=5;b=7;"
+    )
+
+
+def test_foreach_unsupported_mutation_rejected(spark):
+    import jsonschema_spark as js
+    import pytest
+
+    with pytest.raises(js.SchemaError, match="not columnar"):
+        js.compile_schema({"foreach": {"xs": {"delete": ["a"]}}})
+
+
+def test_foreach_mutation_does_not_leak_unbound(spark):
+    """A set inside foreach must NOT also run as a global transform
+    with __val unbound (the r1 silent-empty-result bug)."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame([([1.0],)], "xs array<double>")
+    doc = {"foreach": {"xs": {"set": {"acc": "${acc}${__val}"}}}}
+    plan = js.compile_schema(doc)
+    assert len(plan.ctx.transforms) == 1  # one fold op, nothing leaked
+    assert plan.transform(df).select("acc").collect()[0][0] == "1"
