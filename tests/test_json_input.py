@@ -137,3 +137,33 @@ def test_json_keep_parsed_column(spark):
     out = plan.annotate_json(df, "payload", keep_parsed="doc")
     row = out.select("doc.user.id").collect()[0]
     assert row[0] == 3
+
+
+def test_json_fail_predicate_equals_array_path(spark):
+    """The JSON predicate hot path (fail_predicate(df, json_col=...))
+    must agree with the array path row-for-row, including malformed
+    documents counting as failures."""
+    rows = [
+        (1, '{"user": {"id": 5, "name": "u7"}, "items": [{"q": 50}], "note": "ok"}'),
+        (2, '{"user": {"id": 0, "name": "bob"}}'),
+        (3, '{"items": [{"q": 10}]}'),
+        (4, 'not json at all {'),
+        (5, None),
+        (6, '{"user": {"id": 2, "name": "u9"}, "items": [{"q": 500}]}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, payload string")
+    plan = js.compile_schema(NESTED_DOC)
+    pred = plan.fail_predicate(df, json_col="payload")
+    assert pred is not None
+    fast = {
+        r["event_id"]
+        for r in df.filter(pred).select("event_id").collect()
+    }
+    slow = {
+        r["event_id"]
+        for r in plan.annotate_json(df, "payload")
+        .filter(F.size("violations") > 0)
+        .select("event_id")
+        .collect()
+    }
+    assert fast == slow == {2, 3, 4, 5, 6}
