@@ -633,6 +633,33 @@ def q_validate_json_events(spark, sf_dir):
     return plan.validate(doc_df, keys=["event_id"], json_col="payload").violations
 
 
+def q_script_fold_docs(spark, sf_dir):
+    """Script `for` statements (expr/script.go:422-484) under the
+    oracle: per-document fold over the token array accumulating a
+    numeric counter and a bounded string — compiled to ONE F.aggregate
+    inside the projection (plans/keywords_script.py _exec_for)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    plan = js.compile_schema(
+        {
+            "script": [
+                "n_long = 0",
+                "first3 = ''",
+                {"for": "i,t in $.toks", "do": [
+                    "n_long = ternary(len(t) >= 6, n_long + 1, n_long)",
+                    "first3 = ternary(i < 3, '${first3}${t};', first3)",
+                ]},
+                "$.n_long_out = n_long",
+                "$.first3_out = first3",
+            ]
+        }
+    )
+    return plan.transform(base).select("doc_id", "n_long_out", "first3_out")
+
+
 def q_validate_customer_combinators(spark, sf_dir):
     """Combinator coverage: anyOf (all-branch errors on total miss),
     not, switch/case (SURVEY §2.3) over customer."""
@@ -763,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_part": q_validate_part,
         "validate_customer_combinators": q_validate_customer_combinators,
         "validate_json_events": q_validate_json_events,
+        "script_fold_docs": q_script_fold_docs,
         "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
@@ -1172,6 +1200,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, '$.c_acctbal', 'should greater than 500'
               FROM c WHERE c_mktsegment = 'FURNITURE'
                        AND NOT (c_acctbal > 500)
+        """,
+        "script_fold_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, t -> strlen(t) >= 6)) AS DOUBLE) AS n_long_out,
+                   COALESCE(array_to_string(list_transform(toks[1:3], t -> t || ';'), ''), '')
+                       AS first3_out
+            FROM d
         """,
         "validate_json_events": """
             WITH base AS (
