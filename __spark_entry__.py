@@ -599,36 +599,7 @@ def q_validate_json_events(spark, sf_dir):
     per-element bounds, maxLength, and malformed-document detection.
     The payload is built deterministically from events columns so the
     DuckDB oracle can rebuild the identical documents."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    u = F.col("user_id")
-    name_part = (
-        F.when(F.pmod(u, 17) == 0, F.lit(""))
-        .otherwise(
-            F.concat(
-                F.lit(', "name": "'),
-                F.when(F.pmod(u, 13) == 0, F.lit("x")).otherwise(F.lit("u")),
-                F.pmod(u, 50).cast("string"),
-                F.lit('"'),
-            )
-        )
-    )
-    payload = F.concat(
-        F.lit('{"user": {"id": '),
-        F.pmod(u, 40).cast("string"),
-        name_part,
-        F.lit('}, "items": [{"q": '),
-        k.cast("string"),
-        F.lit('}, {"q": '),
-        F.pmod(k * 7, 120).cast("string"),
-        F.lit('}], "note": "'),
-        F.repeat(F.lit("n"), F.pmod(F.col("event_id"), 15).cast("int")),
-        F.lit('"}'),
-    )
-    payload = F.when(
-        F.pmod(F.col("event_id"), 97) == 0, F.lit('{"broken": ')
-    ).otherwise(payload)
-    doc_df = ev.select("event_id", payload.alias("payload"))
+    doc_df = _json_events_payload_df(spark, sf_dir)
     plan = js.compile_schema(JSON_EVENTS_SCHEMA)
     return plan.validate(doc_df, keys=["event_id"], json_col="payload").violations
 
@@ -658,6 +629,55 @@ def q_script_fold_docs(spark, sf_dir):
         }
     )
     return plan.transform(base).select("doc_id", "n_long_out", "first3_out")
+
+
+def _json_events_payload_df(spark, sf_dir):
+    """Shared deterministic JSON payload construction for the
+    validate_json_events / verdict_counts_json queries."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    u = F.col("user_id")
+    name_part = (
+        F.when(F.pmod(u, 17) == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit(', "name": "'),
+                F.when(F.pmod(u, 13) == 0, F.lit("x")).otherwise(F.lit("u")),
+                F.pmod(u, 50).cast("string"),
+                F.lit('"'),
+            )
+        )
+    )
+    payload = F.concat(
+        F.lit('{"user": {"id": '),
+        F.pmod(u, 40).cast("string"),
+        name_part,
+        F.lit('}, "items": [{"q": '),
+        k.cast("string"),
+        F.lit('}, {"q": '),
+        F.pmod(k * 7, 120).cast("string"),
+        F.lit('}], "note": "'),
+        F.repeat(F.lit("n"), F.pmod(F.col("event_id"), 15).cast("int")),
+        F.lit('"}'),
+    )
+    payload = F.when(
+        F.pmod(F.col("event_id"), 97) == 0, F.lit('{"broken": ')
+    ).otherwise(payload)
+    return ev.select("event_id", payload.alias("payload"))
+
+
+def q_verdict_counts_json(spark, sf_dir):
+    """The JSON-column predicate hot path (fail_predicate(json_col=))
+    under the oracle: one from_json parse + boolean predicate, no
+    violation arrays — the 10^12-JSON-turn verdict-counting shape."""
+    doc_df = _json_events_payload_df(spark, sf_dir)
+    plan = js.compile_schema(JSON_EVENTS_SCHEMA)
+    pred = plan.fail_predicate(doc_df, json_col="payload")
+    assert pred is not None
+    return doc_df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(pred.cast("long")).alias("bad_rows"),
+    )
 
 
 def q_validate_customer_combinators(spark, sf_dir):
@@ -791,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_customer_combinators": q_validate_customer_combinators,
         "validate_json_events": q_validate_json_events,
         "script_fold_docs": q_script_fold_docs,
+        "verdict_counts_json": q_verdict_counts_json,
         "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
@@ -1200,6 +1221,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, '$.c_acctbal', 'should greater than 500'
               FROM c WHERE c_mktsegment = 'FURNITURE'
                        AND NOT (c_acctbal > 500)
+        """,
+        "verdict_counts_json": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ),
+            p AS (
+              SELECT event_id,
+                     user_id % 40 AS idv,
+                     CASE WHEN user_id % 17 = 0 THEN NULL
+                          WHEN user_id % 13 = 0 THEN 'x' || CAST(user_id % 50 AS VARCHAR)
+                          ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS name,
+                     k AS q1, (k * 7) % 120 AS q2,
+                     CAST(event_id % 15 AS INT) AS note_len,
+                     (event_id % 97 = 0) AS broken
+              FROM base
+            )
+            SELECT count(*) AS rows,
+                   CAST(SUM(CASE WHEN broken
+                        OR NOT (idv >= 1)
+                        OR name IS NULL
+                        OR (name IS NOT NULL AND NOT regexp_matches(name, '^u[0-9]+$'))
+                        OR q1 > 100 OR q2 > 100
+                        OR note_len > 10
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
+            FROM p
         """,
         "script_fold_docs": """
             WITH d AS (
