@@ -81,7 +81,11 @@ def infer_datatype(doc) -> T.DataType:
         return T.StringType()
     props = doc.get("properties") or doc.get("props")
     t = _type_name(doc)
-    if (t in (None, "object")) and isinstance(props, dict):
+    if (t in (None, "object")) and (
+        isinstance(props, dict) or isinstance(doc.get("required"), list)
+    ):
+        # required-only nodes (common in case/if branches) still shape a
+        # struct: each required key needs a slot for `required` to fire
         st = _struct_of(doc)
         bs = _branch_struct(doc)
         return _merge_structs(st, bs) if bs is not None else st

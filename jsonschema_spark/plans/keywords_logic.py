@@ -85,12 +85,24 @@ def _properties(operand, path, siblings, ctx) -> Rule:
             # coalesced column.
             dv = sub.get("defaultVal", sub.get("default"))
             if dv is not None and child.exists:
-                from dataclasses import replace as _replace
+                if isinstance(dv, (dict, list)) and not isinstance(
+                    child.dtype, (T.MapType, T.ArrayType)
+                ):
+                    # container default onto a struct-typed child: no
+                    # columnar value for a fresh empty container, and
+                    # every child lookup on nil vs {} is identical —
+                    # skip the fill (reference schema_test.go:137
+                    # "default": {})
+                    pass
+                else:
+                    from dataclasses import replace as _replace
 
-                filled = F.coalesce(
-                    child.col, F.lit(dv).cast(child.dtype) if child.dtype else F.lit(dv)
-                )
-                child = _replace(child, col=filled)
+                    b = parse_value(dv).bind(ref)
+                    filled = F.coalesce(
+                        child.col,
+                        b.col.cast(child.dtype) if child.dtype else b.col,
+                    )
+                    child = _replace(child, col=filled)
             parts.append(node.violations(child))
         # unknown fields (validator_core.go:419): only meaningful when
         # additionalProperties present and not True

@@ -97,12 +97,24 @@ def _default_val(operand, path, ctx) -> None:
     def build(df, root):
         segs = split_path(path)
         old = _read(df, segs)
-        lit = F.lit(operand)
+        # the operand is a VALUE (parseValue semantics): ${} templates,
+        # container literals (create_map/array), typed scalars
+        b = parse_value(operand).bind(root)
+        lit = b.col
         if old is not None:
             dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get(
                 str(segs[0])
             )
             if len(segs) == 1 and dt is not None:
+                if isinstance(operand, (dict, list)) and not isinstance(
+                    dt, (T.MapType, T.ArrayType)
+                ):
+                    # container default onto a struct-typed column: no
+                    # columnar value for the reference's fresh empty
+                    # container, and every child lookup on nil vs {} is
+                    # identical — keep the column (documented no-op,
+                    # e.g. reference schema_test.go:137 "default": {})
+                    return segs, old
                 lit = lit.cast(dt)
             return segs, F.coalesce(old, lit)
         return segs, lit

@@ -115,11 +115,25 @@ def _p_properties(operand, ref, siblings, ctx):
         child = ref.child(k)
         dv = sub.get("defaultVal", sub.get("default")) if isinstance(sub, dict) else None
         if dv is not None and child.exists:
-            import dataclasses
+            if isinstance(dv, (dict, list)) and not isinstance(
+                child.dtype, (T.MapType, T.ArrayType)
+            ):
+                # container default onto a struct child: nil ≡ {} for
+                # every lookup; skip the fill (same as the array path)
+                pass
+            else:
+                import dataclasses
 
-            child = dataclasses.replace(
-                child, col=F.coalesce(child.col, F.lit(dv).cast(child.dtype) if child.dtype else F.lit(dv))
-            )
+                from ..functions.values import parse_value
+
+                b = parse_value(dv).bind(ref)
+                child = dataclasses.replace(
+                    child,
+                    col=F.coalesce(
+                        child.col,
+                        b.col.cast(child.dtype) if child.dtype else b.col,
+                    ),
+                )
         fails.append(compile_fail(sub, child, ctx))
     if siblings.get("additionalProperties") is False:
         raise Unsupported("additionalProperties:false")

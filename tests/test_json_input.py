@@ -167,3 +167,77 @@ def test_json_fail_predicate_equals_array_path(spark):
         .collect()
     }
     assert fast == slow == {2, 3, 4, 5, 6}
+
+
+REFERENCE_NESTED_SCHEMA = {
+    # verbatim shape of the reference's own nested fixture
+    # (schema_test.go:137-222): switch/case with required-only
+    # branches, container `default`, union type, if/then/else,
+    # maxLength 0, additionalProperties
+    "type": "object",
+    "properties": {
+        "a": {
+            "switch": "a1",
+            "case": {"a": {"required": ["b1", "c1"]},
+                     "b": {"required": ["b2", "c2"]}},
+            "default": {},
+            "type": "object",
+            "properties": {
+                "a1": {"type": "string", "maxLength": 5},
+                "a2": {"type": "string", "maxLength": 5},
+                "a3": {"type": "string", "maxLength": 5},
+                "a4": {"type": "string|number", "multipleOf": 4},
+            },
+        },
+        "b": {
+            "type": "object",
+            "if": {"required": ["a1"]},
+            "then": {"required": ["b5"]},
+            "else": {"required": ["b6"]},
+            "properties": {
+                "a1": {"type": "string", "maxLength": 5, "enum": ["dd"]},
+                "a2": {"type": "string"},
+                "a3": {"type": "string", "maxLength": 5},
+                "a4": {"type": "string"},
+                "b6": {"type": "string"},
+            },
+        },
+        "c": {
+            "type": "object",
+            "additionalProperties": True,
+            "properties": {
+                "a1": {"type": "string", "maxLength": 0},
+                "a2": {"type": "string"},
+                "a3": {"type": "string", "maxLength": 5},
+                "a4": {"type": "string"},
+                "a5": {"type": "integer", "maximum": 0},
+            },
+        },
+    },
+}
+
+
+def test_reference_nested_fixture_over_json_column(spark):
+    """The reference's own nested test schema validates a JSON column
+    end-to-end: case-branch requireds get struct slots, the container
+    `default` is the documented no-op, if/then/else nests."""
+    rows = [
+        (1, '{"a": {"a1": "a", "a2": "toolong6", "a4": 8}, '
+            '"b": {"a1": "dd"}, "c": {"a1": "", "a5": 0}}'),
+        (2, '{"a": {"a1": "zz"}, "b": {"b6": "x"}, "c": {"a1": "x", "a5": 3}}'),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    plan = js.compile_schema(REFERENCE_NESTED_SCHEMA)
+    got = {
+        (r["id"], r["path"], r["info"])
+        for r in plan.validate(df, keys=["id"], json_col="payload")
+        .violations.collect()
+    }
+    assert got == {
+        (1, "$.a.a2", "length must be less or equal than 5"),
+        (1, "$.a.b1", "field is required"),
+        (1, "$.a.c1", "field is required"),
+        (1, "$.b.b5", "field is required"),
+        (2, "$.c.a1", "length must be less or equal than 0"),
+        (2, "$.c.a5", "value must be <= than 0"),
+    }
