@@ -81,6 +81,11 @@ HEADLINE = [
     "text_tokens",
     "text_langid",
     "doc_fingerprint",
+    # round 2: dynamic JSON-column validation (array + predicate hot
+    # path) and the script for-statement fold
+    "validate_json_events",
+    "verdict_counts_json",
+    "script_fold_docs",
 ]
 
 
