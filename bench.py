@@ -239,11 +239,14 @@ def bench_queries(spark: SparkSession) -> dict[str, float]:
     run_noop(qs["dedup_exact"](spark, SF_DIR))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        run_noop(qs[name](spark, SF_DIR))
-        dt = time.monotonic() - t0
-        times[name] = round(dt, 3)
-        log(f"  {name}: {dt:.2f}s")
+        best = None
+        for _ in range(2):  # best-of-2: one noisy-neighbor spike won't
+            t0 = time.monotonic()  # inflate the recorded total
+            run_noop(qs[name](spark, SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        log(f"  {name}: {best:.2f}s")
     return times
 
 

@@ -885,6 +885,159 @@ _FN["match"] = lambda env, self_, src: CVal(
     F.rlike(_v(env, src).str_(), _v(env, self_).str_()), T.BooleanType()
 )
 
+# breadth set (funcs.go:41-134 table) ---------------------------------
+
+def _fn_append(env, a, *rest):
+    """append (funcs.go:331-368): string builder when the first arg is
+    a string, slice append when it is an array."""
+    v = _v(env, a)
+    vs = [_v(env, r) for r in rest]
+    if isinstance(v.dtype, T.ArrayType):
+        elems = F.array(*[c.col.cast(v.dtype.elementType) for c in vs])
+        return CVal(F.concat(v.col, elems), v.dtype)
+    return CVal(F.concat(v.str_(), *[c.str_() for c in vs]), T.StringType())
+
+
+_FN["append"] = _fn_append
+_FN["eqs"] = lambda env, a, b: CVal(
+    _v(env, a).str_().eqNullSafe(_v(env, b).str_()), T.BooleanType()
+)
+_FN["neqs"] = lambda env, a, b: CVal(
+    ~_v(env, a).str_().eqNullSafe(_v(env, b).str_()), T.BooleanType()
+)
+_FN["neg"] = lambda env, a: CVal(-_v(env, a).num(), T.DoubleType())
+_FN["boolean"] = lambda env, a: CVal(_v(env, a).bool_(), T.BooleanType())
+_FN["new"] = lambda env: CVal(
+    F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
+    T.MapType(T.StringType(), T.StringType()),
+)
+# nondeterministic by nature (funcs.go rand): per-row uniform [0, n)
+_FN["rand"] = lambda env, a: CVal(
+    F.floor(F.rand() * _v(env, a).num()).cast("double"), T.DoubleType()
+)
+_FN["range"] = lambda env, a: CVal(
+    F.array_repeat(F.lit(None).cast("string"), _v(env, a).num().cast("int")),
+    T.ArrayType(T.StringType()),
+)
+_FN["slice_new"] = lambda env, *a: CVal(
+    F.array_repeat(
+        F.lit(None).cast("string"),
+        _v(env, a[0]).num().cast("int") if a else F.lit(0),
+    ),
+    T.ArrayType(T.StringType()),
+)
+_FN["slice_init"] = lambda env, *a: CVal(
+    F.array(*[_v(env, x).col for x in a]), None
+)
+_FN["slice_cut"] = lambda env, a, st_, ed: CVal(
+    F.slice(
+        _v(env, a).col,
+        _v(env, st_).num().cast("int") + 1,
+        F.greatest(
+            F.least(
+                _v(env, ed).num().cast("int"),
+                F.size(_v(env, a).col),
+            )
+            - _v(env, st_).num().cast("int"),
+            F.lit(0),
+        ),
+    ),
+    _v(env, a).dtype,
+)
+
+
+def _fn_inn(env, a, *targets):
+    """inn (funcs.go:1079-1118): membership in arrays / map keys /
+    scalar equality across the variadic targets."""
+    av = _v(env, a)
+    out = F.lit(False)
+    for t in targets:
+        tv = _v(env, t)
+        if isinstance(tv.dtype, T.ArrayType):
+            hit = F.array_contains(tv.col, av.col.cast(tv.dtype.elementType))
+        elif isinstance(tv.dtype, T.MapType):
+            hit = F.map_contains_key(tv.col, av.col.cast(tv.dtype.keyType))
+        else:
+            hit = av.str_().eqNullSafe(tv.str_())
+        out = out | F.coalesce(hit, F.lit(False))
+    return CVal(out, T.BooleanType())
+
+
+_FN["inn"] = _fn_inn
+
+
+def _fn_repeat(env, body, n):
+    """repeat (funcs.go:1357-1382): n results as an array; a lambda
+    body receives the index."""
+    count = _v(env, n).num().cast("int")
+    idxs = F.sequence(F.lit(0), count - 1)
+    if isinstance(body, Lambda):
+        fn = _hof_lambda(env, body, T.IntegerType())
+        probe = fn(F.lit(0))
+        return CVal(F.transform(idxs, lambda i: fn(i).col),
+                    T.ArrayType(probe.dtype) if probe.dtype else None)
+    v = _v(env, body)
+    return CVal(F.array_repeat(v.col, count),
+                T.ArrayType(v.dtype) if v.dtype else None)
+
+
+_FN["repeat"] = _fn_repeat
+# repeats discards the results (side-effect driver in the reference);
+# a pure engine returns nil
+_FN["repeats"] = lambda env, body, n: CVal(F.lit(None), None)
+_FN["hex_encode"] = lambda env, a: CVal(
+    F.lower(F.hex(_v(env, a).str_().cast("binary"))), T.StringType()
+)
+_FN["hex_decode"] = lambda env, a: CVal(
+    F.unhex(_v(env, a).str_()).cast("string"), T.StringType()
+)
+_FN["time_from_unix"] = lambda env, a: CVal(
+    F.timestamp_seconds(_v(env, a).num()), T.TimestampType()
+)
+_FN["time_now"] = lambda env, *a: CVal(F.current_timestamp(), T.TimestampType())
+_FN["time_now_mill"] = lambda env, *a: CVal(
+    (F.unix_micros(F.current_timestamp()) / 1000).cast("double"), T.DoubleType()
+)
+# schema-less JSON decode: flat objects as map<string,string>
+# (documented static-engine divergence; nested docs use json_col mode)
+_FN["json_from"] = lambda env, a: CVal(
+    F.from_json(_v(env, a).str_(), "map<string,string>"),
+    T.MapType(T.StringType(), T.StringType()),
+)
+_FN["to_json_obj"] = _FN["json_from"]
+
+
+def _fn_type(env, a):
+    """type (funcs.go:896-917): dynamic type name; statically known
+    from the column dtype, 'nil' for runtime nulls."""
+    v = _v(env, a)
+    dt = v.dtype
+    if dt is None:
+        name = None
+    elif isinstance(dt, T.StringType):
+        name = "string"
+    elif isinstance(dt, T.BooleanType):
+        name = "boolean"
+    elif isinstance(dt, T.NumericType):
+        name = "number"
+    elif isinstance(dt, T.ArrayType):
+        name = "array"
+    elif isinstance(dt, T.BinaryType):
+        name = "bytes"
+    elif isinstance(dt, (T.MapType, T.StructType)):
+        name = "map[string]interface {}"
+    else:
+        name = dt.simpleString()
+    if name is None:
+        return CVal(F.lit("nil"), T.StringType())
+    return CVal(
+        F.when(v.col.isNull(), F.lit("nil")).otherwise(F.lit(name)),
+        T.StringType(),
+    )
+
+
+_FN["type"] = _fn_type
+
 # error-as-value composition (funcs.go:105-117, 1258-1347): the
 # columnar engine is total — a fallible function's failure IS null
 # (try_to_timestamp, try_element_at, junk-coercions), the analog of

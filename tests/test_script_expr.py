@@ -367,3 +367,30 @@ def test_script_null_coalesce_and_plus_equals(spark, docs):
     out = {r["name"]: (r["sms"], r["hd"]) for r in plan.transform(docs).collect()}
     assert out["ee"] == ("none", "xy")
     assert out["dd"][0] == "23"
+
+
+def test_expr_breadth_functions(spark):
+    """Round-2 breadth set (reference funcs.go table): append, eqs,
+    inn, repeat-with-lambda, slice_cut, type, hex round-trip,
+    schema-less json_from."""
+    df = spark.createDataFrame(
+        [(1, "ab", 3.0, [1.0, 2.0, 3.0, 4.0])],
+        "id int, s string, n double, xs array<double>",
+    )
+    doc = {"script": [
+        "$.o1 = append('x', $.s, 5)",
+        "$.o2 = string(eqs($.n, '3'))",
+        "$.o3 = string(inn($.n, $.xs))",
+        "$.o4 = string(len(repeat({i} => i * 2, 4)))",
+        "$.o5 = str_join(map(slice_cut($.xs, 1, 3), {x} => string(x)), ',')",
+        "$.o6 = type($.xs) + '/' + type($.s) + '/' + type($.missing)",
+        "$.o7 = hex_decode(hex_encode('hi'))",
+        '$.o8 = string(get(json_from(\'{"a": "7"}\'), \'a\'))',
+    ]}
+    row = js.compile_schema(doc).transform(df).select(
+        "o1", "o2", "o3", "o4", "o5", "o6", "o7", "o8"
+    ).collect()[0]
+    assert row.asDict() == {
+        "o1": "xab5", "o2": "true", "o3": "true", "o4": "4",
+        "o5": "2,3", "o6": "array/string/nil", "o7": "hi", "o8": "7",
+    }
