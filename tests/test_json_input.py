@@ -241,3 +241,45 @@ def test_reference_nested_fixture_over_json_column(spark):
         (2, "$.c.a1", "length must be less or equal than 0"),
         (2, "$.c.a5", "value must be <= than 0"),
     }
+
+
+def test_json_path_equals_struct_path_on_corpus(spark):
+    """Structural equivalence: validating a JSON column must produce
+    the SAME violations as parsing that column into top-level struct
+    fields and running the fixed-column path — the two input domains
+    share one compiler.  (Malformed docs excluded: the JSON path
+    reports the decode failure, the struct path sees nulls.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E._json_events_payload_df(spark, "/root/testdata/sf0.001")
+    plan = js.compile_schema(E.JSON_EVENTS_SCHEMA)
+
+    via_json = plan.validate(df, keys=["event_id"], json_col="payload").violations
+    malformed = {
+        r["event_id"]
+        for r in via_json.filter(F.col("info") == "invalid json document")
+        .select("event_id")
+        .collect()
+    }
+
+    st = plan.json_root_type()
+    parsed = df.select(
+        "event_id", F.from_json("payload", st).alias("d")
+    ).select("event_id", "d.*")
+    via_struct = plan.validate(parsed, keys=["event_id"]).violations
+
+    a = {
+        (r["event_id"], r["path"], r["info"])
+        for r in via_json.collect()
+        if r["event_id"] not in malformed
+    }
+    b = {
+        (r["event_id"], r["path"], r["info"])
+        for r in via_struct.collect()
+        if r["event_id"] not in malformed
+    }
+    assert len(malformed) > 0          # the corpus plants malformed docs
+    assert a == b and len(a) > 100
