@@ -84,3 +84,27 @@ def write_output(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(sink)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join
+    key — the co-located-join layout for repeated big joins at corpus
+    scale: two tables bucketed on the same key with the same bucket
+    count join with NO shuffle on either side (Iceberg's analog is a
+    bucket partition transform).  Fact tables that are joined every
+    run (e.g. turns ⋈ conv dimensions, violation rows ⋈ fact) pay the
+    shuffle once at write time instead of per query."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -114,3 +114,36 @@ def test_cli_drift_baseline_cycle(spark, data_dir, tmp_path):
     v2 = spark.read.parquet(str(tmp_path / "v2"))
     row = [r for r in v2.collect() if r["check"] == "drift"][0]
     assert row["pass"] is True  # same distribution vs stored sketch
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count
+    must join with NO Exchange on either side — the co-located layout
+    that amortizes the shuffle of repeated corpus-scale joins."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.sources.tables import write_bucketed
+
+    facts = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dims = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("w")
+    )
+    write_bucketed(facts, "bt_facts", ["k"], 8,
+                   path=str(tmp_path / "bt_facts"))
+    write_bucketed(dims, "bt_dims", ["k"], 8,
+                   path=str(tmp_path / "bt_dims"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+            p = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in p, p
+            assert j.count() == 1_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
