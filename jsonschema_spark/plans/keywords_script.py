@@ -241,55 +241,63 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     f"script 'for' target must be an array or map value, path:{path}"
                 )
 
-            def build(acc_types: dict):
-                inits: dict[str, CVal] = {}
-                for n in names:
-                    cur = state["env_vars"].get(n) or CVal(F.lit(""), T.StringType())
-                    dt = acc_types.get(n, cur.dtype or T.StringType())
-                    if isinstance(dt, T.NumericType):
-                        inits[n] = CVal(cur.num(), T.DoubleType())
-                    else:
-                        inits[n] = CVal(cur.str_(), T.StringType())
-                init_struct = F.struct(
-                    *[inits[n].col.alias(n) for n in names],
-                    F.lit(0).cast("long").alias("__i"),
+            # driver-side TYPE PROBE: compile each body template once
+            # against nil-typed loop vars and the accumulator's INITIAL
+            # dtype (the pre-loop binding's type, or nil when unbound —
+            # the reference's first iteration sees exactly that), so
+            # type-dispatching expressions (`+`: numeric add unless a
+            # side is a string) pick the reference's branch even for
+            # unseeded accumulators
+            if isinstance(tgt.dtype, T.MapType):
+                kcv0 = CVal(F.lit(None), tgt.dtype.keyType)
+                vcv0 = CVal(F.lit(None), tgt.dtype.valueType)
+            else:
+                kcv0 = CVal(F.lit(None), T.DoubleType())
+                vcv0 = CVal(F.lit(None), v_dt)
+            probe_cur: dict[str, CVal] = {}
+            for n in names:
+                cur0 = state["env_vars"].get(n)
+                probe_cur[n] = CVal(F.lit(None), cur0.dtype if cur0 else None)
+            for b in body:
+                benv = Env(
+                    env.root,
+                    {**state["env_vars"], **probe_cur,
+                     st["key"]: kcv0, st["val"]: vcv0},
                 )
-                out_types: dict[str, object] = {}
+                probe_cur[b.target.name] = compile_expr(b.value, benv)
 
-                def step(acc, x):
-                    kcv, vcv = kv(acc, x)
-                    cur = {n: CVal(acc[n], inits[n].dtype) for n in names}
-                    for b in body:
-                        benv = Env(
-                            env.root,
-                            {**state["env_vars"], **cur,
-                             st["key"]: kcv, st["val"]: vcv},
-                        )
-                        cur[b.target.name] = compile_expr(b.value, benv)
-                    fields = []
-                    for n in names:
-                        out_types[n] = cur[n].dtype
-                        if isinstance(inits[n].dtype, T.NumericType):
-                            fields.append(cur[n].num().alias(n))
-                        else:
-                            fields.append(cur[n].str_().alias(n))
-                    fields.append((acc["__i"] + 1).alias("__i"))
-                    return F.struct(*fields)
+            inits: dict[str, CVal] = {}
+            for n in names:
+                cur = state["env_vars"].get(n) or CVal(F.lit(None), None)
+                if isinstance(probe_cur[n].dtype, T.NumericType):
+                    inits[n] = CVal(cur.num(), T.DoubleType())
+                else:
+                    inits[n] = CVal(cur.str_(), T.StringType())
+            init_struct = F.struct(
+                *[inits[n].col.alias(n) for n in names],
+                F.lit(0).cast("long").alias("__i"),
+            )
 
-                folded = F.aggregate(entries, init_struct, step)
-                return folded, inits, out_types
+            def step(acc, x):
+                kcv, vcv = kv(acc, x)
+                cur = {n: CVal(acc[n], inits[n].dtype) for n in names}
+                for b in body:
+                    benv = Env(
+                        env.root,
+                        {**state["env_vars"], **cur,
+                         st["key"]: kcv, st["val"]: vcv},
+                    )
+                    cur[b.target.name] = compile_expr(b.value, benv)
+                fields = []
+                for n in names:
+                    if isinstance(inits[n].dtype, T.NumericType):
+                        fields.append(cur[n].num().alias(n))
+                    else:
+                        fields.append(cur[n].str_().alias(n))
+                fields.append((acc["__i"] + 1).alias("__i"))
+                return F.struct(*fields)
 
-            # pass 1 discovers each accumulator's body type; rebuild
-            # with numeric accumulators where the body is numeric
-            folded, inits, out_types = build({})
-            retype = {
-                n: out_types[n]
-                for n in names
-                if isinstance(out_types[n], T.NumericType)
-                and not isinstance(inits[n].dtype, T.NumericType)
-            }
-            if retype:
-                folded, inits, out_types = build(retype)
+            folded = F.aggregate(entries, init_struct, step)
 
             for n in names:
                 # nil target -> loop body never ran (forRange returns

@@ -394,3 +394,17 @@ def test_expr_breadth_functions(spark):
         "o1": "xab5", "o2": "true", "o3": "true", "o4": "4",
         "o5": "2,3", "o6": "array/string/nil", "o7": "hi", "o8": "7",
     }
+
+
+def test_script_for_unseeded_accumulator_is_numeric(spark):
+    """An accumulator first assigned inside the loop starts nil; the
+    reference's nil + number is numeric (NumberOf(nil)=0), not string
+    concat — typed via the nil-probe pass."""
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id int, xs array<double>")
+    doc = {"script": [{"for": "i,x in $.xs", "do": ["s = s + x"]},
+                      "$.out = string(s)"]}
+    assert js.compile_schema(doc).transform(df).select("out").collect()[0][0] == "6"
+    # a string seed still concatenates (the `+` string branch)
+    doc2 = {"script": ["s = 'x'", {"for": "i,x in $.xs", "do": ["s = s + x"]},
+                       "$.out = s"]}
+    assert js.compile_schema(doc2).transform(df).select("out").collect()[0][0] == "x123"
