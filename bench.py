@@ -177,9 +177,9 @@ def flagship_suite(spark: SparkSession, path: str) -> dict:
         ),
     ]
     t0 = time.monotonic()
-    all_rows = []
-    for c in suite:
-        all_rows.extend(c.verdicts(df).collect())
+    # fused run: schema+stats share ONE scan+aggregation
+    # (checks.CheckSuite.run), uniqueness/RI keep their own shuffles
+    all_rows = checks.CheckSuite(suite).run(df).collect()
     wall = time.monotonic() - t0
     n_rows = int(
         next(r for r in all_rows if r["check"] == "stats")["metrics"]["row_count"]

@@ -83,6 +83,18 @@ def _verdict_select(check_name: str, fail_count: Column, metrics: Column):
     ]
 
 
+def _verdict_struct(check_name: str, fail_count: Column, metrics: Column) -> Column:
+    """One verdict row as a struct — lets several fused checks emit
+    from ONE select via explode(array(...)), keeping a single scan."""
+    return F.struct(
+        F.col("partition_id").alias("partition_id"),
+        F.lit(check_name).alias("check"),
+        (fail_count == 0).alias("pass"),
+        fail_count.cast("long").alias("violation_count"),
+        metrics.alias("metrics"),
+    )
+
+
 class Check:
     """Base class: a named table-level check producing verdict rows and
     (optionally) violation rows."""
@@ -119,45 +131,65 @@ class ColumnStats(Check):
     expectations: dict = field(default_factory=dict)
     name: str = "column_stats"
 
-    def stats(self, df: DataFrame) -> DataFrame:
-        aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    def _agg_exprs(self, p: str = "") -> list[Column]:
+        aggs: list[Column] = [F.count(F.lit(1)).alias(f"{p}row_count")]
         for c in self.columns:
             col = F.col(c)
-            aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
-            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+            aggs.append(F.sum(col.isNull().cast("long")).alias(f"{p}{c}__nulls"))
+            aggs.append(F.min(col).cast("string").alias(f"{p}{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{p}{c}__max"))
             if self.approx:
-                aggs.append(F.approx_count_distinct(c, self.rsd).alias(f"{c}__distinct"))
+                aggs.append(
+                    F.approx_count_distinct(c, self.rsd).alias(f"{p}{c}__distinct")
+                )
             else:
-                aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
-        g = df.groupBy(_partition_id(self.partition_by).alias("partition_id"))
-        return g.agg(*aggs)
+                aggs.append(F.count_distinct(col).alias(f"{p}{c}__distinct"))
+        return aggs
 
-    def verdicts(self, df: DataFrame) -> DataFrame:
-        s = self.stats(df)
+    def stats(self, df: DataFrame) -> DataFrame:
+        g = df.groupBy(_partition_id(self.partition_by).alias("partition_id"))
+        return g.agg(*self._agg_exprs())
+
+    def _verdict_parts(self, p: str = "") -> tuple[Column, Column]:
         entries: list[Column] = [
             F.lit("row_count"),
-            F.col("row_count").cast("string"),
+            F.col(f"{p}row_count").cast("string"),
         ]
         fail = F.lit(0)
         for c in self.columns:
-            null_rate = F.col(f"{c}__nulls") / F.col("row_count")
+            null_rate = F.col(f"{p}{c}__nulls") / F.col(f"{p}row_count")
             entries += [
                 F.lit(f"{c}.null_rate"), F.format_string("%.6f", null_rate),
-                F.lit(f"{c}.min"), F.coalesce(F.col(f"{c}__min"), F.lit("")),
-                F.lit(f"{c}.max"), F.coalesce(F.col(f"{c}__max"), F.lit("")),
-                F.lit(f"{c}.distinct"), F.col(f"{c}__distinct").cast("string"),
+                F.lit(f"{c}.min"), F.coalesce(F.col(f"{p}{c}__min"), F.lit("")),
+                F.lit(f"{c}.max"), F.coalesce(F.col(f"{p}{c}__max"), F.lit("")),
+                F.lit(f"{c}.distinct"), F.col(f"{p}{c}__distinct").cast("string"),
             ]
             exp = self.expectations.get(c, {})
             if "max_null_rate" in exp:
                 fail = fail + (null_rate > exp["max_null_rate"]).cast("int")
             if "min" in exp:
-                fail = fail + (F.col(f"{c}__min").cast("double") < exp["min"]).cast("int")
+                fail = fail + (F.col(f"{p}{c}__min").cast("double") < exp["min"]).cast("int")
             if "max" in exp:
-                fail = fail + (F.col(f"{c}__max").cast("double") > exp["max"]).cast("int")
+                fail = fail + (F.col(f"{p}{c}__max").cast("double") > exp["max"]).cast("int")
             if "min_distinct" in exp:
-                fail = fail + (F.col(f"{c}__distinct") < exp["min_distinct"]).cast("int")
-        return s.select(*_verdict_select(self.name, fail, F.create_map(*entries)))
+                fail = fail + (F.col(f"{p}{c}__distinct") < exp["min_distinct"]).cast("int")
+        return fail, F.create_map(*entries)
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        fail, metrics = self._verdict_parts()
+        return self.stats(df).select(*_verdict_select(self.name, fail, metrics))
+
+    def fused_aggs(self, df: DataFrame):
+        """(agg exprs, verdict-struct builder) for CheckSuite.run's
+        single-pass fusion: column aliases are check-name-prefixed so
+        multiple checks share one groupBy(partition_id).agg(...)."""
+        p = f"__{self.name}__"
+
+        def build() -> Column:
+            fail, metrics = self._verdict_parts(p)
+            return _verdict_struct(self.name, fail, metrics)
+
+        return self._agg_exprs(p), build
 
 
 @dataclass
@@ -426,38 +458,53 @@ class SchemaCheck(Check):
     keys: Sequence[str] | None = None  # violation row identity columns
     name: str = "schema"
 
-    def verdicts(self, df: DataFrame) -> DataFrame:
+    def _agg_exprs(self, df: DataFrame, p: str = ""):
         # hot path: predicate-only compilation skips violation-array
         # construction (~2.4x) — falls back to the array path when the
         # document uses keywords outside the predicate subset
         pred = self.plan.fail_predicate(df)
         if pred is not None:
-            src = df.withColumn("__bad", pred.cast("long"))
-            agg = src.groupBy(
-                _partition_id(self.partition_by).alias("partition_id")
-            ).agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum("__bad").alias("bad_rows"),
-            )
-            metrics = F.create_map(
-                F.lit("rows"), F.col("rows").cast("string"),
-                F.lit("bad_rows"), F.col("bad_rows").cast("string"),
-            )
-            return agg.select(*_verdict_select(self.name, F.col("bad_rows"), metrics))
-        ann = self.plan.annotate(df)
-        agg = ann.groupBy(
+            return [
+                F.count(F.lit(1)).alias(f"{p}rows"),
+                F.sum(pred.cast("long")).alias(f"{p}bad_rows"),
+            ], False
+        viol_size = F.size(self.plan.violations_col(df))
+        return [
+            F.count(F.lit(1)).alias(f"{p}rows"),
+            F.sum((viol_size > 0).cast("long")).alias(f"{p}bad_rows"),
+            F.sum(viol_size).alias(f"{p}violation_total"),
+        ], True
+
+    def _verdict_parts(self, p: str, with_total: bool) -> tuple[Column, Column]:
+        pairs = [
+            F.lit("rows"), F.col(f"{p}rows").cast("string"),
+            F.lit("bad_rows"), F.col(f"{p}bad_rows").cast("string"),
+        ]
+        if with_total:
+            pairs += [
+                F.lit("violation_total"),
+                F.col(f"{p}violation_total").cast("string"),
+            ]
+        return F.col(f"{p}bad_rows"), F.create_map(*pairs)
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        aggs, with_total = self._agg_exprs(df)
+        agg = df.groupBy(
             _partition_id(self.partition_by).alias("partition_id")
-        ).agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum((F.size("violations") > 0).cast("long")).alias("bad_rows"),
-            F.sum(F.size("violations")).alias("violation_total"),
-        )
-        metrics = F.create_map(
-            F.lit("rows"), F.col("rows").cast("string"),
-            F.lit("bad_rows"), F.col("bad_rows").cast("string"),
-            F.lit("violation_total"), F.col("violation_total").cast("string"),
-        )
-        return agg.select(*_verdict_select(self.name, F.col("bad_rows"), metrics))
+        ).agg(*aggs)
+        fail, metrics = self._verdict_parts("", with_total)
+        return agg.select(*_verdict_select(self.name, fail, metrics))
+
+    def fused_aggs(self, df: DataFrame):
+        """(agg exprs, verdict-struct builder) for single-pass fusion."""
+        p = f"__{self.name}__"
+        aggs, with_total = self._agg_exprs(df, p)
+
+        def build() -> Column:
+            fail, metrics = self._verdict_parts(p, with_total)
+            return _verdict_struct(self.name, fail, metrics)
+
+        return aggs, build
 
     def violations(self, df: DataFrame) -> DataFrame:
         keys = list(self.keys) if self.keys else [
@@ -476,11 +523,58 @@ class CheckSuite:
 
     checks: list[Check]
 
-    def run(self, df: DataFrame) -> DataFrame:
+    def run(self, df: DataFrame, fused: bool = True) -> DataFrame:
+        """Union of all verdict rows.
+
+        ``fused`` (default): every aggregation-shaped check (schema
+        verdicts, column stats) that shares a partition_by contributes
+        its aggregate expressions to ONE
+        ``groupBy(partition_id).agg(...)`` — the corpus is scanned once
+        for the whole group instead of once per check (the verdict
+        builders all read the same aggregated exchange, which Spark
+        reuses).  Shuffle-shaped checks (uniqueness, referential
+        integrity, drift) keep their own jobs."""
         out: DataFrame | None = None
-        for c in self.checks:
-            v = c.verdicts(df)
-            out = v if out is None else out.unionByName(v)
+
+        def add(v: DataFrame):
+            nonlocal out
+            out = v if out is None else out.unionByName(v, allowMissingColumns=False)
+
+        rest: list[Check] = []
+        groups: dict[tuple, list] = {}
+        if fused:
+            for c in self.checks:
+                if hasattr(c, "fused_aggs"):
+                    pb = tuple(getattr(c, "partition_by", None) or ())
+                    groups.setdefault(pb, []).append(c)
+                else:
+                    rest.append(c)
+        else:
+            rest = list(self.checks)
+
+        for pb, cs in groups.items():
+            if len(cs) == 1:
+                add(cs[0].verdicts(df))
+                continue
+            aggs: list[Column] = []
+            builders = []
+            for c in cs:
+                a, b = c.fused_aggs(df)
+                aggs.extend(a)
+                builders.append(b)
+            g = df.groupBy(
+                _partition_id(list(pb) or None).alias("partition_id")
+            ).agg(*aggs)
+            # ONE select emitting every check's verdict struct: a union
+            # of per-check selects would let column pruning split the
+            # aggregate into per-branch scans
+            add(
+                g.select(
+                    F.explode(F.array(*[b() for b in builders])).alias("__v")
+                ).select("__v.*")
+            )
+        for c in rest:
+            add(c.verdicts(df))
         if out is None:
             raise ValueError("empty CheckSuite")
         return out

@@ -155,3 +155,34 @@ def test_drift_stored_baseline_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="baseline"):
         checks.Drift(column="v").verdicts(same)
+
+
+def test_check_suite_fused_equals_sequential(spark):
+    """CheckSuite.run fuses agg-shaped checks into one
+    groupBy(partition_id).agg(...): identical verdicts to the
+    per-check path, and the fused group's plan aggregates both checks
+    over a single scan subtree."""
+    import jsonschema_spark as js
+    from jsonschema_spark.sources.fixtures import transcripts
+
+    df = transcripts(spark, n_convs=200)
+    plan = js.compile_schema(
+        {"required": ["conv_id", "role"],
+         "properties": {"turn_idx": {"minimum": 0}}}
+    )
+    suite = checks.CheckSuite([
+        checks.SchemaCheck(plan=plan, name="schema"),
+        checks.ColumnStats(columns=["role", "text"], approx=False, name="stats"),
+        checks.Uniqueness(keys=["conv_id", "turn_idx"]),
+    ])
+    key = lambda r: (r["check"], r["partition_id"], r["pass"], r["violation_count"])  # noqa: E731
+    seq = sorted(map(key, suite.run(df, fused=False).collect()))
+    fus = sorted(map(key, suite.run(df, fused=True).collect()))
+    assert seq == fus
+    # single-pass: fusing schema+stats removes one whole consumer of
+    # the input (its scan leaves disappear from the plan)
+    leaf = "Range (0, 200"
+    p_seq = suite.run(df, fused=False)._jdf.queryExecution().executedPlan().toString()
+    p_fus = suite.run(df, fused=True)._jdf.queryExecution().executedPlan().toString()
+    per_consumer = p_seq.count(leaf) // 3  # schema, stats, uniqueness
+    assert p_fus.count(leaf) == p_seq.count(leaf) - per_consumer
