@@ -447,6 +447,88 @@ class Drift(Check):
             )
         return spark.createDataFrame(rows, VERDICT_SCHEMA)
 
+    def _base_quantiles(self, spark) -> list[float]:
+        if self.baseline_path is not None:
+            base = spark.read.parquet(self.baseline_path).collect()
+        elif self.baseline is not None:
+            base = self._quantiles(self.baseline, pid=False).collect()
+        else:
+            raise ValueError("Drift needs a baseline DataFrame or baseline_path")
+        return list(base[0]["quantiles"]) if base else []
+
+    def fused_aggs(self, df: DataFrame):
+        """Join the shared single-scan aggregation: the quantile sketch
+        is one agg expression; PSI/KS compile COLUMNAR against the
+        baseline summary embedded as literals (the baseline is one tiny
+        collected row — same bound as verdicts()).  Same step-CDF
+        arithmetic as psi_ks: cdf(q, x) = |{e in q : e <= x}| / |q|."""
+        import bisect
+
+        p = f"__{self.name}__"
+        base_q = self._base_quantiles(df.sparkSession)
+        qs = [i / self.n_quantiles for i in range(self.n_quantiles + 1)]
+        col = F.col(self.column).cast("double")
+        if self.approx:
+            agg = F.percentile_approx(col, qs, self.accuracy)
+        else:
+            agg = F.percentile(col, F.array(*[F.lit(x) for x in qs]))
+
+        def build() -> Column:
+            cur = F.col(f"{p}quantiles")
+            n_cur = F.size(cur).cast("double")
+
+            def cdf_cur(x: Column) -> Column:
+                return F.size(F.filter(cur, lambda e: e <= x)) / n_cur
+
+            eps = 1e-6
+            if len(base_q) >= 2:
+                grid = sorted(set(base_q))
+                psi = F.lit(0.0)
+                prev_b, prev_c = 0.0, F.lit(0.0)
+                for g in grid:
+                    b = bisect.bisect_right(base_q, g) / len(base_q)
+                    c = cdf_cur(F.lit(float(g)))
+                    expected = max(b - prev_b, eps)
+                    actual = F.greatest(c - prev_c, F.lit(eps))
+                    psi = psi + (actual - expected) * F.log(actual / F.lit(expected))
+                    prev_b, prev_c = b, c
+                expected = max(1.0 - prev_b, eps)
+                actual = F.greatest(F.lit(1.0) - prev_c, F.lit(eps))
+                psi = psi + (actual - expected) * F.log(actual / F.lit(expected))
+                # KS over the merged grid = max over base knots + cur knots
+                base_lit = F.array(*[F.lit(float(x)) for x in sorted(base_q)])
+                nb = float(len(base_q))
+
+                def cdf_base(x: Column) -> Column:
+                    return F.size(F.filter(base_lit, lambda e: e <= x)) / F.lit(nb)
+
+                ks_base = [
+                    F.abs(
+                        F.lit(bisect.bisect_right(base_q, g) / len(base_q))
+                        - cdf_cur(F.lit(float(g)))
+                    )
+                    for g in grid
+                ]
+                ks_cur = F.array_max(
+                    F.transform(cur, lambda e: F.abs(cdf_base(e) - cdf_cur(e)))
+                )
+                ks = F.greatest(*ks_base, ks_cur)
+                valid = cur.isNotNull() & (F.size(cur) >= 2)
+                psi = F.when(valid, psi).otherwise(F.lit(0.0))
+                ks = F.when(valid, ks).otherwise(F.lit(0.0))
+            else:
+                psi, ks = F.lit(0.0), F.lit(0.0)
+            drifted = (psi > self.psi_threshold) | (ks > self.ks_threshold)
+            metrics = F.create_map(
+                F.lit("psi"), F.format_string("%.6f", psi),
+                F.lit("ks"), F.format_string("%.6f", ks),
+                F.lit("column"), F.lit(self.column),
+                F.lit("n_quantiles"), F.lit(str(self.n_quantiles)),
+            )
+            return _verdict_struct(self.name, drifted.cast("int"), metrics)
+
+        return [agg.alias(f"{p}quantiles")], build
+
 
 @dataclass
 class SchemaCheck(Check):

@@ -186,3 +186,27 @@ def test_check_suite_fused_equals_sequential(spark):
     p_fus = suite.run(df, fused=True)._jdf.queryExecution().executedPlan().toString()
     per_consumer = p_seq.count(leaf) // 3  # schema, stats, uniqueness
     assert p_fus.count(leaf) == p_seq.count(leaf) - per_consumer
+
+
+def test_drift_fused_matches_driver_path(spark):
+    """Drift's fused builder compiles PSI/KS columnar against literal
+    baseline knots; it must reproduce psi_ks (driver bisect arithmetic)
+    to the printed precision in both the no-drift and drift cases."""
+    import jsonschema_spark as js
+    from jsonschema_spark.sources.fixtures import transcripts
+
+    df = transcripts(spark, n_convs=300)
+    shifted = df.selectExpr(
+        "conv_id", "turn_idx + 40 as turn_idx", "role", "text", "tool", "ts"
+    )
+    plan = js.compile_schema({"required": ["conv_id"]})
+    for cur, want_drift in ((df, False), (shifted, True)):
+        suite = checks.CheckSuite([
+            checks.SchemaCheck(plan=plan, name="schema"),
+            checks.Drift(column="turn_idx", baseline=df, approx=False),
+        ])
+        seq = [r for r in suite.run(cur, fused=False).collect() if r["check"] == "drift"][0]
+        fus = [r for r in suite.run(cur, fused=True).collect() if r["check"] == "drift"][0]
+        assert fus["pass"] == seq["pass"] == (not want_drift)
+        assert fus["metrics"]["psi"] == seq["metrics"]["psi"]
+        assert fus["metrics"]["ks"] == seq["metrics"]["ks"]
