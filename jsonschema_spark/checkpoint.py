@@ -207,19 +207,32 @@ class ResumableRun:
 
         all_new: DataFrame | None = None
         new_rows: list = []
-        for check in self.suite.checks:
-            todo_t = [t for t in tuples if (pid_of[t], check.name) not in done]
-            if not todo_t:
-                continue
-            self.last_ran[check.name] = todo_t
-            if self.partition_by and len(todo_t) < len(tuples):
-                sub = prune_to_partitions(df, self.partition_by, todo_t)
-            else:
-                sub = df
-            v = check.verdicts(sub)
-            rows = v.collect()
-            new_rows.extend(rows)
-            all_new = v if all_new is None else all_new.unionByName(v)
+        todo_by_check = {
+            c.name: [t for t in tuples if (pid_of[t], c.name) not in done]
+            for c in self.suite.checks
+        }
+        if all(len(todo_by_check[c.name]) == len(tuples) for c in self.suite.checks):
+            # fresh run (nothing checkpointed): the fused suite shares
+            # ONE scan across all agg-shaped checks — the common case
+            # for the first pass over a 10^12-row corpus
+            for c in self.suite.checks:
+                self.last_ran[c.name] = todo_by_check[c.name]
+            all_new = self.suite.run(df)
+            new_rows = all_new.collect()
+        else:
+            for check in self.suite.checks:
+                todo_t = todo_by_check[check.name]
+                if not todo_t:
+                    continue
+                self.last_ran[check.name] = todo_t
+                if self.partition_by and len(todo_t) < len(tuples):
+                    sub = prune_to_partitions(df, self.partition_by, todo_t)
+                else:
+                    sub = df
+                v = check.verdicts(sub)
+                rows = v.collect()
+                new_rows.extend(rows)
+                all_new = v if all_new is None else all_new.unionByName(v)
 
         if new_rows:
             self.manifest.append(spark, new_rows, lineages)
