@@ -680,6 +680,31 @@ def q_verdict_counts_json(spark, sf_dir):
     )
 
 
+def q_foreach_fold_docs(spark, sf_dir):
+    """The foreach keyword's cross-element set-accumulation (reference
+    TestForeach shape, foreach.go + benchmark_test.go:411-423) under
+    the oracle: per-document fold over the token array via the nested
+    F.aggregate TransformOp (plans/keywords_logic._register_foreach_fold)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    plan = js.compile_schema(
+        {"foreach": {"toks": {"set": {
+            "n_toks": ["add()", "${n_toks}", 1],
+            "head": "${head}${__key}:${__val}|",
+        }}}}
+    )
+    out = plan.transform(base)
+    # bound output: first 24 chars of the accumulated head string
+    return out.select(
+        "doc_id",
+        F.col("n_toks").alias("n_toks"),
+        F.substring("head", 1, 24).alias("head24"),
+    )
+
+
 def q_validate_customer_combinators(spark, sf_dir):
     """Combinator coverage: anyOf (all-branch errors on total miss),
     not, switch/case (SURVEY §2.3) over customer."""
@@ -812,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_events": q_validate_json_events,
         "script_fold_docs": q_script_fold_docs,
         "verdict_counts_json": q_verdict_counts_json,
+        "foreach_fold_docs": q_foreach_fold_docs,
         "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
@@ -1249,6 +1275,20 @@ def oracle_sql() -> dict[str, str]:
                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
             FROM p
         """,
+        "foreach_fold_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM d0
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS DOUBLE) AS n_toks,
+                   substr(COALESCE(array_to_string(
+                     list_transform(range(1, len(toks) + 1),
+                       i -> CAST(i - 1 AS VARCHAR) || ':' || toks[CAST(i AS INT)] || '|'),
+                     ''), ''), 1, 24) AS head24
+            FROM d
+        """.replace("d0", "documents"),
         "script_fold_docs": """
             WITH d AS (
               SELECT doc_id,

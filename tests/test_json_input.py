@@ -283,3 +283,32 @@ def test_json_path_equals_struct_path_on_corpus(spark):
     }
     assert len(malformed) > 0          # the corpus plants malformed docs
     assert a == b and len(a) > 100
+
+
+def test_json_validation_on_stream(spark, tmp_path):
+    """The JSON-column path is a stateless projection, so it applies to
+    a readStream source unchanged — continuous validation of dynamic
+    JSON payloads."""
+    rows = [
+        (1, '{"user": {"id": 5, "name": "u7"}}'),
+        (2, '{"user": {"id": 0, "name": "bob"}}'),
+        (3, "broken {"),
+    ]
+    src = str(tmp_path / "json_stream")
+    spark.createDataFrame(rows, "event_id int, payload string").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("event_id int, payload string").parquet(src)
+    plan = js.compile_schema(NESTED_DOC)
+    ann = plan.annotate_json(stream, "payload")
+    bad = ann.filter(F.size("violations") > 0).select(
+        "event_id", F.col("violations")[0]["info"].alias("first_info")
+    )
+    q = (
+        bad.writeStream.format("memory").queryName("json_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_id"]: r["first_info"]
+           for r in spark.sql("select * from json_stream_t").collect()}
+    assert got[3] == "invalid json document"
+    assert 2 in got and 1 not in got
