@@ -144,12 +144,23 @@ def cmd_run(args) -> int:
         # On a resumed run, scope the violations pass to the partitions
         # the schema check actually (re)ran — the sink appends, so
         # re-validating the full table would duplicate every
-        # previously-written violation row.
+        # previously-written violation row.  If the sink does not exist
+        # yet (output.violations added after a checkpointed run, or a
+        # prior run crashed between manifest append and the violations
+        # write), fall back to a FULL pass so no partition's violations
+        # are silently lost.
         viol_df = df
         if run is not None:
+            sink_exists = True
+            try:
+                read_table(spark, out["violations"]).limit(0).collect()
+            except Exception:
+                sink_exists = False
             ran = run.last_ran.get("schema")
-            if ran is None:
-                viol_df = None  # fully checkpointed: already written
+            if not sink_exists:
+                viol_df = df
+            elif ran is None:
+                viol_df = None  # fully checkpointed AND already written
             elif cfg.get("partition_by") and len(ran) > 0:
                 from jsonschema_spark.checkpoint import prune_to_partitions
 

@@ -968,9 +968,12 @@ _FN["inn"] = _fn_inn
 
 def _fn_repeat(env, body, n):
     """repeat (funcs.go:1357-1382): n results as an array; a lambda
-    body receives the index."""
-    count = _v(env, n).num().cast("int")
-    idxs = F.sequence(F.lit(0), count - 1)
+    body receives the index.  n <= 0 yields an empty array (a bare
+    F.sequence(0, -1) would count DOWN and return [0, -1])."""
+    count = F.greatest(_v(env, n).num().cast("int"), F.lit(0))
+    idxs = F.when(
+        count > 0, F.sequence(F.lit(0), count - 1)
+    ).otherwise(F.array().cast("array<int>"))
     if isinstance(body, Lambda):
         fn = _hof_lambda(env, body, T.IntegerType())
         probe = fn(F.lit(0))

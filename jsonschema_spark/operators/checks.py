@@ -59,14 +59,18 @@ def _partition_id(partition_by: Sequence[str] | None) -> Column:
     ('ALL' for unpartitioned tables)."""
     if not partition_by:
         return F.lit("ALL")
-    # NULL partition values render as "c=null" — F.concat would return
-    # NULL for the segment and concat_ws would silently drop it, mapping
-    # distinct tuples onto the same pid.
+    # NULL partition values render with Hive's standard sentinel —
+    # F.concat would NULL the segment and concat_ws would silently drop
+    # it, and a plain "null" would collide with a real string 'null',
+    # letting a resume skip a never-run NULL partition.
     return F.concat_ws(
         "/",
         *[
             F.concat(
-                F.lit(f"{c}="), F.coalesce(F.col(c).cast("string"), F.lit("null"))
+                F.lit(f"{c}="),
+                F.coalesce(
+                    F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")
+                ),
             )
             for c in partition_by
         ],
@@ -179,11 +183,12 @@ class ColumnStats(Check):
         fail, metrics = self._verdict_parts()
         return self.stats(df).select(*_verdict_select(self.name, fail, metrics))
 
-    def fused_aggs(self, df: DataFrame):
+    def fused_aggs(self, df: DataFrame, prefix: str | None = None):
         """(agg exprs, verdict-struct builder) for CheckSuite.run's
-        single-pass fusion: column aliases are check-name-prefixed so
+        single-pass fusion: column aliases are prefixed (caller supplies
+        a unique prefix, so same-named checks cannot collide) and
         multiple checks share one groupBy(partition_id).agg(...)."""
-        p = f"__{self.name}__"
+        p = prefix or f"__{self.name}__"
 
         def build() -> Column:
             fail, metrics = self._verdict_parts(p)
@@ -415,13 +420,7 @@ class Drift(Check):
 
     def verdicts(self, df: DataFrame) -> DataFrame:
         spark = df.sparkSession
-        if self.baseline_path is not None:
-            base = spark.read.parquet(self.baseline_path).collect()
-        elif self.baseline is not None:
-            base = self._quantiles(self.baseline, pid=False).collect()
-        else:
-            raise ValueError("Drift needs a baseline DataFrame or baseline_path")
-        base_q = list(base[0]["quantiles"]) if base else []
+        base_q = self._base_quantiles(spark)
         cur = self._quantiles(df, pid=True).collect()
         rows = []
         for r in cur:
@@ -456,7 +455,7 @@ class Drift(Check):
             raise ValueError("Drift needs a baseline DataFrame or baseline_path")
         return list(base[0]["quantiles"]) if base else []
 
-    def fused_aggs(self, df: DataFrame):
+    def fused_aggs(self, df: DataFrame, prefix: str | None = None):
         """Join the shared single-scan aggregation: the quantile sketch
         is one agg expression; PSI/KS compile COLUMNAR against the
         baseline summary embedded as literals (the baseline is one tiny
@@ -464,7 +463,7 @@ class Drift(Check):
         arithmetic as psi_ks: cdf(q, x) = |{e in q : e <= x}| / |q|."""
         import bisect
 
-        p = f"__{self.name}__"
+        p = prefix or f"__{self.name}__"
         base_q = self._base_quantiles(df.sparkSession)
         qs = [i / self.n_quantiles for i in range(self.n_quantiles + 1)]
         col = F.col(self.column).cast("double")
@@ -577,9 +576,9 @@ class SchemaCheck(Check):
         fail, metrics = self._verdict_parts("", with_total)
         return agg.select(*_verdict_select(self.name, fail, metrics))
 
-    def fused_aggs(self, df: DataFrame):
+    def fused_aggs(self, df: DataFrame, prefix: str | None = None):
         """(agg exprs, verdict-struct builder) for single-pass fusion."""
-        p = f"__{self.name}__"
+        p = prefix or f"__{self.name}__"
         aggs, with_total = self._agg_exprs(df, p)
 
         def build() -> Column:
@@ -640,8 +639,10 @@ class CheckSuite:
                 continue
             aggs: list[Column] = []
             builders = []
-            for c in cs:
-                a, b = c.fused_aggs(df)
+            for i, c in enumerate(cs):
+                # index in the prefix: same-named checks must not
+                # collide in the shared aggregate
+                a, b = c.fused_aggs(df, prefix=f"__{i}_{c.name}__")
                 aggs.extend(a)
                 builders.append(b)
             g = df.groupBy(

@@ -276,14 +276,17 @@ class CompiledSchema:
             )
 
             def malformed_of(c):
-                # corrupt is ALSO set for partial field-type mismatches;
-                # only a parse that produced nothing at all is "invalid
-                # json" — a partial parse validates with the bad field
-                # nulled (documented static-schema divergence)
-                nothing = F.lit(True)
-                for f_ in dt.fields:
-                    nothing = nothing & c.getField(f_.name).isNull()
-                return c.getField(corrupt).isNotNull() & nothing
+                # corrupt is ALSO set for field-type mismatches, and a
+                # VALID document whose typed fields all fail conversion
+                # would look identical to garbage — so on corrupt rows
+                # (only), re-check well-formedness with try_parse_json
+                # (evaluated lazily per row inside the when branch).
+                # Type mismatches then validate with the bad field
+                # nulled (documented static-schema divergence).
+                return F.when(
+                    c.getField(corrupt).isNotNull(),
+                    F.try_parse_json(F.col(json_col).cast("string")).isNull(),
+                ).otherwise(F.lit(False))
         else:
             parsed = F.from_json(F.col(json_col).cast("string"), dt)
 

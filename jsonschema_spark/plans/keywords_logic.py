@@ -406,6 +406,47 @@ _FOREACH_UNSUPPORTED_MUT = {
 }
 
 
+# keywords whose operands are (or contain) nested schema documents
+_SCHEMA_NEST = {
+    "if", "then", "else", "allOf", "anyOf", "oneOf", "not", "and", "or",
+    "case", "defaults", "properties", "props", "items", "children",
+    "dependencies",
+}
+
+
+def _reject_nested_foreach_mutations(subdoc: dict, path: str, top: bool) -> None:
+    """Inside a foreach sub-schema, mutation keywords are only compiled
+    at the TOP level (`set` → fold; nested `foreach` recursively); one
+    nested under if/then/case/properties/... would be silently
+    discarded by the detached compile ctx — fail loudly instead."""
+    for kw, op in subdoc.items():
+        if top and kw == "set":
+            continue  # fold-compiled; operand values are templates
+        if top and kw == "foreach" and isinstance(op, dict):
+            for sub in op.values():
+                if isinstance(sub, dict):
+                    _reject_nested_foreach_mutations(sub, path, top=True)
+            continue
+        if kw in _FOREACH_UNSUPPORTED_MUT or kw in ("set", "foreach"):
+            raise SchemaError(
+                f"'{kw}' nested under '{path}' inside foreach would mutate "
+                "the document per element — not columnar; accumulate with a "
+                "TOP-level `set` (compiled to a fold) or use the script "
+                f"keyword, path:{path}"
+            )
+        if kw in _SCHEMA_NEST:
+            if kw in ("case", "defaults", "properties", "props",
+                      "dependencies", "children") and isinstance(op, dict):
+                subs = list(op.values())
+            elif isinstance(op, list):
+                subs = op
+            else:
+                subs = [op]
+            for s in subs:
+                if isinstance(s, dict):
+                    _reject_nested_foreach_mutations(s, f"{path}.{kw}", top=False)
+
+
 def _foreach_mut_program(subdoc: dict, path: str):
     """Ordered mutation ops from a foreach sub-schema:
     ("set", [(name, Value), ...]) | ("foreach", jp, subprogram).
@@ -604,6 +645,8 @@ def kw_foreach(operand, path, siblings, ctx) -> Rule:
         # leak to the global transform pipeline (they would run once per
         # row with __key/__val unbound)
         sub_ctx = dataclasses.replace(ctx, transforms=[])
+        if isinstance(sub, dict):
+            _reject_nested_foreach_mutations(sub, f"{path}.{jp}", top=True)
         node = compile_node(sub, f"{path}.{jp}", sub_ctx)
         entries.append((jp, node))
         if isinstance(sub, dict):

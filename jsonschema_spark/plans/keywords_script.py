@@ -203,8 +203,13 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             statements see earlier updates, same as the reference's
             Context.Set).  Per-element document mutation and `break`
             are out of the columnar subset — route those to `foreach`.
-            Accumulators are typed numeric-or-string from a first
-            compile pass (the reference folds dynamic values)."""
+            Accumulators are typed numeric-or-string from a nil-typed
+            compile probe (the reference folds dynamic values).  Known
+            narrowing: the accumulator keeps its coerced string/double
+            type even when an enclosing guard is false or the target is
+            nil — its VALUE is preserved via coercion, but e.g. a
+            boolean pre-binding reads back as 'true' (one Column must
+            carry one type)."""
             from pyspark.sql import types as T
 
             env = fresh_env()

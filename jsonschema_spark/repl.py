@@ -80,21 +80,20 @@ class ExprSession:
         (state is kept — reference panics, we report)."""
         from .functions.expr_lang import Assign, parse_statements
 
-        if isinstance(line, str):
-            line = line.strip()
-            if not line or line.startswith("#"):
-                return None
-            # REPL builtins (reference initFunc read/import)
-            if line.startswith(("read(", "read ")):
-                self.load_doc(_arg_of(line, "read"))
-                return None
-            if line.startswith(("import(", "import ")):
-                self.import_file(_arg_of(line, "import"))
-                return None
-            if line.startswith("{"):  # object statement typed as JSON
-                line = json.loads(line)
-
         try:
+            if isinstance(line, str):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    return None
+                # REPL builtins (reference initFunc read/import)
+                if line.startswith(("read(", "read ")):
+                    self.load_doc(_arg_of(line, "read"))
+                    return None
+                if line.startswith(("import(", "import ")):
+                    self.import_file(_arg_of(line, "import"))
+                    return None
+                if line.startswith("{"):  # object statement typed as JSON
+                    line = json.loads(line)
             if isinstance(line, dict):
                 is_stmt = True
             else:

@@ -242,7 +242,10 @@ def test_resume_null_and_bool_partitions(spark, tmp_path):
                        partition_by=["day", "flagged"], source_id="t")
     first = run.run(df)
     pids = {r["partition_id"] for r in first.collect()}
-    assert pids == {"day=2025-01-01/flagged=true", "day=null/flagged=false"}
+    assert pids == {
+        "day=2025-01-01/flagged=true",
+        "day=__HIVE_DEFAULT_PARTITION__/flagged=false",
+    }
 
     # full resume: nothing re-runs (pid match must hold for bool/null)
     assert run.run(df).collect() == []

@@ -210,3 +210,21 @@ def test_drift_fused_matches_driver_path(spark):
         assert fus["pass"] == seq["pass"] == (not want_drift)
         assert fus["metrics"]["psi"] == seq["metrics"]["psi"]
         assert fus["metrics"]["ks"] == seq["metrics"]["ks"]
+
+
+def test_fused_suite_same_named_checks_do_not_collide(spark):
+    """Two checks with the same name in one fused group must not
+    produce ambiguous aggregate aliases (review r2)."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame([("c1", 0), ("c1", 0)], "conv_id string, turn_idx int")
+    p1 = js.compile_schema({"required": ["conv_id"]})
+    p2 = js.compile_schema({"properties": {"turn_idx": {"minimum": 1}}})
+    suite = checks.CheckSuite([
+        checks.SchemaCheck(plan=p1),   # both default name 'schema'
+        checks.SchemaCheck(plan=p2),
+    ])
+    rows = suite.run(df, fused=True).collect()
+    assert len(rows) == 2
+    counts = sorted(r["violation_count"] for r in rows)
+    assert counts == [0, 2]

@@ -156,3 +156,20 @@ def test_foreach_mutation_does_not_leak_unbound(spark):
     plan = js.compile_schema(doc)
     assert len(plan.ctx.transforms) == 1  # one fold op, nothing leaked
     assert plan.transform(df).select("acc").collect()[0][0] == "1"
+
+
+def test_foreach_nested_conditional_mutation_rejected(spark):
+    """set nested under if/then inside foreach would be silently
+    discarded — must fail at compile time (review r2)."""
+    import jsonschema_spark as js
+    import pytest
+
+    with pytest.raises(js.SchemaError, match="not columnar"):
+        js.compile_schema({"foreach": {"xs": {
+            "if": {"gt": {"__val": 0}},
+            "then": {"set": {"n": ["add()", "${n}", 1]}},
+        }}})
+    with pytest.raises(js.SchemaError, match="not columnar"):
+        js.compile_schema({"foreach": {"xs": {
+            "properties": {"w": {"formatVal": "upper"}},
+        }}})

@@ -312,3 +312,25 @@ def test_json_validation_on_stream(spark, tmp_path):
            for r in spark.sql("select * from json_stream_t").collect()}
     assert got[3] == "invalid json document"
     assert 2 in got and 1 not in got
+
+
+def test_json_type_mismatch_not_invalid_json(spark):
+    """A VALID document whose only typed field fails conversion must
+    NOT be classified 'invalid json document' (review r2): the field
+    nulls and validation proceeds."""
+    df = spark.createDataFrame(
+        [(1, '{"a": "xyz"}'), (2, 'garbage {'), (3, '{"a": -1}')],
+        "id int, payload string",
+    )
+    plan = js.compile_schema({"properties": {"a": {"minimum": 0}}})
+    got = {
+        (r["id"], r["info"])
+        for r in plan.validate(df, keys=["id"], json_col="payload")
+        .violations.collect()
+    }
+    assert got == {
+        (2, "invalid json document"),
+        (3, "value must be larger or equal than 0"),
+    }
+    pred = plan.fail_predicate(df, json_col="payload")
+    assert sorted(r["id"] for r in df.filter(pred).collect()) == [2, 3]

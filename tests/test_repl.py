@@ -53,3 +53,14 @@ def test_cli_exp_single(spark, capsys):
     rc = main(["exp", "-s", "1 + 2"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == "3"
+
+
+def test_repl_builtin_errors_do_not_crash(spark):
+    """read/import/JSON errors report as 'error: ...' and keep state
+    (review r2: they previously escaped the try block)."""
+    sess = ExprSession(spark, doc={"v": 1})
+    assert sess.eval("x = 5") is None
+    assert sess.eval("read('/no/such/file.json')").startswith("error:")
+    assert sess.eval("import('/no/such/lib')").startswith("error:")
+    assert sess.eval("{not json").startswith("error:")
+    assert sess.eval("x") == "5"

@@ -408,3 +408,13 @@ def test_script_for_unseeded_accumulator_is_numeric(spark):
     doc2 = {"script": ["s = 'x'", {"for": "i,x in $.xs", "do": ["s = s + x"]},
                        "$.out = s"]}
     assert js.compile_schema(doc2).transform(df).select("out").collect()[0][0] == "x123"
+
+
+def test_repeat_zero_and_negative_counts(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    doc = {"script": [
+        "$.a = string(len(repeat({i} => i, 0)))",
+        "$.b = string(len(repeat('x', neg(3))))",
+    ]}
+    row = js.compile_schema(doc).transform(df).select("a", "b").collect()[0]
+    assert row["a"] == "0" and row["b"] == "0"
