@@ -294,3 +294,31 @@ def test_lineage_tracks_dataframe_inputs(spark, part_df, tmp_path):
     out2 = ResumableRun(suite=s2, manifest=manifest, partition_by=["day"],
                         source_id="t").run(part_df).collect()
     assert len(out2) == 2
+
+
+def test_resumable_fresh_run_uses_fused_suite_with_drift(spark, part_df, tmp_path):
+    """Fresh-run fast path: ResumableRun delegates to the fused suite
+    (schema-shaped checks + drift share one scan) and still writes one
+    manifest row per (partition, check); the resume then skips all."""
+    import jsonschema_spark as js
+
+    manifest = CheckpointManifest(str(tmp_path / "mfused"))
+    plan = js.compile_schema({"required": ["conv_id"]})
+    suite = checks.CheckSuite([
+        checks.SchemaCheck(plan=plan, partition_by=["day"], name="schema"),
+        checks.ColumnStats(columns=["conv_id"], approx=False,
+                           partition_by=["day"], name="stats"),
+        checks.Drift(column="turn_idx", baseline=part_df,
+                     partition_by=["day"], approx=False),
+    ])
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["day"], source_id="t")
+    first = run.run(part_df).collect()
+    assert {(r["partition_id"], r["check"]) for r in first} == {
+        (p, c)
+        for p in ("day=2025-01-01", "day=2025-01-02")
+        for c in ("schema", "stats", "drift")
+    }
+    # full resume: nothing re-runs
+    assert run.run(part_df).collect() == []
+    assert manifest.read(spark).count() == 6
