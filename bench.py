@@ -321,9 +321,17 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
         f"samples@{lo}": [round(x, 1) for x in samples[lo]],
         f"samples@{hi}": [round(x, 1) for x in samples[hi]],
         "paired_ratios": [round(x, 3) for x in ratios],
+        # headline key = median PAIRED ratio (like-for-like with r1 and
+        # with any downstream consumer of recorded BENCH JSON); the
+        # ratio-of-per-level-bests — the estimator least biased by
+        # one-sided contention noise — is published under its own key
+        # (ADVICE r2: best(hi)/best(lo) is not a bound in either
+        # direction on true plan scaling if the low level never lands a
+        # clean round).
         "median_paired_efficiency": round(statistics.median(ratios), 3),
         "efficiency_of_medians": round((med[hi] / med[lo]) / (hi / lo), 3),
-        "scaling_efficiency": round((best[hi] / best[lo]) / (hi / lo), 3),
+        "best_ratio_efficiency": round((best[hi] / best[lo]) / (hi / lo), 3),
+        "scaling_efficiency": round(statistics.median(ratios), 3),
     }
 
 
@@ -332,10 +340,11 @@ def scaling_evidence(path: str) -> dict:
     out["protocol"] = (
         f"taskset-pinned {SCALE_PAIR[0]}->{SCALE_PAIR[1]} cores, interleaved "
         f"{SCALE_ROUNDS}(+2 on >0.12 dispersion) rounds x best-of-2 per "
-        "level; efficiency = ratio of per-level BESTS across rounds "
-        "(contention noise is strictly one-sided per level, so the best is "
-        "the tightest lower bound on true capability); median paired ratio "
-        "reported alongside. Pair chosen so both levels stay under the "
+        "level; scaling_efficiency = median of PAIRED per-round ratios; "
+        "best_ratio_efficiency (ratio of per-level bests — contention "
+        "noise is strictly one-sided per level, so the best is the "
+        "tightest lower bound on true capability) reported alongside. "
+        "Pair chosen so both levels stay under the "
         "box's shared-bandwidth/turbo ceiling (cluster executors scale "
         "those resources; one box does not)"
     )

@@ -241,3 +241,72 @@ class ResumableRun:
 
             return spark.createDataFrame([], VERDICT_SCHEMA)
         return spark.createDataFrame(new_rows, all_new.schema)
+
+@dataclass
+class SideOutput:
+    """Per-partition completion tracking for a secondary sink (e.g. the
+    CLI's violation rows) in the same manifest, INDEPENDENT of the
+    check verdict rows.
+
+    Closes the crash window where the schema check's manifest rows
+    landed but the sink write did not (the verdict append and the sink
+    write are two non-atomic steps): the sink write is only skipped for
+    partitions whose completion row — written strictly AFTER the sink
+    write — is present with a matching lineage.  A crash between the
+    sink write and ``commit`` re-runs those partitions (at-least-once);
+    with an Iceberg sink the re-write is made idempotent via
+    overwritePartitions, with a raw parquet append it may duplicate —
+    the recoverable failure mode, vs. the silent loss it replaces."""
+
+    manifest: CheckpointManifest
+    name: str  # pseudo-check name, e.g. "schema:violations"
+    lineage: str  # fingerprint of (source, schema doc, sink)
+    partition_by: Sequence[str] | None = None
+
+    def todo(self, df: DataFrame):
+        """(pruned_df_or_None, todo_tuples, pid_of): the subset of the
+        input whose sink write is not yet confirmed."""
+        spark = df.sparkSession
+        done = self.manifest.completed(spark, {self.name: self.lineage})
+        if self.partition_by:
+            raw = (
+                df.select(
+                    _partition_id(self.partition_by).alias("__pid"),
+                    *self.partition_by,
+                )
+                .distinct()
+                .collect()
+            )
+            tuples = [tuple(r[c] for c in self.partition_by) for r in raw]
+            pid_of = {t: r["__pid"] for t, r in zip(tuples, raw)}
+        else:
+            tuples, pid_of = [()], {(): "ALL"}
+        todo_t = [t for t in tuples if (pid_of[t], self.name) not in done]
+        if not todo_t:
+            return None, [], pid_of
+        if self.partition_by and len(todo_t) < len(tuples):
+            sub = prune_to_partitions(df, self.partition_by, todo_t)
+        else:
+            sub = df
+        return sub, todo_t, pid_of
+
+    def commit(self, spark: SparkSession, todo_t, pid_of, metrics=None) -> None:
+        """Record completion AFTER the sink write succeeded."""
+        rows = [
+            {
+                "partition_id": pid_of[t],
+                "check": self.name,
+                "metrics": dict(metrics or {}),
+            }
+            for t in todo_t
+        ]
+        if rows:
+            self.manifest.append(spark, rows, {self.name: self.lineage})
+
+
+def side_lineage(source_id: str, *cfg_parts) -> str:
+    """Lineage fingerprint for a SideOutput: source + every config
+    object that determines the sink's content (schema doc, sink path)."""
+    blob = json.dumps({"source": source_id, "cfg": cfg_parts},
+                      sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]

@@ -142,33 +142,33 @@ def cmd_run(args) -> int:
         from jsonschema_spark import compile_schema
 
         # On a resumed run, scope the violations pass to the partitions
-        # the schema check actually (re)ran — the sink appends, so
-        # re-validating the full table would duplicate every
-        # previously-written violation row.  If the sink does not exist
-        # yet (output.violations added after a checkpointed run, or a
-        # prior run crashed between manifest append and the violations
-        # write), fall back to a FULL pass so no partition's violations
-        # are silently lost.
-        viol_df = df
+        # whose sink write is CONFIRMED in the manifest — a completion
+        # row written strictly after the sink write, independent of the
+        # schema check's own verdict rows.  This closes the crash
+        # window where the verdict rows landed but the violations write
+        # did not (the two are non-atomic): the old last_ran scoping
+        # would see the schema check fully checkpointed and skip those
+        # partitions' violations forever.
+        side = None
+        viol_df, todo_t, pid_of = df, [], {}
         if run is not None:
-            sink_exists = True
-            try:
-                read_table(spark, out["violations"]).limit(0).collect()
-            except Exception:
-                sink_exists = False
-            ran = run.last_ran.get("schema")
-            if not sink_exists:
-                viol_df = df
-            elif ran is None:
-                viol_df = None  # fully checkpointed AND already written
-            elif cfg.get("partition_by") and len(ran) > 0:
-                from jsonschema_spark.checkpoint import prune_to_partitions
+            from jsonschema_spark.checkpoint import SideOutput, side_lineage
 
-                viol_df = prune_to_partitions(df, cfg["partition_by"], ran)
+            side = SideOutput(
+                manifest=run.manifest,
+                name="schema:violations",
+                lineage=side_lineage(
+                    cfg["source"], cfg["schema"], out["violations"]
+                ),
+                partition_by=cfg.get("partition_by"),
+            )
+            viol_df, todo_t, pid_of = side.todo(df)
         if viol_df is not None:
             plan = compile_schema(cfg["schema"])
             viols = plan.validate(viol_df, keys=cfg.get("keys", [])).violations
             write_output(viols, out["violations"])
+            if side is not None:
+                side.commit(spark, todo_t, pid_of)
 
     # store this run's quantile summary as the next run's drift baseline
     d = cfg.get("checks", {}).get("drift")

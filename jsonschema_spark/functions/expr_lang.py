@@ -385,6 +385,9 @@ class CVal:
 
     col: Column
     dtype: T.DataType | None = None
+    # statically absent (e.g. a missing doc key resolved to a NullType
+    # lit): field access on it must yield nil, not an AnalysisException
+    exists: bool = True
 
     def num(self) -> Column:
         return number_of(self.col, self.dtype)
@@ -416,7 +419,7 @@ def _ref_cval(root: ValueRef, path: str) -> CVal:
     if path == "":
         return CVal(F.lit(None), None)  # whole-doc ref: not materializable
     r = resolve(root, path)
-    return CVal(r.col, r.dtype)
+    return CVal(r.col, r.dtype, exists=r.exists)
 
 
 def _is_empty(v: CVal) -> Column:
@@ -562,14 +565,29 @@ def _compile_call(node: Call, env: Env) -> CVal:
     if node.fn == "__field__":
         base = compile_expr(node.args[0], env)
         name = node.args[1].value
+        if not base.exists:
+            # absent doc key: resolve() yields nil for missing keys
+            # (reference Ref path); getField on the NullType lit would
+            # raise AnalysisException at plan time instead
+            return CVal(F.lit(None), None, exists=False)
         if isinstance(base.dtype, T.StructType):
             for f_ in base.dtype.fields:
                 if f_.name == name:
                     return CVal(base.col.getField(name), f_.dataType)
+            # struct known but field absent: the reference's resolve()
+            # yields nil for a missing key, not an error — mirror that
+            # instead of letting getField raise at plan time.
+            return CVal(F.lit(None), None, exists=False)
         if isinstance(base.dtype, T.MapType):
             return CVal(
                 F.try_element_at(base.col, F.lit(name)), base.dtype.valueType
             )
+        if base.dtype is not None and not isinstance(
+            base.dtype, (T.StructType, T.MapType)
+        ):
+            # scalar/array base: field access on it is nil in the
+            # reference (resolve() on a non-object yields nil)
+            return CVal(F.lit(None), None, exists=False)
         return CVal(base.col.getField(name), None)
     fn = _FN.get(node.fn)
     if fn is None:
@@ -693,7 +711,7 @@ _FN["sqrt"] = lambda env, a: CVal(F.sqrt(_v(env, a).num()), T.DoubleType())
 _FN["pow"] = lambda env, a, b: CVal(F.pow(_v(env, a).num(), _v(env, b).num()), T.DoubleType())
 _FN["log10"] = lambda env, a: CVal(F.log10(_v(env, a).num()), T.DoubleType())
 _FN["add"] = lambda env, a, b: CVal(_v(env, a).num() + _v(env, b).num(), T.DoubleType())
-_FN["sub"] = lambda env, a, b: CVal(_v(env, a).num() - _v(env, b).num(), T.DoubleType())
+# "sub" is registered below with dtype dispatch (numeric vs time-method)
 _FN["mul"] = lambda env, a, b: CVal(_v(env, a).num() * _v(env, b).num(), T.DoubleType())
 _FN["div"] = lambda env, a, b: CVal(_v(env, a).num() / _v(env, b).num(), T.DoubleType())
 _FN["mod"] = lambda env, a, b: CVal(F.pmod(_v(env, a).num(), _v(env, b).num()), T.DoubleType())
@@ -850,16 +868,29 @@ _FN["add_mill"] = lambda env, a, ms: CVal(
     ),
     T.TimestampType(),
 )
-_FN["sub"] = lambda env, a, b: CVal(
-    (
-        (
-            F.unix_micros(_v(env, a).col.cast("timestamp"))
-            - F.unix_micros(_v(env, b).col.cast("timestamp"))
+def _fn_sub(env, a, b):
+    """sub: numeric a-b (funcs.go:59) OR time.Time diff in ms
+    (funcs_obj.go:602-643).  The reference keeps these in separate
+    namespaces (global func vs t.sub method); here method sugar routes
+    both to one name, so dispatch on the compiled operand dtype —
+    timestamp diff only when an operand actually compiles to a
+    TimestampType."""
+    va, vb = _v(env, a), _v(env, b)
+    if isinstance(va.dtype, T.TimestampType) or isinstance(vb.dtype, T.TimestampType):
+        return CVal(
+            (
+                (
+                    F.unix_micros(va.col.cast("timestamp"))
+                    - F.unix_micros(vb.col.cast("timestamp"))
+                )
+                / 1000
+            ).cast("double"),
+            T.DoubleType(),
         )
-        / 1000
-    ).cast("double"),
-    T.DoubleType(),
-)
+    return CVal(va.num() - vb.num(), T.DoubleType())
+
+
+_FN["sub"] = _fn_sub
 _FN["format"] = lambda env, a, fmt: CVal(
     F.date_format(
         _v(env, a).col.cast("timestamp"), _go_layout(_lit_str(fmt, "format layout"))

@@ -291,7 +291,16 @@ class CompiledSchema:
             parsed = F.from_json(F.col(json_col).cast("string"), dt)
 
             def malformed_of(c):
-                return F.col(json_col).isNotNull() & c.isNull()
+                # from_json returns NULL both for garbage AND for a
+                # well-formed document of a different top-level shape
+                # (scalar vs the inferred map/array).  The reference
+                # decodes any JSON value (schema.go:121-138) — only a
+                # genuinely unparseable document is a decode error, so
+                # re-check well-formedness lazily on the failed rows.
+                return F.when(
+                    F.col(json_col).isNotNull() & c.isNull(),
+                    F.try_parse_json(F.col(json_col).cast("string")).isNull(),
+                ).otherwise(F.lit(False))
         return parsed, malformed_of
 
     def annotate_json(

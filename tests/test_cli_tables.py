@@ -60,10 +60,68 @@ def test_cli_run_with_manifest_resume(spark, data_dir, tmp_path, capsys):
     rc2 = main(["run", str(cfg_path)])
     assert rc2 == 0
     manifest = spark.read.parquet(str(tmp_path / "manifest"))
-    assert manifest.count() == 4  # still one row per check, not doubled
+    # 4 check rows + 1 schema:violations completion row, not doubled
+    assert manifest.count() == 5
+    assert manifest.filter("check = 'schema:violations'").count() == 1
     # the violations sink must NOT accumulate duplicates on resume
     # (ADVICE r1: the append sink re-wrote the full table every run)
     assert spark.read.parquet(str(tmp_path / "violations")).count() == n_viols
+
+
+def test_cli_violations_crash_window(spark, data_dir, tmp_path):
+    """A run that appended the schema check's manifest rows but crashed
+    BEFORE the violations write (while the sink already exists from an
+    earlier run) must not lose those partitions' violations on the next
+    run — the skip is scoped to partitions whose schema:violations
+    completion row is present, not to the schema check's own rows
+    (ADVICE r2 medium)."""
+    from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+    from jsonschema_spark.cli import build_suite, main
+    from jsonschema_spark.operators.checks import CheckSuite
+
+    cfg = {
+        "source": str(data_dir / "transcripts"),
+        "schema": {
+            "required": ["conv_id", "role"],
+            "properties": {"turn_idx": {"minimum": 0}},
+        },
+        "keys": ["conv_id", "turn_idx"],
+        "partition_by": ["role"],
+        "checks": {"uniqueness": {"keys": ["conv_id", "turn_idx"]}},
+        "output": {
+            "verdicts": str(tmp_path / "verdicts"),
+            "violations": str(tmp_path / "violations"),
+            "manifest": str(tmp_path / "manifest"),
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # simulate the crashed run: verdict/manifest rows land ...
+    df = read_table(spark, cfg["source"])
+    run = ResumableRun(
+        suite=CheckSuite(build_suite(spark, cfg)),
+        manifest=CheckpointManifest(cfg["output"]["manifest"]),
+        partition_by=["role"],
+        source_id=cfg["source"],
+    )
+    run.run(df)
+    # ... the sink exists (earlier runs) but THIS data's violations were
+    # never written
+    spark.createDataFrame(
+        [], "conv_id string, turn_idx int, path string, info string"
+    ).write.parquet(str(tmp_path / "violations"))
+
+    rc = main(["run", str(cfg_path)])
+    assert rc == 0
+    viols = spark.read.parquet(str(tmp_path / "violations"))
+    n = viols.count()
+    assert n > 0  # the old last_ran scoping dropped these forever
+
+    # and a further resume does not duplicate them
+    rc2 = main(["run", str(cfg_path)])
+    assert rc2 == 0
+    assert spark.read.parquet(str(tmp_path / "violations")).count() == n
 
 
 def test_read_table_pushdown(spark, data_dir):

@@ -334,3 +334,32 @@ def test_json_type_mismatch_not_invalid_json(spark):
     }
     pred = plan.fail_predicate(df, json_col="payload")
     assert sorted(r["id"] for r in df.filter(pred).collect()) == [2, 3]
+
+
+def test_json_nonstruct_root_wellformed_scalar_not_malformed(spark):
+    """Under the map/array fallback root, a WELL-FORMED document of a
+    different top-level shape (scalar, array vs map) must not be
+    misreported as '$ invalid json document' — the reference decodes
+    any JSON value (schema.go:121-138); only genuinely unparseable
+    input is a decode error (ADVICE r2 low, compiler.py non-struct
+    malformed_of)."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"kind": "a"}'),   # map-shaped: parses
+            (2, "5"),               # well-formed scalar: NOT malformed
+            (3, "[1, 2]"),          # well-formed array: NOT malformed
+            (4, "{nope"),           # garbage: malformed
+        ],
+        "id int, payload string",
+    )
+    plan = js.compile_schema({"eq": {"kind": "a"}})
+    ann = plan.annotate_json(df, "payload")
+    bad = {
+        r["id"]
+        for r in ann.select(
+            "id", F.explode("violations").alias("v")
+        )
+        .filter(F.col("v.info") == "invalid json document")
+        .collect()
+    }
+    assert bad == {4}

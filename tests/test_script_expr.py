@@ -418,3 +418,41 @@ def test_repeat_zero_and_negative_counts(spark):
     ]}
     row = js.compile_schema(doc).transform(df).select("a", "b").collect()[0]
     assert row["a"] == "0" and row["b"] == "0"
+
+
+def test_sub_numeric_not_shadowed_by_time_method(spark):
+    """Reference keeps numeric sub (funcs.go:59) and time.Time sub
+    (funcs_obj.go:602-643) in separate namespaces; here one _FN name
+    dispatches on operand dtype.  sub(5,2) must be 3, not 3000."""
+    df = spark.createDataFrame(
+        [(1, "2025-01-02 03:04:05")], "id int, ts_s string"
+    )
+    plan = js.compile_schema(
+        {
+            "script": [
+                "n = sub(5, 2)",
+                "t = time_parse('2006-01-02 15:04:05', $.ts_s)",
+                "d = sub(add_mill(t, 1500), t)",
+                "$.out = '${n}|${d}'",
+            ]
+        }
+    )
+    row = plan.transform(df).select("out").collect()[0]
+    assert row["out"] == "3|1500"
+
+
+def test_interp_missing_field_yields_nil(spark, docs):
+    """${a.b.c} where the doc key is absent (or the base is a scalar)
+    resolves to nil -> empty string in interpolation, mirroring the
+    reference's Ref/resolve path -- not an AnalysisException."""
+    plan = js.compile_schema(
+        {
+            "script": [
+                "$.o1 = 'v=${nosuch.key}'",
+                "$.o2 = 'v=${name.sub.deep}'",
+            ]
+        }
+    )
+    row = plan.transform(docs).select("o1", "o2").limit(1).collect()[0]
+    assert row["o1"] == "v="
+    assert row["o2"] == "v="
