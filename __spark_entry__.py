@@ -633,8 +633,15 @@ def q_script_fold_docs(spark, sf_dir):
 
 def _json_events_payload_df(spark, sf_dir):
     """Shared deterministic JSON payload construction for the
-    validate_json_events / verdict_counts_json queries."""
-    ev = _t(spark, sf_dir, "events")
+    validate_json_events / verdict_counts_json queries.
+
+    Like _docs(): the testdata parquet is ONE file (one scan
+    partition) while parse+validate is CPU-bound — at corpus scale an
+    Iceberg scan yields thousands of splits; locally an explicit
+    repartition of the 3 needed columns stands in for that."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "props"
+    ).repartition(spark.sparkContext.defaultParallelism)
     k = F.get_json_object("props", "$.k").cast("long")
     u = F.col("user_id")
     name_part = (

@@ -19,6 +19,8 @@ accumulation order matches ``ArrProp.Validate``
 
 from __future__ import annotations
 
+import itertools
+
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -344,7 +346,9 @@ class CompiledSchema:
         """Validate fixed columns (default) or, with ``json_col``, a
         dynamic JSON-string column against this schema document."""
         if json_col is not None:
-            return ValidationResult(self.annotate_json(df, json_col), keys or [])
+            return ValidationResult(
+                self.annotate_json(df, json_col), keys or [], parse_barrier=True
+            )
         ann = self.annotate(df)
         return ValidationResult(ann, keys or [])
 
@@ -399,18 +403,46 @@ class CompiledSchema:
         return cols
 
 
+_BARRIER_SEQ = itertools.count()
+
+
 @dataclass
 class ValidationResult:
     annotated: DataFrame
     keys: list[str]
+    # True when `annotated` contains an expensive parse (json_col
+    # plans): predicate pushdown would substitute the violations alias
+    # into a scan-level filter, re-evaluating from_json once per
+    # keyword branch (measured 28 copies, ~10x wall time) — and
+    # JsonToStructs is CodegenFallback, so codegen's subexpression
+    # elimination never dedups it.  Fixed-column plans stay
+    # barrier-free: their violations expression is codegen'd and CSE'd,
+    # so the substitution costs nothing.
+    parse_barrier: bool = False
+
+    def _gate(self, df: DataFrame) -> DataFrame:
+        """Optimizer fence: a CollectMetrics node must observe every
+        row, so no predicate may legally cross it — the only stable
+        pushdown barrier on Spark 4 (nondeterministic-conjunct fences
+        get folded/pushed)."""
+        if not self.parse_barrier:
+            return df
+        return df.observe(
+            f"jsonschema_parse_gate_{next(_BARRIER_SEQ)}",
+            F.count(F.lit(1)).alias("rows_validated"),
+        )
 
     @property
     def valid(self) -> DataFrame:
-        return self.annotated.filter(F.size("violations") == 0).drop("violations")
+        return (
+            self._gate(self.annotated)
+            .filter(F.size("violations") == 0)
+            .drop("violations")
+        )
 
     @property
     def invalid(self) -> DataFrame:
-        return self.annotated.filter(F.size("violations") > 0)
+        return self._gate(self.annotated).filter(F.size("violations") > 0)
 
     @property
     def errors(self) -> DataFrame:
@@ -429,11 +461,22 @@ class ValidationResult:
     @property
     def violations(self) -> DataFrame:
         """Exploded (keys..., path, info) rows — the golden-file shape
-        (FIXTURES.md §3)."""
+        (FIXTURES.md §3).
+
+        Uses explode_outer + a post-filter on the GENERATED attribute
+        instead of explode (which is semantically equivalent): a plain
+        explode makes InferFiltersFromGenerate synthesize
+        ``size(violations) > 0``, and predicate pushdown then inlines
+        the whole violations expression — re-parsing the document once
+        per keyword branch on json_col plans (measured 28 extra
+        from_json per row, ~10x wall time).  A filter on the Generate's
+        own output cannot be pushed below it."""
         cols = [F.col(k) for k in self.keys]
         return (
-            self.annotated.filter(F.size("violations") > 0)
-            .select(*cols, F.explode("violations").alias("v"))
+            self.annotated.select(
+                *cols, F.explode_outer("violations").alias("v")
+            )
+            .filter(F.col("v").isNotNull())
             .select(*cols, F.col("v.path").alias("path"), F.col("v.info").alias("info"))
         )
 

@@ -363,3 +363,35 @@ def test_json_nonstruct_root_wellformed_scalar_not_malformed(spark):
         .collect()
     }
     assert bad == {4}
+
+
+def test_json_violations_single_parse_in_plan(spark):
+    """The violations path must contain exactly ONE from_json in the
+    optimized plan: InferFiltersFromGenerate + predicate pushdown used
+    to inline the whole violations expression into a scan-level filter
+    (28 from_json copies per row, ~10x wall time — the r2 driver-bench
+    anomaly).  explode_outer + post-filter keeps the parse single."""
+    df = spark.createDataFrame(
+        [(1, '{"user": {"id": 0, "name": "bad"}}'), (2, '{"user": {"id": 5, "name": "u5"}}')],
+        "id int, payload string",
+    )
+    plan = js.compile_schema(NESTED_DOC)
+    v = plan.validate(df, keys=["id"], json_col="payload").violations
+    opt = v._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("from_json") == 1, opt
+    rows = v.collect()
+    assert any(r["path"] == "$.user.id" for r in rows)
+
+
+def test_invalid_valid_fence_no_scan_level_duplication(spark):
+    """invalid/valid keep their size() filter ABOVE the annotate
+    projection (nondeterministic fence): no from_json may appear in a
+    Filter node of the optimized plan."""
+    df = spark.createDataFrame([(1, '{"user": {"id": 1}}')], "id int, payload string")
+    plan = js.compile_schema(NESTED_DOC)
+    res = plan.validate(df, keys=["id"], json_col="payload")
+    for d in (res.invalid, res.valid):
+        opt = d._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("from_json") == 1, opt
+    # semantics unchanged
+    assert res.invalid.count() + res.valid.count() == 1
