@@ -28,6 +28,10 @@ def _is_numeric(dt: T.DataType) -> bool:
 def string_of(col: Column, dtype: T.DataType | None) -> Column:
     """StringOf (common.go:71-91): bool -> "true"/"false",
     float -> shortest fixed form (FormatFloat 'f' -1), nil -> ""."""
+    if isinstance(dtype, T.VariantType):
+        from .variant import variant_string_of
+
+        return variant_string_of(col)
     if dtype is None or isinstance(dtype, T.StringType):
         return F.coalesce(col, F.lit(""))
     if isinstance(dtype, T.BooleanType):
@@ -51,6 +55,10 @@ def string_of(col: Column, dtype: T.DataType | None) -> Column:
 def number_of(col: Column, dtype: T.DataType | None) -> Column:
     """NumberOf (common.go:93-112), with the string-parse bug fixed:
     numeric strings parse to their value, "true" -> 1, junk -> 0."""
+    if isinstance(dtype, T.VariantType):
+        from .variant import variant_number_of
+
+        return variant_number_of(col)
     if dtype is not None and _is_numeric(dtype):
         return F.coalesce(col.cast("double"), F.lit(0.0))
     if isinstance(dtype, T.BooleanType):
@@ -65,6 +73,10 @@ def number_of(col: Column, dtype: T.DataType | None) -> Column:
 
 def bool_of(col: Column, dtype: T.DataType | None) -> Column:
     """BoolOf (common.go:114-129): number > 0, string == "true"."""
+    if isinstance(dtype, T.VariantType):
+        from .variant import variant_bool_of
+
+        return variant_bool_of(col)
     if isinstance(dtype, T.BooleanType):
         return F.coalesce(col, F.lit(False))
     if dtype is not None and _is_numeric(dtype):
@@ -80,6 +92,16 @@ def coercing_equal(
     """Equal (common.go:142-154): coercion keyed on the LHS runtime
     type — string LHS compares stringified, bool LHS compares
     boolified, number LHS compares numerically."""
+    if isinstance(lhs_dtype, T.VariantType):
+        # runtime LHS dispatch: the static table below, per row
+        from .variant import KIND_BOOL, KIND_NUMBER, variant_kind
+
+        k = variant_kind(lhs)
+        return (
+            F.when(k == KIND_NUMBER, number_of(lhs, lhs_dtype) == number_of(rhs, rhs_dtype))
+            .when(k == KIND_BOOL, bool_of(lhs, lhs_dtype) == bool_of(rhs, rhs_dtype))
+            .otherwise(string_of(lhs, lhs_dtype) == string_of(rhs, rhs_dtype))
+        )
     if lhs_dtype is not None and _is_numeric(lhs_dtype):
         return number_of(lhs, lhs_dtype) == number_of(rhs, rhs_dtype)
     if isinstance(lhs_dtype, T.BooleanType):

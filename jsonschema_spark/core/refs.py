@@ -25,6 +25,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .variant import variant_path_key as _variant_path
+
 
 @dataclass
 class ValueRef:
@@ -39,7 +41,26 @@ class ValueRef:
 
     def null(self) -> Column:
         """Runtime 'value missing' predicate (never true for the root)."""
-        if self.is_root:
+        if self.is_root and self.col is None:
+            return F.lit(False)
+        if not self.exists:
+            return F.lit(True)
+        if isinstance(self.dtype, T.VariantType):
+            # a Variant encoding JSON null is runtime-missing for every
+            # validator except `required`/`dependencies` (which read
+            # map-key presence — the reference's m[key] lookup finds a
+            # nil entry; use missing() there)
+            return self.col.isNull() | F.is_variant_null(self.col)
+        return self.col.isNull()
+
+    def missing(self) -> Column:
+        """Key-ABSENCE predicate (`m[key]` lookup, required/
+        dependencies, validator_base.go:500-512): unlike null(), a
+        present key holding JSON null is NOT missing.  Distinguishable
+        only on Variant columns (try_variant_get: absent key -> SQL
+        NULL, present null -> variant-null); fixed struct columns merge
+        the two (documented static divergence, refs.py module doc)."""
+        if self.is_root and self.col is None:
             return F.lit(False)
         if not self.exists:
             return F.lit(True)
@@ -58,6 +79,15 @@ class ValueRef:
         child_path = f"{self.path}.{name}"
         if self.bindings and name in self.bindings:
             return replace(self.bindings[name], path=child_path)
+        if isinstance(self.dtype, T.VariantType):
+            # variant parent (incl. a variant ROOT document): binary
+            # path walk; absent key -> SQL NULL, present JSON null ->
+            # variant-null (required semantics preserved)
+            return ValueRef(
+                F.try_variant_get(self.col, _variant_path(name), "variant"),
+                T.VariantType(),
+                child_path,
+            )
         if self.is_root:
             dt = None
             found = False
@@ -86,6 +116,12 @@ class ValueRef:
         if isinstance(self.dtype, T.ArrayType):
             return ValueRef(
                 F.try_element_at(self.col, F.lit(i + 1)), self.dtype.elementType, child_path
+            )
+        if isinstance(self.dtype, T.VariantType):
+            return ValueRef(
+                F.try_variant_get(self.col, f"$[{i}]", "variant"),
+                T.VariantType(),
+                child_path,
             )
         return ValueRef(F.lit(None), None, child_path, exists=False)
 
@@ -160,7 +196,19 @@ def resolve(root: ValueRef, path: str) -> ValueRef:
         m = _DYN.match(seg)
         if m:
             key_ref = resolve(root, m.group(1))
-            if isinstance(ref.dtype, T.MapType):
+            if isinstance(ref.dtype, T.VariantType):
+                from .variant import variant_object, variant_string_of
+
+                ref = ValueRef(
+                    F.try_element_at(
+                        variant_object(ref.col), variant_string_of(key_ref.col)
+                        if isinstance(key_ref.dtype, T.VariantType)
+                        else key_ref.col.cast("string")
+                    ),
+                    T.VariantType(),
+                    f"{ref.path}.${{{m.group(1)}}}",
+                )
+            elif isinstance(ref.dtype, T.MapType):
                 ref = ValueRef(
                     F.try_element_at(
                         ref.col, key_ref.col.cast(ref.dtype.keyType)

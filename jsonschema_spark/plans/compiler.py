@@ -213,8 +213,28 @@ class CompiledSchema:
         """df + violations column; a row is valid iff size(col)==0."""
         return df.withColumn(col, self.violations_col(df))
 
+    # default parse mode for json_col validation:
+    #   "variant"  — whole document as one VariantType value; every
+    #                keyword dispatches on the RUNTIME JSON type, so
+    #                wrong-typed and union-typed fields produce the
+    #                reference's exact type errors (typeOf, type.go:3-20)
+    #   "static"   — infer a fixed struct from the schema document
+    #                (plans/json_input.py); fastest, but PERMISSIVE
+    #                from_json nulls wrong-typed fields (they surface
+    #                as missing, not type errors)
+    JSON_TYPES_DEFAULT = "variant"
+
+    def _json_mode(self, json_types: str | None) -> str:
+        mode = json_types or self.ctx.options.get("json_types") or self.JSON_TYPES_DEFAULT
+        if mode not in ("variant", "static"):
+            raise SchemaError(f"json_types must be 'variant' or 'static', got {mode!r}")
+        return mode
+
     def fail_predicate(
-        self, df: DataFrame, json_col: str | None = None
+        self,
+        df: DataFrame,
+        json_col: str | None = None,
+        json_types: str | None = None,
     ) -> Column | None:
         """Boolean ``row fails`` Column WITHOUT violation-array
         construction — ~2.4x faster for verdict counting (the 10^12-row
@@ -234,9 +254,16 @@ class CompiledSchema:
             return None
         if json_col is None:
             return self._pred_build(df)
+        mode = self._json_mode(json_types)
+        parsed, malformed_of = self._json_parse_expr(json_col, mode)
+        if mode == "variant":
+            # the predicate compiler's static dispatch can't see runtime
+            # kinds; the faithful path prices the violations array in
+            # (the parse — the dominant cost — is identical)
+            root = ValueRef(col=parsed, dtype=T.VariantType(), path="$")
+            return (F.size(self.node.violations(root)) > 0) | malformed_of(parsed)
         from .predicate import compile_fail
 
-        parsed, malformed_of = self._json_parse_expr(json_col)
         root = ValueRef(col=parsed, dtype=self.json_root_type(), path="$")
         return compile_fail(self.doc, root, self.ctx) | malformed_of(parsed)
 
@@ -260,8 +287,26 @@ class CompiledSchema:
             self._json_root_type = infer_root_type(self.doc)
         return self._json_root_type
 
-    def _json_parse_expr(self, json_col: str):
+    def _json_parse_expr(self, json_col: str, mode: str = "static"):
         """(parsed Column, malformed_of) for a JSON string column."""
+        if mode == "variant":
+            # ONE binary-encoding parse of the whole document; every
+            # keyword then walks the variant with try_variant_get (no
+            # JSON re-parse).  try_parse_json NULL on non-null input is
+            # exactly the reference's decode error (schema.go:127-131);
+            # a JSON `null` document parses to variant-null and every
+            # validator skips (Validate(nil) adds no errors).  A SQL
+            # NULL *input* has no reference analog — it validates as an
+            # empty document (required fires), matching the static
+            # path's documented choice so both modes agree row-by-row.
+            parsed = F.when(
+                F.col(json_col).isNull(), F.parse_json(F.lit("{}"))
+            ).otherwise(F.try_parse_json(F.col(json_col).cast("string")))
+
+            def malformed_of(c):
+                return F.col(json_col).isNotNull() & c.isNull()
+
+            return parsed, malformed_of
         dt = self.json_root_type()
         if isinstance(dt, T.StructType):
             # PERMISSIVE from_json yields an all-null struct for corrupt
@@ -311,22 +356,31 @@ class CompiledSchema:
         json_col: str,
         col: str = "violations",
         keep_parsed: str | None = None,
+        json_types: str | None = None,
     ) -> DataFrame:
-        """Validate a dynamic JSON *string* column: parse once with
-        F.from_json (JVM-side, fuses into the same codegen projection
-        as the rules), then run the compiled plan against the parsed
-        value.  The reference's actual input domain — an arbitrary
-        JSON document (schema.go:121-138) — lands here.
+        """Validate a dynamic JSON *string* column: parse ONCE (JVM-
+        side, fused into the same codegen projection as the rules),
+        then run the compiled plan against the parsed value.  The
+        reference's actual input domain — an arbitrary JSON document
+        (schema.go:121-138) — lands here.
+
+        ``json_types`` picks the parse target (JSON_TYPES_DEFAULT):
+        "variant" validates the document as a VariantType value with
+        per-row runtime type dispatch — wrong-typed and union-typed
+        fields get the reference's exact type errors; "static" infers
+        a fixed struct from the schema document (fastest; wrong-typed
+        fields degrade to missing).
 
         Malformed documents (non-null input, failed parse) get a
         single ``$ / invalid json document`` violation, mirroring the
         decode error the reference returns before any rule runs
         (schema.go:127-131).  ``keep_parsed`` optionally names an
-        output column holding the parsed struct."""
+        output column holding the parsed value."""
         from ..core.errors import violation
 
-        dt = self.json_root_type()
-        parsed, malformed_of = self._json_parse_expr(json_col)
+        mode = self._json_mode(json_types)
+        dt = T.VariantType() if mode == "variant" else self.json_root_type()
+        parsed, malformed_of = self._json_parse_expr(json_col, mode)
         tmp = keep_parsed or "__jsonschema_parsed__"
         df2 = df.withColumn(tmp, parsed)
         root = ValueRef(col=F.col(tmp), dtype=dt, path="$")
@@ -342,12 +396,17 @@ class CompiledSchema:
         df: DataFrame,
         keys: list[str] | None = None,
         json_col: str | None = None,
+        json_types: str | None = None,
     ) -> "ValidationResult":
         """Validate fixed columns (default) or, with ``json_col``, a
-        dynamic JSON-string column against this schema document."""
+        dynamic JSON-string column against this schema document
+        (``json_types``: "variant" = runtime type dispatch, "static" =
+        inferred struct; see annotate_json)."""
         if json_col is not None:
             return ValidationResult(
-                self.annotate_json(df, json_col), keys or [], parse_barrier=True
+                self.annotate_json(df, json_col, json_types=json_types),
+                keys or [],
+                parse_barrier=True,
             )
         ann = self.annotate(df)
         return ValidationResult(ann, keys or [])

@@ -1,9 +1,15 @@
-"""Dynamic JSON-string-column validation.
+"""Dynamic JSON-string-column validation — the STATIC (inferred-
+struct) parse mode.
 
 The reference's entire input domain is an arbitrary JSON document —
 ``Schema.Validate`` accepts ``[]byte``/``string`` and walks the decoded
 ``interface{}`` tree (/root/reference/schema.go:121-138, type dispatch
-type.go:3-20).  The Spark-native mapping of that input domain:
+type.go:3-20).  Two Spark-native mappings exist; the DEFAULT is the
+VariantType path (core/variant.py + the per-keyword variant branches):
+one ``try_parse_json`` into Spark 4's binary semi-structured encoding,
+with every keyword dispatching on the per-row runtime JSON type — the
+faithful replica of the reference's ``switch value.(type)``.  This
+module implements the opt-in ``json_types="static"`` fast path:
 
   1. **Infer a Spark type from the schema document itself** — the
      document's ``type``/``properties``/``items``/``enum`` keywords
@@ -24,11 +30,14 @@ single ``$`` violation, mirroring the reference's decode error
 (schema.go:127-131 returns the json.Unmarshal error before any rule
 runs).
 
-Static-schema divergence (documented): inside a JSON column a value of
-the *wrong* type parses to NULL in PERMISSIVE mode, so bare ``type``
-assertions are enforced structurally by the parse — a wrong-typed
-required field surfaces as "field is required" rather than a type
-message.
+Static-mode divergence (why it is not the default): inside a JSON
+column a value of the *wrong* type parses to NULL in PERMISSIVE mode,
+so bare ``type`` assertions are enforced structurally by the parse — a
+wrong-typed required field surfaces as "field is required" rather than
+the reference's type error, and type unions collapse to their first
+branch.  The default variant mode has neither divergence; choose
+static only when the documents are known well-typed and the last few
+percent of parse throughput matter.
 """
 
 from __future__ import annotations

@@ -81,6 +81,8 @@ def kw_type(operand, path, siblings, ctx) -> Rule:
         if "any" in wanted:
             return empty_violations()
         dt = ref.dtype
+        if isinstance(dt, T.VariantType):
+            return _type_variant(ref, wanted, union, operand)
         have = _type_names(dt) if dt is not None else set()
         checks: list[Column] = []
         for w in wanted:
@@ -107,10 +109,79 @@ def kw_type(operand, path, siblings, ctx) -> Rule:
     return FnRule(fn)
 
 
+def _type_variant(ref: ValueRef, wanted, union, operand) -> Column:
+    """Runtime type dispatch on a Variant value — the exact typeOf
+    switch (type.go:3-20) with reflect.TypeOf 'given:' labels
+    (validator_base.go:44-160)."""
+    from ..core.variant import (
+        KIND_ARRAY,
+        KIND_BOOL,
+        KIND_NUMBER,
+        KIND_OBJECT,
+        KIND_STRING,
+        go_type_label,
+        variant_double,
+    )
+    from ..core.variant import variant_kind as _vk
+
+    kind = _vk(ref.col)
+    d = variant_double(ref.col)
+
+    def ok_of(w: str) -> Column:
+        if w == "string":
+            return kind == KIND_STRING
+        if w in ("bool", "boolean"):
+            return kind == KIND_BOOL
+        if w == "number":
+            return kind == KIND_NUMBER
+        if w == "integer":
+            # float64 with zero fraction passes (validator_base.go:95-101)
+            return (kind == KIND_NUMBER) & (d == F.floor(d))
+        if w == "object":
+            return kind == KIND_OBJECT
+        if w == "array":
+            return kind == KIND_ARRAY
+        return F.lit(False)  # lower/upper/unknown: parity with static path
+
+    ok = ok_of(wanted[0])
+    for w in wanted[1:]:
+        ok = ok | ok_of(w)
+    if union:
+        info = F.lit(f"type should be one of {operand}")
+    elif wanted[0] == "integer":
+        info = F.when(
+            kind == KIND_NUMBER,
+            F.concat(
+                F.lit("type should be integer, but float:"),
+                string_of(ref.col, ref.dtype),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("Invalid type, expected: integer , given: "),
+                go_type_label(ref.col),
+            )
+        )
+    else:
+        info = F.concat(
+            F.lit(f"Invalid type, expected: {wanted[0]} , given: "),
+            go_type_label(ref.col),
+        )
+    return _skip_null(ref, viol_when(~ok, ref.path, info))
+
+
 # ------------------------------------------------------- length bounds
 
 def _length_of(ref: ValueRef) -> Column | None:
     dt = ref.dtype
+    if isinstance(dt, T.VariantType):
+        # runtime dispatch (MaxLength.Validate switches on string/array,
+        # validator_base.go:257-275); NULL on other kinds -> no check
+        from ..core.variant import variant_array, variant_string
+
+        return F.coalesce(
+            F.octet_length(variant_string(ref.col)),
+            F.size(variant_array(ref.col)),
+        )
     if isinstance(dt, T.ArrayType):
         return F.size(ref.col)
     if isinstance(dt, T.StringType) or dt is None:
@@ -169,6 +240,12 @@ def _numeric_value(ref: ValueRef) -> Column | None:
     """Numeric view of the current value; None when statically
     non-numeric (bounds skip, as the reference skips non-float64)."""
     dt = ref.dtype
+    if isinstance(dt, T.VariantType):
+        # strict: JSON numbers only, exactly valueOfFloat
+        # (validator_base.go:405-425) — no string/bool coercion
+        from ..core.variant import variant_double
+
+        return variant_double(ref.col)
     if _is_numeric(dt):
         return ref.col.cast("double")
     if isinstance(dt, (T.TimestampType, T.DateType)):
@@ -298,6 +375,20 @@ def _enum_rule(operand, path, keyword) -> Rule:
     def fn(ref: ValueRef) -> Column:
         dt = ref.dtype
         # coercing Equal keyed on LHS type (common.go:142-154)
+        if isinstance(dt, T.VariantType):
+            # runtime LHS kind picks the comparison family per row
+            from ..core.variant import KIND_BOOL, KIND_NUMBER, variant_kind
+
+            k = variant_kind(ref.col)
+            nums = [float(coerce_literal_for(T.DoubleType(), v)) for v in operand]
+            bools = [bool(coerce_literal_for(T.BooleanType(), v)) for v in operand]
+            strs = [str(coerce_literal_for(T.StringType(), v)) for v in operand]
+            ok = (
+                F.when(k == KIND_NUMBER, number_of(ref.col, dt).isin(nums))
+                .when(k == KIND_BOOL, bool_of(ref.col, dt).isin(bools))
+                .otherwise(string_of(ref.col, dt).isin(strs))
+            )
+            return _skip_null(ref, viol_when(~ok, ref.path, msg))
         lits = [coerce_literal_for(dt, v) for v in operand]
         if dt is not None and _is_numeric(dt):
             ok = number_of(ref.col, dt).isin([float(x) for x in lits])
@@ -360,11 +451,24 @@ def kw_required(operand, path, siblings, ctx) -> Rule:
             child = ref.child(k)
             if not child.exists:
                 parts.append(violation(child.path, "field is required"))
+            elif isinstance(child.dtype, T.VariantType):
+                # exact m[key] presence (validator_base.go:500-512):
+                # a present key holding JSON null is NOT missing
+                parts.append(viol_when(child.missing(), child.path, "field is required"))
             else:
                 parts.append(viol_when(child.null(), child.path, "field is required"))
         from ..core.errors import concat_violations
 
-        return concat_violations(*parts)
+        out = concat_violations(*parts)
+        if isinstance(ref.dtype, T.VariantType):
+            # non-object value: reference skips entirely
+            # (value.(map[string]interface{}) guard)
+            from ..core.variant import variant_object
+
+            out = F.when(
+                variant_object(ref.col).isNull(), empty_violations()
+            ).otherwise(out)
+        return out
 
     return FnRule(fn)
 
@@ -384,9 +488,16 @@ def kw_pattern(operand, path, siblings, ctx) -> Rule:
 
     def fn(ref: ValueRef) -> Column:
         dt = ref.dtype
-        if dt is not None and not isinstance(dt, T.StringType):
+        if isinstance(dt, T.VariantType):
+            from ..core.variant import variant_string
+
+            # strict view: non-strings are NULL -> check skips, exactly
+            # the value.(string) guard (validator_strings.go:14-18)
+            s = variant_string(ref.col)
+        elif dt is not None and not isinstance(dt, T.StringType):
             return empty_violations()
-        s = ref.col.cast("string")
+        else:
+            s = ref.col.cast("string")
         info = F.concat(s, F.lit(" ,value does not match pattern: "), F.lit(operand))
         return _skip_null(ref, viol_when(~s.rlike(operand), ref.path, info))
 
@@ -400,12 +511,28 @@ def kw_items(operand, path, siblings, ctx) -> Rule:
     sub = ctx.compile_node(operand, path + "[*]")
 
     def fn(ref: ValueRef) -> Column:
+        if isinstance(ref.dtype, T.VariantType):
+            aref = _variant_array_ref(ref)
+            per_elem = F.transform(aref.col, lambda x: sub.violations(aref.element(x)))
+            # non-array at runtime: view is NULL -> transform NULL -> skip
+            return _skip_null(ref, F.coalesce(F.flatten(per_elem), empty_violations()))
         if not isinstance(ref.dtype, T.ArrayType):
             return empty_violations()
         per_elem = F.transform(ref.col, lambda x: sub.violations(ref.element(x)))
         return _skip_null(ref, F.flatten(per_elem))
 
     return FnRule(fn)
+
+
+def _variant_array_ref(ref: ValueRef) -> ValueRef:
+    """array<variant> view of a variant ref (NULL when not an array)."""
+    from dataclasses import replace as _replace
+
+    from ..core.variant import variant_array
+
+    return _replace(
+        ref, col=variant_array(ref.col), dtype=T.ArrayType(T.VariantType())
+    )
 
 
 @register_keyword("uniqueItems")
@@ -417,6 +544,35 @@ def kw_unique_items(operand, path, siblings, ctx) -> Rule | None:
 
     def fn(ref: ValueRef) -> Column:
         dt = ref.dtype
+        if isinstance(dt, T.VariantType):
+            # per-element runtime comparability (Go map-key interface
+            # identity: same dynamic type AND value,
+            # validator_core.go:787-799).  Dup detection tags each
+            # element kind|canonical-string so 1 != "1" != true.
+            from ..core.variant import KIND_ARRAY, KIND_OBJECT, variant_kind
+            from ..core.variant import variant_string_of as _vso
+
+            arr = _variant_array_ref(ref).col
+            kinds = F.transform(arr, lambda x: variant_kind(x))
+            has_container = F.exists(
+                kinds, lambda k: k.isin(KIND_OBJECT, KIND_ARRAY)
+            )
+            tags = F.transform(
+                arr, lambda x: F.concat_ws("|", variant_kind(x), _vso(x))
+            )
+            dup = F.size(F.array_distinct(tags)) != F.size(tags)
+            out = (
+                F.when(arr.isNull(), empty_violations())  # non-array: skip
+                .when(
+                    has_container,
+                    violation(
+                        ref.path,
+                        " items should be comparable type,like [ string boolean number ]",
+                    ),
+                )
+                .otherwise(viol_when(dup, ref.path, " items should be unique"))
+            )
+            return _skip_null(ref, out)
         if not isinstance(dt, T.ArrayType):
             return empty_violations()
         if not isinstance(
@@ -440,6 +596,11 @@ def kw_max_items(operand, path, siblings, ctx) -> Rule:
     n = _int_operand(operand, "maxItems", path)
 
     def fn(ref: ValueRef) -> Column:
+        if isinstance(ref.dtype, T.VariantType):
+            sz = F.size(_variant_array_ref(ref).col)  # NULL unless array
+            return _skip_null(
+                ref, viol_when(sz > n, ref.path, f" max length is {n}")
+            )
         if not isinstance(ref.dtype, T.ArrayType):
             return empty_violations()
         return _skip_null(
@@ -454,6 +615,11 @@ def kw_min_items(operand, path, siblings, ctx) -> Rule:
     n = _int_operand(operand, "minItems", path)
 
     def fn(ref: ValueRef) -> Column:
+        if isinstance(ref.dtype, T.VariantType):
+            sz = F.size(_variant_array_ref(ref).col)
+            return _skip_null(
+                ref, viol_when(sz < n, ref.path, f" min length is {n}")
+            )
         if not isinstance(ref.dtype, T.ArrayType):
             return empty_violations()
         return _skip_null(
@@ -504,6 +670,14 @@ def kw_max_properties(operand, path, siblings, ctx) -> Rule:
 
 def _prop_count(ref: ValueRef) -> Column | None:
     dt = ref.dtype
+    if isinstance(dt, T.VariantType):
+        # objects AND arrays count (validator_properties.go:29-35);
+        # NULL on scalars -> check skips
+        from ..core.variant import variant_array, variant_object
+
+        return F.coalesce(
+            F.size(variant_object(ref.col)), F.size(variant_array(ref.col))
+        )
     if isinstance(dt, T.MapType):
         return F.size(ref.col)
     if isinstance(dt, T.StructType):
@@ -527,10 +701,11 @@ def kw_max_b64(operand, path, siblings, ctx) -> Rule:
     n = _int_operand(operand, "maxB64DLen", path)
 
     def fn(ref: ValueRef) -> Column:
-        if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
+        s = _string_view(ref)
+        if s is None:
             return empty_violations()
         # Go base64.StdEncoding.DecodedLen = len/4*3 (validator_base.go:692-760)
-        dlen = F.floor(F.octet_length(ref.col.cast("string")) / 4) * 3
+        dlen = F.floor(F.octet_length(s) / 4) * 3
         return _skip_null(
             ref, viol_when(dlen > n, ref.path, f"length is invalid, max length is  {n}")
         )
@@ -543,14 +718,28 @@ def kw_min_b64(operand, path, siblings, ctx) -> Rule:
     n = _int_operand(operand, "minB64DLen", path)
 
     def fn(ref: ValueRef) -> Column:
-        if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
+        s = _string_view(ref)
+        if s is None:
             return empty_violations()
-        dlen = F.floor(F.octet_length(ref.col.cast("string")) / 4) * 3
+        dlen = F.floor(F.octet_length(s) / 4) * 3
         return _skip_null(
             ref, viol_when(dlen < n, ref.path, f"length is invalid ,min length is  {n}")
         )
 
     return FnRule(fn)
+
+
+def _string_view(ref: ValueRef) -> Column | None:
+    """String-kind view for string-only keywords: the column itself
+    for static strings, the strict runtime view for variants (NULL on
+    non-strings -> check skips), None for statically non-string."""
+    if isinstance(ref.dtype, T.VariantType):
+        from ..core.variant import variant_string
+
+        return variant_string(ref.col)
+    if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
+        return None
+    return ref.col.cast("string")
 
 
 # --------------------------------------------------------------- format
@@ -562,11 +751,16 @@ def kw_format(operand, path, siblings, ctx) -> Rule:
     check = compile_format(operand)
 
     def fn(ref: ValueRef) -> Column:
-        if ref.dtype is not None and not isinstance(
+        if isinstance(ref.dtype, T.VariantType):
+            from ..core.variant import variant_string
+
+            s = variant_string(ref.col)  # non-strings skip at runtime
+        elif ref.dtype is not None and not isinstance(
             ref.dtype, (T.StringType, T.TimestampType, T.DateType)
         ):
             return empty_violations()
-        s = ref.col.cast("string")
+        else:
+            s = ref.col.cast("string")
         return _skip_null(
             ref,
             viol_when(~check(s), ref.path, f"value does not match format '{operand}'"),
@@ -595,10 +789,19 @@ def kw_dependencies(operand, path, siblings, ctx) -> Rule:
             kc = ref.child(k)
             for dep in vs:
                 dc = ref.child(dep)
+                # m[key] PRESENCE on both sides (validator_logic.go:
+                # 198-218): a key holding JSON null counts as present
                 parts.append(
-                    viol_when(kc.present() & dc.null(), dc.path, "is required")
+                    viol_when(~kc.missing() & dc.missing(), dc.path, "is required")
                 )
-        return concat_violations(*parts)
+        out = concat_violations(*parts)
+        if isinstance(ref.dtype, T.VariantType):
+            from ..core.variant import variant_object
+
+            out = F.when(
+                variant_object(ref.col).isNull(), empty_violations()
+            ).otherwise(out)
+        return out
 
     return FnRule(fn)
 
@@ -640,9 +843,9 @@ def _compare_single(keyword: str, info: str, build_ok):
             raise SchemaError(f"{path} is not string")
 
         def fn(ref: ValueRef) -> Column:
-            if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
+            s = _string_view(ref)
+            if s is None:
                 return empty_violations()
-            s = ref.col.cast("string")
             return _skip_null(
                 ref, viol_when(~_build(s, operand), ref.path, _info + operand)
             )

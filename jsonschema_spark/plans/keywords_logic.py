@@ -85,7 +85,23 @@ def _properties(operand, path, siblings, ctx) -> Rule:
             # coalesced column.
             dv = sub.get("defaultVal", sub.get("default"))
             if dv is not None and child.exists:
-                if isinstance(dv, (dict, list)) and not isinstance(
+                if isinstance(child.dtype, T.VariantType):
+                    # JSON-encode the default once on the driver; fill
+                    # when nil (absent key OR present JSON null — Go's
+                    # m[key] returns nil for both, validator_core.go:
+                    # 443-453)
+                    import json as _json
+                    from dataclasses import replace as _replace
+
+                    if not (isinstance(dv, str) and "${" in dv):
+                        filled = F.when(
+                            child.null(), F.parse_json(F.lit(_json.dumps(dv)))
+                        ).otherwise(child.col)
+                        child = _replace(child, col=filled)
+                    # dynamic ${...} template defaults on a variant
+                    # child: no columnar JSON-encode of an arbitrary
+                    # typed value — left unfilled
+                elif isinstance(dv, (dict, list)) and not isinstance(
                     child.dtype, (T.MapType, T.ArrayType)
                 ):
                     # container default onto a struct-typed child: no
@@ -120,12 +136,20 @@ def _properties(operand, path, siblings, ctx) -> Rule:
                                 "unknown field",
                             )
                         )
-            elif isinstance(dt, T.MapType):
+            elif isinstance(dt, (T.MapType, T.VariantType)):
+                if isinstance(dt, T.VariantType):
+                    from ..core.variant import variant_object
+
+                    keys_col = F.map_keys(variant_object(ref.col))
+                else:
+                    keys_col = F.map_keys(ref.col)
                 unknown = F.filter(
-                    F.map_keys(ref.col), lambda k: ~k.isin(*declared) if declared else F.lit(True)
+                    keys_col, lambda k: ~k.isin(*declared) if declared else F.lit(True)
                 )
                 parts.append(
-                    F.when(ref.null(), empty_violations()).otherwise(
+                    F.when(
+                        ref.null() | unknown.isNull(), empty_violations()
+                    ).otherwise(
                         F.transform(
                             unknown,
                             lambda k: F.struct(
@@ -703,6 +727,60 @@ def kw_foreach(operand, path, siblings, ctx) -> Rule:
 
                 viols = F.flatten(
                     F.transform(F.map_entries(target.col), make_per_entry(node, dt))
+                )
+            elif isinstance(dt, T.VariantType):
+                # runtime container dispatch: object -> (key,val) walk,
+                # array -> (index,val) walk, scalar -> skip
+                from ..core.variant import variant_array, variant_object
+
+                obj = variant_object(target.col)
+                arr = variant_array(target.col)
+
+                def bind_kv(k_ref, v_ref):
+                    return dataclasses.replace(
+                        ref,
+                        bindings={
+                            **(ref.bindings or {}),
+                            "__key": k_ref,
+                            "__val": v_ref,
+                        },
+                    )
+
+                # closure factories, NOT default args: F.transform
+                # derives the lambda's arity from its signature, so a
+                # `_node=node` default would receive the element index
+                def make_entry_v(_node):
+                    def per_entry_v(e):
+                        return _node.violations(
+                            bind_kv(
+                                ValueRef(e["key"], T.StringType(), "$.__key"),
+                                ValueRef(e["value"], T.VariantType(), "$.__val"),
+                            )
+                        )
+
+                    return per_entry_v
+
+                def make_elem_v(_node):
+                    def per_elem_v(v, i):
+                        return _node.violations(
+                            bind_kv(
+                                ValueRef(i.cast("long"), T.LongType(), "$.__key"),
+                                ValueRef(v, T.VariantType(), "$.__val"),
+                            )
+                        )
+
+                    return per_elem_v
+
+                per_entry_v = make_entry_v(node)
+                per_elem_v = make_elem_v(node)
+
+                viols = (
+                    F.when(
+                        obj.isNotNull(),
+                        F.flatten(F.transform(F.map_entries(obj), per_entry_v)),
+                    )
+                    .when(arr.isNotNull(), F.flatten(F.transform(arr, per_elem_v)))
+                    .otherwise(empty_violations())
                 )
             else:
                 # non-container at runtime: reference silently skips

@@ -86,9 +86,11 @@ def test_validate_json_column_nested(spark):
     assert (5, "$.user", "field is required") in got
 
 
-def test_json_column_wrong_type_parses_to_null(spark):
-    """Documented divergence: a wrong-typed value parses to NULL in
-    PERMISSIVE mode, so required catches it (not a type message)."""
+def test_json_column_wrong_type_faithful_vs_static(spark):
+    """Runtime type dispatch (default, json_types="variant"): a
+    wrong-typed value gets the reference's exact type error (typeOf,
+    type.go:3-20).  Static mode keeps the documented divergence —
+    PERMISSIVE from_json nulls the field, so required catches it."""
     df = spark.createDataFrame(
         [(1, '{"user": {"id": "abc", "name": "u1"}}')], "event_id int, payload string"
     )
@@ -98,7 +100,15 @@ def test_json_column_wrong_type_parses_to_null(spark):
         for r in plan.validate(df, keys=["event_id"], json_col="payload")
         .violations.collect()
     }
-    assert ("$.user.id", "field is required") in got
+    assert ("$.user.id", "Invalid type, expected: integer , given: string") in got
+    got_static = {
+        (r["path"], r["info"])
+        for r in plan.validate(
+            df, keys=["event_id"], json_col="payload", json_types="static"
+        )
+        .violations.collect()
+    }
+    assert ("$.user.id", "field is required") in got_static
 
 
 def test_json_map_fallback_keymatch(spark):
@@ -134,9 +144,16 @@ def test_json_keep_parsed_column(spark):
         [(1, '{"user": {"id": 3, "name": "u3"}}')], "id int, payload string"
     )
     plan = js.compile_schema(NESTED_DOC)
+    # default (variant) mode keeps a VariantType column: path access
+    # via variant_get, not struct field extraction
     out = plan.annotate_json(df, "payload", keep_parsed="doc")
-    row = out.select("doc.user.id").collect()[0]
+    row = out.select(
+        F.try_variant_get(F.col("doc"), "$.user.id", "bigint")
+    ).collect()[0]
     assert row[0] == 3
+    # static mode keeps the inferred struct: plain field extraction
+    out_s = plan.annotate_json(df, "payload", keep_parsed="doc", json_types="static")
+    assert out_s.select("doc.user.id").collect()[0][0] == 3
 
 
 def test_json_fail_predicate_equals_array_path(spark):
@@ -365,33 +382,45 @@ def test_json_nonstruct_root_wellformed_scalar_not_malformed(spark):
     assert bad == {4}
 
 
+def _parse_count(opt_plan: str, mode: str) -> int:
+    """Number of document parses in an optimized plan string: from_json
+    (static mode; the lazy try_parse_json corrupt-row re-check is NOT a
+    per-row parse) or VariantExpressionEvalUtils.parseJson (variant)."""
+    if mode == "static":
+        return opt_plan.count("from_json")
+    return opt_plan.count("parseJson(")
+
+
 def test_json_violations_single_parse_in_plan(spark):
-    """The violations path must contain exactly ONE from_json in the
-    optimized plan: InferFiltersFromGenerate + predicate pushdown used
-    to inline the whole violations expression into a scan-level filter
-    (28 from_json copies per row, ~10x wall time — the r2 driver-bench
-    anomaly).  explode_outer + post-filter keeps the parse single."""
+    """The violations path must contain exactly ONE document parse in
+    the optimized plan: InferFiltersFromGenerate + predicate pushdown
+    used to inline the whole violations expression into a scan-level
+    filter (28 from_json copies per row, ~10x wall time — the r2
+    driver-bench anomaly).  explode_outer + post-filter keeps the
+    parse single — in BOTH parse modes."""
     df = spark.createDataFrame(
         [(1, '{"user": {"id": 0, "name": "bad"}}'), (2, '{"user": {"id": 5, "name": "u5"}}')],
         "id int, payload string",
     )
     plan = js.compile_schema(NESTED_DOC)
-    v = plan.validate(df, keys=["id"], json_col="payload").violations
-    opt = v._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("from_json") == 1, opt
-    rows = v.collect()
-    assert any(r["path"] == "$.user.id" for r in rows)
+    for mode in ("variant", "static"):
+        v = plan.validate(df, keys=["id"], json_col="payload", json_types=mode).violations
+        opt = v._jdf.queryExecution().optimizedPlan().toString()
+        assert _parse_count(opt, mode) == 1, (mode, opt)
+        rows = v.collect()
+        assert any(r["path"] == "$.user.id" for r in rows)
 
 
 def test_invalid_valid_fence_no_scan_level_duplication(spark):
     """invalid/valid keep their size() filter ABOVE the annotate
-    projection (nondeterministic fence): no from_json may appear in a
+    projection (nondeterministic fence): no parse may appear in a
     Filter node of the optimized plan."""
     df = spark.createDataFrame([(1, '{"user": {"id": 1}}')], "id int, payload string")
     plan = js.compile_schema(NESTED_DOC)
-    res = plan.validate(df, keys=["id"], json_col="payload")
-    for d in (res.invalid, res.valid):
-        opt = d._jdf.queryExecution().optimizedPlan().toString()
-        assert opt.count("from_json") == 1, opt
-    # semantics unchanged
-    assert res.invalid.count() + res.valid.count() == 1
+    for mode in ("variant", "static"):
+        res = plan.validate(df, keys=["id"], json_col="payload", json_types=mode)
+        for d in (res.invalid, res.valid):
+            opt = d._jdf.queryExecution().optimizedPlan().toString()
+            assert _parse_count(opt, mode) == 1, (mode, opt)
+        # semantics unchanged
+        assert res.invalid.count() + res.valid.count() == 1
