@@ -601,7 +601,12 @@ def q_validate_json_events(spark, sf_dir):
     DuckDB oracle can rebuild the identical documents."""
     doc_df = _json_events_payload_df(spark, sf_dir)
     plan = js.compile_schema(JSON_EVENTS_SCHEMA)
-    return plan.validate(doc_df, keys=["event_id"], json_col="payload").violations
+    # pinned to the inferred-struct fast path (like-for-like with the
+    # r1/r2 records); the default variant mode is oracled separately by
+    # validate_json_typed / verdict_counts_json_typed
+    return plan.validate(
+        doc_df, keys=["event_id"], json_col="payload", json_types="static"
+    ).violations
 
 
 def q_script_fold_docs(spark, sf_dir):
@@ -679,6 +684,93 @@ def q_verdict_counts_json(spark, sf_dir):
     violation arrays — the 10^12-JSON-turn verdict-counting shape."""
     doc_df = _json_events_payload_df(spark, sf_dir)
     plan = js.compile_schema(JSON_EVENTS_SCHEMA)
+    # static pin: like-for-like with r2 (see q_validate_json_events)
+    pred = plan.fail_predicate(doc_df, json_col="payload", json_types="static")
+    assert pred is not None
+    return doc_df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(pred.cast("long")).alias("bad_rows"),
+    )
+
+
+JSON_TYPED_SCHEMA = {
+    "required": ["id", "name"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 1},
+        "name": {"type": "string", "minLength": 2},
+        "score": {"type": "number|string"},
+        "tags": {"maxItems": 3, "items": {"type": "string"}},
+    },
+}
+
+
+def _json_typed_payload_df(spark, sf_dir):
+    """Deterministic JSON payloads with PLANTED runtime-type hazards —
+    wrong-typed fields, union-typed fields, present-null required keys,
+    mixed-type arrays — the shapes the static inferred-struct parse
+    cannot see (PERMISSIVE from_json nulls them).  Exercises the
+    default json_types="variant" runtime dispatch (core/variant.py;
+    reference typeOf switch, type.go:3-20)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "props"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    u = F.col("user_id")
+    k = F.get_json_object("props", "$.k").cast("long")
+    id_part = (
+        F.when(u % 11 == 0, F.concat(F.lit('"x'), (u % 9).cast("string"), F.lit('"')))
+        .when(u % 19 == 0, F.concat((u % 40).cast("string"), F.lit(".5")))
+        .otherwise((u % 40).cast("string"))
+    )
+    name_part = (
+        F.when(u % 17 == 0, F.lit(""))  # absent -> required fires
+        .when(u % 13 == 0, F.lit(', "name": null'))  # present-null -> passes
+        .when(u % 29 == 0, F.lit(', "name": "z"'))  # minLength
+        .otherwise(
+            F.concat(F.lit(', "name": "user'), (u % 50).cast("string"), F.lit('"'))
+        )
+    )
+    score_part = (
+        F.when(u % 7 == 0, F.lit("true"))  # union miss
+        .when(u % 5 == 0, F.concat(F.lit('"s'), (k % 10).cast("string"), F.lit('"')))
+        .otherwise((k % 100).cast("string"))
+    )
+    tags_part = (
+        F.when(k % 10 == 0, F.lit('[1, "a"]'))  # element type error
+        .when(k % 9 == 0, F.lit('["a","b","c","d"]'))  # maxItems
+        .otherwise(F.lit('["a"]'))
+    )
+    payload = F.concat(
+        F.lit('{"id": '), id_part, name_part,
+        F.lit(', "score": '), score_part,
+        F.lit(', "tags": '), tags_part, F.lit("}"),
+    )
+    payload = F.when(
+        F.pmod(F.col("event_id"), 101) == 0, F.lit('{"bad": ')
+    ).otherwise(payload)
+    return ev.select("event_id", payload.alias("payload"))
+
+
+def q_validate_json_typed(spark, sf_dir):
+    """Runtime-type-faithful JSON validation (json_types="variant",
+    the DEFAULT json_col mode): ONE try_parse_json into Spark 4's
+    Variant binary encoding, every keyword dispatching per row on the
+    runtime JSON kind — the exact replica of the reference's
+    ``switch value.(type)`` (type.go:3-20, validator_base.go:44-160).
+    The planted corpus hits: wrong-typed scalars (Go type labels),
+    integer-vs-float, union types, present-null required keys (m[key]
+    presence passes), mixed-type array elements, maxItems, malformed
+    documents."""
+    doc_df = _json_typed_payload_df(spark, sf_dir)
+    plan = js.compile_schema(JSON_TYPED_SCHEMA)
+    return plan.validate(doc_df, keys=["event_id"], json_col="payload").violations
+
+
+def q_verdict_counts_json_typed(spark, sf_dir):
+    """The variant-mode predicate hot path: fail_predicate over the
+    Variant parse (size(violations)>0 | malformed) — verdict counting
+    with runtime type fidelity."""
+    doc_df = _json_typed_payload_df(spark, sf_dir)
+    plan = js.compile_schema(JSON_TYPED_SCHEMA)
     pred = plan.fail_predicate(doc_df, json_col="payload")
     assert pred is not None
     return doc_df.agg(
@@ -844,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_events": q_validate_json_events,
         "script_fold_docs": q_script_fold_docs,
         "verdict_counts_json": q_verdict_counts_json,
+        "validate_json_typed": q_validate_json_typed,
+        "verdict_counts_json_typed": q_verdict_counts_json_typed,
         "foreach_fold_docs": q_foreach_fold_docs,
         "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
@@ -1279,6 +1373,91 @@ def oracle_sql() -> dict[str, str]:
                         OR (name IS NOT NULL AND NOT regexp_matches(name, '^u[0-9]+$'))
                         OR q1 > 100 OR q2 > 100
                         OR note_len > 10
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
+            FROM p
+        """,
+        # variant-mode (runtime type dispatch) queries: the oracle
+        # re-derives each planted hazard's violation from the SAME
+        # deterministic construction, in pure SQL
+        "validate_json_typed": """
+            WITH base AS (
+              SELECT event_id, user_id AS u,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ),
+            p AS (
+              SELECT event_id, u, k,
+                     (event_id % 101 = 0) AS broken,
+                     (u % 11 = 0) AS id_str,
+                     (u % 11 <> 0 AND u % 19 = 0) AS id_flt,
+                     CASE WHEN u % 11 = 0 THEN NULL
+                          WHEN u % 19 = 0 THEN (u % 40) + 0.5
+                          ELSE CAST(u % 40 AS DOUBLE) END AS id_num,
+                     (u % 17 = 0) AS name_absent,
+                     (u % 17 <> 0 AND u % 13 <> 0 AND u % 29 = 0) AS name_short,
+                     (u % 7 = 0) AS score_bool,
+                     (k % 10 = 0) AS tags_mixed,
+                     (k % 10 <> 0 AND k % 9 = 0) AS tags_long
+              FROM base
+            )
+            SELECT event_id, '$' AS path, 'invalid json document' AS info
+              FROM p WHERE broken
+            UNION ALL
+            SELECT event_id, '$.id',
+                   'Invalid type, expected: integer , given: string'
+              FROM p WHERE NOT broken AND id_str
+            UNION ALL
+            SELECT event_id, '$.id',
+                   'type should be integer, but float:'
+                       || CAST(u % 40 AS VARCHAR) || '.5'
+              FROM p WHERE NOT broken AND id_flt
+            UNION ALL
+            SELECT event_id, '$.id', 'value must be larger or equal than 1'
+              FROM p WHERE NOT broken AND id_num IS NOT NULL
+                       AND NOT (id_num >= 1)
+            UNION ALL
+            SELECT event_id, '$.name', 'field is required'
+              FROM p WHERE NOT broken AND name_absent
+            UNION ALL
+            SELECT event_id, '$.name', 'length must be larger or equal than 2'
+              FROM p WHERE NOT broken AND name_short
+            UNION ALL
+            SELECT event_id, '$.score', 'type should be one of number|string'
+              FROM p WHERE NOT broken AND score_bool
+            UNION ALL
+            SELECT event_id, '$.tags[*]',
+                   'Invalid type, expected: string , given: float64'
+              FROM p WHERE NOT broken AND tags_mixed
+            UNION ALL
+            SELECT event_id, '$.tags', ' max length is 3'
+              FROM p WHERE NOT broken AND tags_long
+        """,
+        "verdict_counts_json_typed": """
+            WITH base AS (
+              SELECT event_id, user_id AS u,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ),
+            p AS (
+              SELECT event_id,
+                     (event_id % 101 = 0) AS broken,
+                     (u % 11 = 0) AS id_str,
+                     (u % 11 <> 0 AND u % 19 = 0) AS id_flt,
+                     CASE WHEN u % 11 = 0 THEN NULL
+                          WHEN u % 19 = 0 THEN (u % 40) + 0.5
+                          ELSE CAST(u % 40 AS DOUBLE) END AS id_num,
+                     (u % 17 = 0) AS name_absent,
+                     (u % 17 <> 0 AND u % 13 <> 0 AND u % 29 = 0) AS name_short,
+                     (u % 7 = 0) AS score_bool,
+                     (k % 10 = 0) AS tags_mixed,
+                     (k % 10 <> 0 AND k % 9 = 0) AS tags_long
+              FROM base
+            )
+            SELECT count(*) AS rows,
+                   CAST(SUM(CASE WHEN broken OR id_str OR id_flt
+                        OR (id_num IS NOT NULL AND NOT (id_num >= 1))
+                        OR name_absent OR name_short OR score_bool
+                        OR tags_mixed OR tags_long
                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
             FROM p
         """,
