@@ -128,6 +128,56 @@ class CheckpointManifest:
         df.coalesce(1).write.mode("append").parquet(self.path)
 
 
+def _partition_tuples_from_files(df: DataFrame, cols: Sequence[str]):
+    """Enumerate the table's partitions WITHOUT scanning it: parse the
+    hive-style ``col=val`` directory segments out of the scan's file
+    listing (driver-side metadata — the local analog of reading an
+    Iceberg ``.partitions`` metadata table or ``SHOW PARTITIONS``).
+
+    Returns a sorted list of raw STRING tuples, or None when the
+    metadata route does not apply and the caller must fall back to a
+    distinct scan:
+
+      * the plan is not a bare relation (a filter/transform above the
+        scan could exclude whole partitions, which only a scan sees)
+      * any file path lacks a ``col=`` segment for some partition
+        column (table not physically partitioned by ``cols``)
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString().strip()
+    except Exception:
+        return None
+    if len(plan.splitlines()) != 1 or not plan.startswith("Relation"):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote
+
+    tuples = set()
+    for f in files:
+        vals = {}
+        for seg in f.split("/")[:-1]:
+            if "=" in seg:
+                key, _, v = seg.partition("=")
+                vals[key] = v
+        if not all(c in vals for c in cols):
+            return None
+        t = tuple(
+            None
+            if unquote(vals[c]) == "__HIVE_DEFAULT_PARTITION__"
+            else unquote(vals[c])
+            for c in cols
+        )
+        tuples.add(t)
+    return sorted(
+        tuples, key=lambda t: tuple("" if x is None else str(x) for x in t)
+    )
+
+
 def prune_to_partitions(
     df: DataFrame, cols: Sequence[str], todo_tuples: Sequence[tuple]
 ) -> DataFrame:
@@ -191,18 +241,45 @@ class ResumableRun:
             # (_partition_id) — a driver-side '/'.join would diverge on
             # booleans (Python 'True' vs Spark 'true') and NULLs, making
             # completed() never match and silently re-running everything.
-            raw = (
-                df.select(
-                    _partition_id(self.partition_by).alias("__pid"),
-                    *self.partition_by,
+            from pyspark.sql import types as T
+
+            cols = list(self.partition_by)
+            str_tuples = _partition_tuples_from_files(df, cols)
+            if str_tuples is not None:
+                # metadata route: enumerate partitions from the file
+                # listing (no scan, no shuffle — a fully-checkpointed
+                # resume touches ZERO fact-table bytes).  One Spark job
+                # over n_partitions driver-local rows re-derives typed
+                # values + pids with the exact _partition_id rendering.
+                self.partition_source = "files"
+                tiny = spark.createDataFrame(
+                    str_tuples,
+                    T.StructType(
+                        [T.StructField(c, T.StringType(), True) for c in cols]
+                    ),
                 )
-                .distinct()
-                .collect()
-            )
+                typed = tiny.select(
+                    *[F.col(c).cast(df.schema[c].dataType).alias(c) for c in cols]
+                )
+                raw = typed.select(
+                    _partition_id(cols).alias("__pid"), *cols
+                ).collect()
+            else:
+                # scan fallback: transformed inputs / non-hive layouts
+                self.partition_source = "scan"
+                raw = (
+                    df.select(
+                        _partition_id(self.partition_by).alias("__pid"),
+                        *self.partition_by,
+                    )
+                    .distinct()
+                    .collect()
+                )
             tuples = [tuple(r[c] for c in self.partition_by) for r in raw]
             pid_of = {t: r["__pid"] for t, r in zip(tuples, raw)}
             pids = [r["__pid"] for r in raw]
         else:
+            self.partition_source = "none"
             tuples, pid_of, pids = [()], {(): "ALL"}, ["ALL"]
 
         all_new: DataFrame | None = None

@@ -322,3 +322,74 @@ def test_resumable_fresh_run_uses_fused_suite_with_drift(spark, part_df, tmp_pat
     # full resume: nothing re-runs
     assert run.run(part_df).collect() == []
     assert manifest.read(spark).count() == 6
+
+
+def test_resume_partition_listing_is_metadata_only(spark, tmp_path):
+    """Enumerating the input's partitions must not scan the fact table
+    (checkpoint._partition_tuples_from_files): on a hive-partitioned
+    read the listing comes from the file paths (the local analog of an
+    Iceberg partitions metadata table), and a fully-checkpointed
+    resume therefore reads ZERO fact-table bytes — proven here by
+    corrupting every data file after the first run and resuming
+    anyway."""
+    import pathlib
+
+    from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+
+    src = str(tmp_path / "meta_parts")
+    spark.createDataFrame(
+        [("2025-01-01", 1, "c1", 0), ("2025-01-01", 1, "c1", 0),
+         (None, 2, "c2", 0), ("2025-01-03", 3, "c3", 1)],
+        "day string, bucket int, conv_id string, turn_idx int",
+    ).write.partitionBy("day", "bucket").parquet(src)
+    df = spark.read.parquet(src)
+
+    manifest = CheckpointManifest(str(tmp_path / "meta_m"))
+    suite = checks.CheckSuite(
+        [checks.Uniqueness(keys=["conv_id", "turn_idx"],
+                           partition_by=["day", "bucket"])]
+    )
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["day", "bucket"], source_id="t")
+    first = run.run(df)
+    # the listing came from file metadata, not a distinct scan, and
+    # yields the exact pid rendering (typed int, NULL partition)
+    assert run.partition_source == "files"
+    assert {r["partition_id"] for r in first.collect()} == {
+        "day=2025-01-01/bucket=1",
+        "day=__HIVE_DEFAULT_PARTITION__/bucket=2",
+        "day=2025-01-03/bucket=3",
+    }
+
+    # corrupt every data file: any attempt to read fact bytes now fails
+    schema = df.schema
+    for p in pathlib.Path(src).rglob("*.parquet"):
+        p.write_bytes(b"corrupt")
+    df2 = spark.read.schema(schema).parquet(src)
+    out = run.run(df2)  # fully checkpointed -> must not touch the files
+    assert run.partition_source == "files"
+    assert out.collect() == []
+    assert run.last_ran == {}
+
+
+def test_resume_transformed_input_falls_back_to_scan(spark, tmp_path):
+    """A filtered/transformed input can exclude whole partitions, which
+    only a scan sees: the metadata route must refuse and fall back."""
+    from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+
+    src = str(tmp_path / "fb_parts")
+    spark.createDataFrame(
+        [("2025-01-01", "c1", 0), ("2025-01-02", "c2", 0)],
+        "day string, conv_id string, turn_idx int",
+    ).write.partitionBy("day").parquet(src)
+    df = spark.read.parquet(src).filter(F.col("day") != "2025-01-02")
+
+    manifest = CheckpointManifest(str(tmp_path / "fb_m"))
+    suite = checks.CheckSuite(
+        [checks.Uniqueness(keys=["conv_id", "turn_idx"], partition_by=["day"])]
+    )
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["day"], source_id="t")
+    out = run.run(df)
+    assert run.partition_source == "scan"
+    assert {r["partition_id"] for r in out.collect()} == {"day=2025-01-01"}
