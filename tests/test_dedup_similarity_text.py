@@ -191,3 +191,28 @@ def test_multimodal_plumbing(spark):
     # stub decode raises without fake mode
     with pytest.raises(Exception):
         multimodal.extract_image_features(m, fake=False).collect()
+
+
+def test_hash_mode_xxhash64(spark, docs):
+    """set_hash_mode('xxhash64') (the production mode): identical plan
+    shape and dup detection with xxhash64 base hashes instead of the
+    md5 hex round-trip; md5 stays the default for oracle parity."""
+    dedup.set_hash_mode("xxhash64")
+    try:
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                 for r in dedup.minhash_lsh_pairs(
+                     docs, k=16, bands=4, threshold=0.5).collect()}
+        assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+        assert (0, 4) not in pairs
+        sim = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in dedup.simhash_pairs(docs, max_distance=3).collect()}
+        assert sim[(0, 1)] == 0 and sim[(0, 2)] == 0
+        # no md5 anywhere in the candidate-generation plan
+        plan = dedup.minhash_lsh_pairs(
+            docs, k=16, bands=4, threshold=0.5
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "md5" not in plan and "xxhash64" in plan.lower()
+    finally:
+        dedup.set_hash_mode("md5")
+    with pytest.raises(ValueError):
+        dedup.set_hash_mode("sha1")
