@@ -804,6 +804,51 @@ def q_foreach_fold_docs(spark, sf_dir):
     )
 
 
+def q_foreach_rewrite_docs(spark, sf_dir):
+    """Per-ELEMENT mutation inside foreach (the reference writes
+    through the __val binding into the element itself, foreach.go:
+    21-33): each token is rewritten to 'index:token' by ONE
+    F.transform (plans/keywords_logic._register_foreach_elem_writes —
+    no fold, no shuffle, no Python)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    plan = js.compile_schema(
+        {"foreach": {"toks": {"setVal": {"__val": "${__key}:${__val}"}}}}
+    )
+    out = plan.transform(base)
+    return out.select(
+        "doc_id",
+        F.substring(F.concat_ws("|", "toks"), 1, 40).alias("head40"),
+    )
+
+
+def q_script_break_docs(spark, sf_dir):
+    """Index-bounded `break` in a script for-loop (reference errBreak,
+    expr/script.go:432-446): the leading break-if compiles to F.slice
+    of the iterated prefix, so only the first 5 tokens fold."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    plan = js.compile_schema(
+        {
+            "script": [
+                "n = 0",
+                {"for": "i,t in $.toks", "do": [
+                    {"if": "i >= 5", "then": ["break"]},
+                    "n = n + len(t)",
+                ]},
+                "$.chars5 = n",
+            ]
+        }
+    )
+    return plan.transform(base).select("doc_id", "chars5")
+
+
 def q_validate_customer_combinators(spark, sf_dir):
     """Combinator coverage: anyOf (all-branch errors on total miss),
     not, switch/case (SURVEY §2.3) over customer."""
@@ -939,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_typed": q_validate_json_typed,
         "verdict_counts_json_typed": q_verdict_counts_json_typed,
         "foreach_fold_docs": q_foreach_fold_docs,
+        "foreach_rewrite_docs": q_foreach_rewrite_docs,
+        "script_break_docs": q_script_break_docs,
         "verdict_counts_orders": q_verdict_counts_orders,
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
@@ -1460,6 +1507,30 @@ def oracle_sql() -> dict[str, str]:
                         OR tags_mixed OR tags_long
                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
             FROM p
+        """,
+        "foreach_rewrite_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   substr(array_to_string(
+                     list_transform(generate_series(1, len(toks)),
+                                    i -> CAST(i - 1 AS VARCHAR) || ':' || toks[CAST(i AS INT)]),
+                     '|'), 1, 40) AS head40
+            FROM d
+        """,
+        "script_break_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum(list_transform(toks[1:5], t -> strlen(t))), 0)
+                        AS DOUBLE) AS chars5
+            FROM d
         """,
         "foreach_fold_docs": """
             WITH d AS (

@@ -425,7 +425,7 @@ def kw_ref(operand, path, siblings, ctx) -> Rule:
 # mutation keywords with no per-element columnar analog inside foreach
 _FOREACH_UNSUPPORTED_MUT = {
     "constVal", "defaultVal", "default", "defaultVals", "replaceKey",
-    "formatVal", "setVal", "setNN", "setMap", "delMap", "del", "delete",
+    "formatVal", "setMap", "delMap", "del", "delete",
     "setExpr", "script", "call",
 }
 
@@ -444,14 +444,17 @@ def _reject_nested_foreach_mutations(subdoc: dict, path: str, top: bool) -> None
     nested under if/then/case/properties/... would be silently
     discarded by the detached compile ctx — fail loudly instead."""
     for kw, op in subdoc.items():
-        if top and kw == "set":
-            continue  # fold-compiled; operand values are templates
+        if top and kw in ("set", "setVal", "setNN"):
+            # fold- or F.transform-compiled; operand values are templates
+            continue
         if top and kw == "foreach" and isinstance(op, dict):
             for sub in op.values():
                 if isinstance(sub, dict):
                     _reject_nested_foreach_mutations(sub, path, top=True)
             continue
-        if kw in _FOREACH_UNSUPPORTED_MUT or kw in ("set", "foreach"):
+        if kw in _FOREACH_UNSUPPORTED_MUT or kw in (
+            "set", "setVal", "setNN", "foreach"
+        ):
             raise SchemaError(
                 f"'{kw}' nested under '{path}' inside foreach would mutate "
                 "the document per element — not columnar; accumulate with a "
@@ -473,28 +476,49 @@ def _reject_nested_foreach_mutations(subdoc: dict, path: str, top: bool) -> None
 
 def _foreach_mut_program(subdoc: dict, path: str):
     """Ordered mutation ops from a foreach sub-schema:
-    ("set", [(name, Value), ...]) | ("foreach", jp, subprogram).
-    Returns (program, accumulated names)."""
+    ("set", [(name, Value), ...]) | ("foreach", jp, subprogram), plus
+    per-ELEMENT writes [(subpath, Value, skip_null), ...] for
+    ``__val``-rooted targets (the reference writes through the __val
+    binding into the element object itself, foreach.go:21-33).
+    Returns (program, accumulated names, element writes)."""
     prog: list = []
     names: list[str] = []
+    elem: list = []
     for kw, operand in subdoc.items():
-        if kw == "set" and isinstance(operand, dict):
+        if kw in ("set", "setVal", "setNN") and isinstance(operand, dict):
             items = []
             for name, raw in operand.items():
+                if name == "__val" or name.startswith("__val."):
+                    elem.append(
+                        (name[len("__val"):].lstrip("."), parse_value(raw),
+                         kw == "setNN")
+                    )
+                    continue
                 if "." in name or "[" in name:
                     raise SchemaError(
                         "foreach set accumulation supports top-level keys "
                         f"only, got {name!r}, path:{path}"
                     )
+                if kw == "setNN":
+                    raise SchemaError(
+                        "setNN inside foreach supports __val-rooted element "
+                        f"writes only, got {name!r}, path:{path}"
+                    )
                 items.append((name, parse_value(raw)))
                 if name not in names:
                     names.append(name)
-            prog.append(("set", items))
+            if items:
+                prog.append(("set", items))
         elif kw == "foreach" and isinstance(operand, dict):
             for jp2, sub2 in operand.items():
                 if not isinstance(sub2, dict):
                     continue
-                p2, n2 = _foreach_mut_program(sub2, f"{path}.{jp2}")
+                p2, n2, e2 = _foreach_mut_program(sub2, f"{path}.{jp2}")
+                if e2:
+                    raise SchemaError(
+                        "per-element writes inside a NESTED foreach are not "
+                        f"columnar (inner arrays are lambda-scoped), path:{path}.{jp2}"
+                    )
                 if n2:
                     prog.append(("foreach", jp2, p2))
                     for n in n2:
@@ -503,10 +527,102 @@ def _foreach_mut_program(subdoc: dict, path: str):
         elif kw in _FOREACH_UNSUPPORTED_MUT:
             raise SchemaError(
                 f"'{kw}' inside foreach mutates the document per element — "
-                "not columnar; accumulate with `set` (compiled to a fold) "
-                f"or use the script keyword, path:{path}"
+                "not columnar; accumulate with `set` (compiled to a fold), "
+                "write elements via __val-rooted set/setVal/setNN targets "
+                f"(compiled to F.transform), or use the script keyword, path:{path}"
             )
-    return prog, names
+    return prog, names, elem
+
+
+def _register_foreach_elem_writes(ctx, elem_entries) -> None:
+    """Per-element mutation: the reference binds ``__val`` to the
+    element object itself, so a jsonpath write through it mutates the
+    element in place (foreach.go:21-33 + the set/setVal/setNN
+    validators).  Columnar mapping: ONE ``F.transform`` over the target
+    array producing rewritten elements — field writes/adds on struct
+    elements via ``Column.withField``, whole-``__val`` replacement for
+    scalar elements.  Writes apply sequentially, so a later template
+    reading ``__val`` sees the earlier write, matching the reference's
+    in-place order.  Cross-element order dependence (mixing with
+    accumulator ``set`` in the same foreach) is rejected in kw_foreach.
+
+    Static divergences (documented): setNN on a field the element type
+    does not yet have adds a NULL field for skipped rows (a column
+    cannot add struct fields per row); map-typed targets keep their
+    value type, so writes must cast into it."""
+    import dataclasses
+
+    from .compiler import TransformOp
+    from .keywords_magic import _guard_cond
+
+    guards = list(ctx.guards)
+
+    def apply_writes(df, root: ValueRef):
+        for jp, writes in elem_entries:
+            if "." in jp or "[" in jp:
+                raise SchemaError(
+                    "foreach element writes support top-level array "
+                    f"columns only, got target {jp!r}"
+                )
+            target = resolve(root, jp)
+            dt = target.dtype
+            if not target.exists or not isinstance(dt, T.ArrayType):
+                continue  # non-array target: reference silently skips
+            elem_dt = dt.elementType
+
+            def make_rewrite(_writes, _elem_dt):
+                def rewrite(v, i):
+                    cur, cur_dt = v, _elem_dt
+                    for sub, val, skip_null in _writes:
+                        bound = dataclasses.replace(
+                            root,
+                            bindings={
+                                **(root.bindings or {}),
+                                "__key": ValueRef(
+                                    i.cast("long"), T.LongType(), "$.__key"
+                                ),
+                                "__val": ValueRef(cur, cur_dt, "$.__val"),
+                            },
+                        )
+                        b = val.bind(bound)
+                        if not sub:
+                            new = b.col
+                            if cur_dt is not None and b.dtype != cur_dt:
+                                new = new.cast(cur_dt)
+                            cur = (
+                                F.coalesce(new, cur) if skip_null else new
+                            )
+                            continue
+                        if not isinstance(cur_dt, T.StructType):
+                            raise SchemaError(
+                                f"foreach element write '__val.{sub}' needs "
+                                f"struct elements, got {cur_dt}"
+                            )
+                        new = b.col
+                        if skip_null:
+                            try:
+                                old = cur.getField(sub)
+                            except Exception:
+                                old = F.lit(None)
+                            new = F.coalesce(new, old)
+                        cur = cur.withField(sub, new)
+                        if "." not in sub:
+                            fields = [
+                                f for f in cur_dt.fields if f.name != sub
+                            ] + [T.StructField(sub, b.dtype or T.StringType())]
+                            cur_dt = T.StructType(fields)
+                    return cur
+
+                return rewrite
+
+            new_arr = F.transform(target.col, make_rewrite(writes, elem_dt))
+            cond = _guard_cond(guards, root)
+            if cond is not None:
+                new_arr = F.when(cond, new_arr).otherwise(target.col)
+            df = df.withColumn(jp, new_arr)
+        return df
+
+    ctx.transforms.append(TransformOp(apply_writes, "foreach"))
 
 
 def _register_foreach_fold(ctx, mut_entries, mut_names) -> None:
@@ -663,6 +779,7 @@ def kw_foreach(operand, path, siblings, ctx) -> Rule:
 
     entries = []
     mut_entries: list[tuple[str, list]] = []
+    elem_entries: list[tuple[str, list]] = []
     mut_names: list[str] = []
     for jp, sub in operand.items():
         # detached ctx: mutation keywords inside the sub-schema must NOT
@@ -674,15 +791,27 @@ def kw_foreach(operand, path, siblings, ctx) -> Rule:
         node = compile_node(sub, f"{path}.{jp}", sub_ctx)
         entries.append((jp, node))
         if isinstance(sub, dict):
-            prog, names = _foreach_mut_program(sub, f"{path}.{jp}")
+            prog, names, elem = _foreach_mut_program(sub, f"{path}.{jp}")
             if names:
                 mut_entries.append((jp, prog))
                 for n in names:
                     if n not in mut_names:
                         mut_names.append(n)
+            if elem:
+                elem_entries.append((jp, elem))
 
+    if mut_entries and elem_entries:
+        # the reference interleaves accumulator reads with element
+        # writes element-by-element; a fold + an independent transform
+        # cannot reproduce that ordering — fail loudly
+        raise SchemaError(
+            "foreach cannot mix accumulator `set` and __val element "
+            f"writes in one keyword (order-dependent), path:{path}"
+        )
     if mut_entries:
         _register_foreach_fold(ctx, mut_entries, mut_names)
+    if elem_entries:
+        _register_foreach_elem_writes(ctx, elem_entries)
 
     def fn(ref: ValueRef) -> Column:
         parts = []

@@ -29,10 +29,12 @@ from ..core.errors import concat_violations, empty_violations, viol_when
 from ..core.refs import ValueRef
 from ..functions.expr_lang import (
     Assign,
+    Bin,
     Call,
     CVal,
     Env,
     ExprError,
+    Lit,
     Ref,
     Return,
     Var,
@@ -87,6 +89,56 @@ def _reject_side_effects(node, path) -> None:
         sub = getattr(node, attr, None)
         if sub is not None and not isinstance(node, Call):
             _reject_side_effects(sub, path)
+
+
+def _is_break_stmt(node) -> bool:
+    """A bare ``break`` statement (reference parseExpr 'break' case,
+    expr/script.go:793-814; also the `break` variable, lexer.go:230) —
+    our parser reads it as the expression statement Var('break')."""
+    return isinstance(node, Var) and node.name == "break"
+
+
+def _index_break_bound(cond, key_name: str, path: str) -> int:
+    """Number of leading elements to iterate when the for body starts
+    with ``{"if": cond, "then": ["break"]}`` and cond is a pure bound
+    on the loop INDEX (``i >= N`` / ``i > N`` / ``i == N``, either
+    operand order).  The loop then compiles to F.slice(target, 1,
+    bound) before the fold — the break-triggering element executes no
+    body statement, exactly the reference's errBreak exit
+    (script.go:436-484).  Conditions on the VALUE (data-dependent
+    break) have no columnar early exit; SchemaError routes them out."""
+    import math
+
+    def num(x):
+        if isinstance(x, Lit) and isinstance(x.value, (int, float)) \
+                and not isinstance(x.value, bool):
+            return float(x.value)
+        return None
+
+    bad = SchemaError(
+        "script 'for' break compiles to F.slice only when its condition "
+        f"is a bound on the loop index '{key_name}' "
+        f"({key_name} >= N / {key_name} > N / {key_name} == N); "
+        f"value-dependent breaks are not columnar, path:{path}"
+    )
+    if not isinstance(cond, Bin):
+        raise bad
+    l, r, op = cond.left, cond.right, cond.op
+    if isinstance(l, Var) and l.name == key_name and num(r) is not None:
+        n = num(r)
+    elif isinstance(r, Var) and r.name == key_name and num(l) is not None:
+        # mirrored operand order: N <= i == i >= N, N < i == i > N
+        n = num(l)
+        op = {"<=": ">=", "<": ">", ">=": "<=", ">": "<", "==": "=="}.get(op, op)
+    else:
+        raise bad
+    if op == ">=":
+        return max(math.ceil(n), 0)
+    if op == ">":
+        return max(math.floor(n) + 1, 0)
+    if op == "==" and n >= 0 and n.is_integer():
+        return int(n)
+    raise bad
 
 
 def _parse_items(operand, path):
@@ -215,7 +267,31 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             env = fresh_env()
             tgt = compile_expr(st["target"], env)
             body = st["body"]
+            # index-bounded break (script.go:436-446 errBreak): a
+            # leading {"if": "<index bound>", "then": ["break"]} slices
+            # the iterated prefix before the fold
+            bound = None
+            if (
+                body
+                and isinstance(body[0], dict)
+                and body[0].get("kind") == "if"
+                and len(body[0]["then"]) == 1
+                and _is_break_stmt(body[0]["then"][0])
+                and not body[0]["else"]
+            ):
+                bound = _index_break_bound(body[0]["cond"], st["key"], path)
+                body = body[1:]
             for b in body:
+                if _is_break_stmt(b) or (
+                    isinstance(b, dict)
+                    and b.get("kind") == "if"
+                    and any(_is_break_stmt(x) for x in b["then"] + b["else"])
+                ):
+                    raise SchemaError(
+                        "script 'for' supports break only as the FIRST body "
+                        "statement {'if': '<index bound>', 'then': ['break']}"
+                        f", path:{path}"
+                    )
                 if not (isinstance(b, Assign) and isinstance(b.target, Var)):
                     raise SchemaError(
                         "script 'for' compiles to a columnar fold: the body "
@@ -230,6 +306,12 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     names.append(b.target.name)
 
             if isinstance(tgt.dtype, T.MapType):
+                if bound is not None:
+                    raise SchemaError(
+                        "script 'for' break over a map is non-deterministic "
+                        "(Go map iteration order is random, script.go:456-467)"
+                        f", path:{path}"
+                    )
                 entries = F.map_entries(tgt.col)
                 k_dt, v_dt = tgt.dtype.keyType, tgt.dtype.valueType
 
@@ -237,6 +319,10 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     return CVal(x["key"], k_dt), CVal(x["value"], v_dt)
             elif isinstance(tgt.dtype, T.ArrayType):
                 entries = tgt.col
+                if bound is not None:
+                    # the sliced prefix IS the loop: the triggering
+                    # element and everything after never run the body
+                    entries = F.slice(entries, 1, bound)
                 v_dt = tgt.dtype.elementType
 
                 def kv(acc, x):
@@ -354,6 +440,12 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                         raise SchemaError(
                             f"script if() effect must be return(...) or $.path = ... at {path}"
                         )
+                elif _is_break_stmt(st):
+                    raise SchemaError(
+                        "'break' is only meaningful as the first statement "
+                        "of a for body ({'if': '<index bound>', 'then': "
+                        f"['break']}}), path:{path}"
+                    )
                 # bare pure expressions: no effect (side-effectful calls
                 # were rejected at compile time)
 

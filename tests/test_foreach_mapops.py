@@ -173,3 +173,59 @@ def test_foreach_nested_conditional_mutation_rejected(spark):
         js.compile_schema({"foreach": {"xs": {
             "properties": {"w": {"formatVal": "upper"}},
         }}})
+
+
+def test_foreach_element_field_write(spark):
+    """Per-element mutation (reference foreach binds __val to the
+    element object; jsonpath writes through it mutate in place,
+    foreach.go:21-33): compiled to ONE F.transform rewriting the
+    array, with sequential write visibility."""
+    df = spark.createDataFrame(
+        [(1, [(2.0, None), (3.0, None)]), (2, []), (3, None)],
+        "id int, ws array<struct<w double, lab string>>",
+    )
+    plan = js.compile_schema({"foreach": {"ws": {"set": {
+        "__val.w": ["add()", "${__val.w}", "${__val.w}"],
+        # second write sees the FIRST write's value (sequential, like
+        # the reference's in-place mutation): lab = index:doubled-w
+        "__val.lab": "i${__key}:${__val.w}",
+    }}}})
+    rows = {r["id"]: r["ws"] for r in plan.transform(df).collect()}
+    assert [(e["w"], e["lab"]) for e in rows[1]] == [
+        (4.0, "i0:4"), (6.0, "i1:6")
+    ]
+    assert rows[2] == [] and rows[3] is None
+
+
+def test_foreach_element_whole_replace_and_setnn(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id int, xs array<double>")
+    p = js.compile_schema(
+        {"foreach": {"xs": {"setVal": {"__val": ["add()", "${__val}", "1"]}}}}
+    )
+    assert p.transform(df).collect()[0]["xs"] == [2.0, 3.0]
+    # setNN: nil template result leaves the element value unchanged
+    df3 = spark.createDataFrame([(1, [(None,), (5.0,)])],
+                                "id int, ys array<struct<v double>>")
+    p3 = js.compile_schema({"foreach": {"ys": {"setNN": {"__val.v": "${__val.v}"}}}})
+    got = p3.transform(df3).collect()[0]["ys"]
+    assert [e["v"] for e in got] == [None, 5.0]
+
+
+def test_foreach_element_write_plan_no_python(spark):
+    df = spark.createDataFrame([(1, [(2.0,)])], "id int, ws array<struct<w double>>")
+    plan = js.compile_schema({"foreach": {"ws": {"set": {"__val.w": "${__key}"}}}})
+    out = plan.transform(df)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in txt and "Exchange" not in txt
+
+
+def test_foreach_mix_acc_and_element_write_rejected(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.plans.compiler import SchemaError
+
+    with _pytest.raises(SchemaError, match="order-dependent"):
+        js.compile_schema({"foreach": {"xs": {"set": {
+            "total": ["add()", "${total}", "${__val}"],
+            "__val": "1",
+        }}}})

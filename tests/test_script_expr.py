@@ -456,3 +456,62 @@ def test_interp_missing_field_yields_nil(spark, docs):
     row = plan.transform(docs).select("o1", "o2").limit(1).collect()[0]
     assert row["o1"] == "v="
     assert row["o2"] == "v="
+
+
+class TestForBreak:
+    """Index-bounded `break` (reference errBreak, expr/script.go:
+    432-446; statement parse script.go:793-814): a leading
+    {"if": "<index bound>", "then": ["break"]} compiles to F.slice of
+    the iterated prefix before the fold."""
+
+    def _sum_first(self, spark, cond, xs):
+        df = spark.createDataFrame([(1, xs)], "id int, xs array<double>")
+        plan = js.compile_schema({"script": [
+            "n = 0",
+            {"for": "i,v in $.xs",
+             "do": [{"if": cond, "then": ["break"]}, "n = n + v"]},
+            "$.n_out = n",
+        ]})
+        return plan.transform(df).collect()[0]["n_out"]
+
+    def test_break_ge(self, spark):
+        assert self._sum_first(spark, "i >= 3", [10.0, 20.0, 30.0, 40.0]) == 60.0
+
+    def test_break_gt(self, spark):
+        assert self._sum_first(spark, "i > 1", [10.0, 20.0, 30.0, 40.0]) == 30.0
+
+    def test_break_eq(self, spark):
+        assert self._sum_first(spark, "i == 2", [10.0, 20.0, 30.0]) == 30.0
+
+    def test_break_mirrored(self, spark):
+        assert self._sum_first(spark, "2 <= i", [10.0, 20.0, 30.0]) == 30.0
+
+    def test_break_bound_past_end(self, spark):
+        assert self._sum_first(spark, "i >= 10", [1.0, 2.0]) == 3.0
+
+    def test_break_at_zero(self, spark):
+        assert self._sum_first(spark, "i >= 0", [1.0, 2.0]) == 0.0
+
+    def test_value_dependent_break_rejected(self, spark):
+        from jsonschema_spark.plans.compiler import SchemaError
+
+        df = spark.createDataFrame([(1, [1.0])], "id int, xs array<double>")
+        plan = js.compile_schema({"script": [
+            "n = 0",
+            {"for": "i,v in $.xs",
+             "do": [{"if": "v > 5", "then": ["break"]}, "n = n + v"]},
+        ]})
+        with pytest.raises(SchemaError, match="index"):
+            plan.transform(df).collect()
+
+    def test_break_not_first_rejected(self, spark):
+        from jsonschema_spark.plans.compiler import SchemaError
+
+        df = spark.createDataFrame([(1, [1.0])], "id int, xs array<double>")
+        plan = js.compile_schema({"script": [
+            "n = 0",
+            {"for": "i,v in $.xs",
+             "do": ["n = n + v", {"if": "i >= 1", "then": ["break"]}]},
+        ]})
+        with pytest.raises(SchemaError, match="FIRST"):
+            plan.transform(df).collect()
