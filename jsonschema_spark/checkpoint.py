@@ -36,7 +36,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,15 +157,42 @@ def _partition_tuples_from_files(df: DataFrame, cols: Sequence[str]):
         return None
     from urllib.parse import unquote
 
+    # only segments BELOW the table root are partition directories: an
+    # ancestor directory that merely LOOKS like one (/data/env=prod/tbl
+    # with a data column `env`) must not shadow the real layout.  The
+    # root is the common directory prefix of all files; when only one
+    # partition exists, its own col=val segments end up in that prefix,
+    # so trailing segments matching the requested columns are peeled
+    # back off into shared values.
+    dirs = [f.split("/")[:-1] for f in files]
+    common = dirs[0]
+    for d in dirs[1:]:
+        i = 0
+        while i < len(common) and i < len(d) and common[i] == d[i]:
+            i += 1
+        common = common[:i]
+    shared: dict[str, str] = {}
+    colset = set(cols)
+    while common and "=" in common[-1]:
+        key, _, v = common[-1].partition("=")
+        if key not in colset or key in shared:
+            break
+        shared[key] = v
+        common = common[:-1]
+    depth = len(common)
+
     tuples = set()
-    for f in files:
-        vals = {}
-        for seg in f.split("/")[:-1]:
-            if "=" in seg:
-                key, _, v = seg.partition("=")
-                vals[key] = v
-        if not all(c in vals for c in cols):
-            return None
+    for d in dirs:
+        vals = dict(shared)
+        for seg in d[depth:]:
+            if "=" not in seg:
+                return None  # non-hive layout below the root
+            key, _, v = seg.partition("=")
+            if key not in colset:
+                return None  # partitioned by OTHER columns too
+            vals[key] = v
+        if set(vals) != colset:
+            return None  # table not physically partitioned by `cols`
         t = tuple(
             None
             if unquote(vals[c]) == "__HIVE_DEFAULT_PARTITION__"
@@ -176,6 +203,35 @@ def _partition_tuples_from_files(df: DataFrame, cols: Sequence[str]):
     return sorted(
         tuples, key=lambda t: tuple("" if x is None else str(x) for x in t)
     )
+
+
+def _enumerate_partitions(df: DataFrame, cols: Sequence[str]):
+    """(collected rows of __pid + partition cols, route): the metadata
+    route when the input is a bare hive-partitioned scan (zero
+    fact-table bytes), else one distinct scan.  pids always come from
+    the SAME Spark _partition_id expression the verdicts use — a
+    driver-side '/'.join would diverge on booleans/NULLs."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    cols = list(cols)
+    str_tuples = _partition_tuples_from_files(df, cols)
+    if str_tuples is not None:
+        tiny = spark.createDataFrame(
+            str_tuples,
+            T.StructType([T.StructField(c, T.StringType(), True) for c in cols]),
+        )
+        typed = tiny.select(
+            *[F.col(c).cast(df.schema[c].dataType).alias(c) for c in cols]
+        )
+        raw = typed.select(_partition_id(cols).alias("__pid"), *cols).collect()
+        return raw, "files"
+    raw = (
+        df.select(_partition_id(cols).alias("__pid"), *cols)
+        .distinct()
+        .collect()
+    )
+    return raw, "scan"
 
 
 def prune_to_partitions(
@@ -241,40 +297,14 @@ class ResumableRun:
             # (_partition_id) — a driver-side '/'.join would diverge on
             # booleans (Python 'True' vs Spark 'true') and NULLs, making
             # completed() never match and silently re-running everything.
-            from pyspark.sql import types as T
-
-            cols = list(self.partition_by)
-            str_tuples = _partition_tuples_from_files(df, cols)
-            if str_tuples is not None:
-                # metadata route: enumerate partitions from the file
-                # listing (no scan, no shuffle — a fully-checkpointed
-                # resume touches ZERO fact-table bytes).  One Spark job
-                # over n_partitions driver-local rows re-derives typed
-                # values + pids with the exact _partition_id rendering.
-                self.partition_source = "files"
-                tiny = spark.createDataFrame(
-                    str_tuples,
-                    T.StructType(
-                        [T.StructField(c, T.StringType(), True) for c in cols]
-                    ),
-                )
-                typed = tiny.select(
-                    *[F.col(c).cast(df.schema[c].dataType).alias(c) for c in cols]
-                )
-                raw = typed.select(
-                    _partition_id(cols).alias("__pid"), *cols
-                ).collect()
-            else:
-                # scan fallback: transformed inputs / non-hive layouts
-                self.partition_source = "scan"
-                raw = (
-                    df.select(
-                        _partition_id(self.partition_by).alias("__pid"),
-                        *self.partition_by,
-                    )
-                    .distinct()
-                    .collect()
-                )
+            # metadata route when available: enumerate partitions from
+            # the file listing (no scan, no shuffle — a fully-
+            # checkpointed resume touches ZERO fact-table bytes), with
+            # typed values + pids re-derived by one Spark job over
+            # n_partitions driver-local rows
+            raw, self.partition_source = _enumerate_partitions(
+                df, self.partition_by
+            )
             tuples = [tuple(r[c] for c in self.partition_by) for r in raw]
             pid_of = {t: r["__pid"] for t, r in zip(tuples, raw)}
             pids = [r["__pid"] for r in raw]
@@ -330,35 +360,75 @@ class SideOutput:
     write are two non-atomic steps): the sink write is only skipped for
     partitions whose completion row — written strictly AFTER the sink
     write — is present with a matching lineage.  A crash between the
-    sink write and ``commit`` re-runs those partitions (at-least-once);
-    with an Iceberg sink the re-write is made idempotent via
-    overwritePartitions, with a raw parquet append it may duplicate —
-    the recoverable failure mode, vs. the silent loss it replaces."""
+    sink write and ``commit`` re-runs those partitions: at-least-once,
+    so an append sink (parquet OR iceberg) may carry duplicate rows
+    for the re-run partitions — the recoverable failure mode, vs. the
+    silent loss it replaces.  Exactly-once needs a sink that can
+    overwrite by partition (an Iceberg violations table partitioned by
+    the pid columns + overwritePartitions), which the CLI does not
+    assume about user sinks.
+
+    Sink-state transitions the caller must handle (cli.cmd_run does):
+    a MISSING sink invalidates all completion rows (rebuild
+    everything); a present sink with zero completion rows at this
+    lineage is ambiguous (legacy-complete vs crashed-before-write) and
+    defaults to re-append — the legacy backfill is an explicit opt-in
+    (``just_ran``, cli: output.violations_backfill)."""
 
     manifest: CheckpointManifest
     name: str  # pseudo-check name, e.g. "schema:violations"
     lineage: str  # fingerprint of (source, schema doc, sink)
     partition_by: Sequence[str] | None = None
+    # populated by todo(): pre-SideOutput-manifest partitions to
+    # commit without rewriting, and the enumeration route used
+    backfill: list = field(default_factory=list)
+    partition_source: str = "unset"
 
-    def todo(self, df: DataFrame):
+    def todo(self, df: DataFrame, sink_present: bool = True,
+             just_ran: Sequence[tuple] | None = None):
         """(pruned_df_or_None, todo_tuples, pid_of): the subset of the
-        input whose sink write is not yet confirmed."""
+        input whose sink write is not yet confirmed.
+
+        ``sink_present=False`` (the sink was deleted/never created)
+        invalidates every completion row: the rows they confirmed are
+        gone, so everything is todo again.
+
+        ``just_ran`` (EXPLICIT opt-in — pass None by default) handles
+        the pre-SideOutput manifest: when the sink IS present but this
+        lineage has NO completion rows at all, partitions NOT in
+        ``just_ran`` are treated as already written by the older
+        release and exposed via ``self.backfill`` for the caller to
+        commit instead of being re-appended as duplicates.  This state
+        is indistinguishable from a crash between the verdict append
+        and the sink write, where assuming-done means SILENT LOSS —
+        which is why the inference never runs unless the caller
+        asserts the legacy-complete interpretation."""
         spark = df.sparkSession
-        done = self.manifest.completed(spark, {self.name: self.lineage})
+        done = (
+            self.manifest.completed(spark, {self.name: self.lineage})
+            if sink_present
+            else set()
+        )
         if self.partition_by:
-            raw = (
-                df.select(
-                    _partition_id(self.partition_by).alias("__pid"),
-                    *self.partition_by,
-                )
-                .distinct()
-                .collect()
+            # same metadata-first enumeration as ResumableRun.run: a
+            # fully-confirmed sink must not cost a fact-table scan
+            raw, self.partition_source = _enumerate_partitions(
+                df, self.partition_by
             )
             tuples = [tuple(r[c] for c in self.partition_by) for r in raw]
             pid_of = {t: r["__pid"] for t, r in zip(tuples, raw)}
         else:
+            self.partition_source = "none"
             tuples, pid_of = [()], {(): "ALL"}
-        todo_t = [t for t in tuples if (pid_of[t], self.name) not in done]
+        legacy = sink_present and not done and just_ran is not None
+        assumed = (
+            {t for t in tuples if t not in set(just_ran)} if legacy else set()
+        )
+        self.backfill = [t for t in tuples if t in assumed]
+        todo_t = [
+            t for t in tuples
+            if (pid_of[t], self.name) not in done and t not in assumed
+        ]
         if not todo_t:
             return None, [], pid_of
         if self.partition_by and len(todo_t) < len(tuples):

@@ -153,6 +153,7 @@ def cmd_run(args) -> int:
         viol_df, todo_t, pid_of = df, [], {}
         if run is not None:
             from jsonschema_spark.checkpoint import SideOutput, side_lineage
+            from jsonschema_spark.sources.tables import sink_exists
 
             side = SideOutput(
                 manifest=run.manifest,
@@ -162,13 +163,30 @@ def cmd_run(args) -> int:
                 ),
                 partition_by=cfg.get("partition_by"),
             )
-            viol_df, todo_t, pid_of = side.todo(df)
+            # sink-state transitions: a deleted/absent sink voids all
+            # completion rows (rebuild everything).  A present sink
+            # with ZERO completion rows is ambiguous — either a
+            # pre-SideOutput manifest whose old release already wrote
+            # these partitions' violations (re-append = duplicates),
+            # or a crash between the verdict append and the violations
+            # write (skip = SILENT LOSS).  Loss is the worse failure,
+            # so the default re-appends (at-least-once); a deployment
+            # upgrading a known-complete legacy manifest opts into the
+            # backfill once via output.violations_backfill=true.
+            ran = {t for ts in run.last_ran.values() for t in ts}
+            viol_df, todo_t, pid_of = side.todo(
+                df,
+                sink_present=sink_exists(spark, out["violations"]),
+                just_ran=ran if out.get("violations_backfill") else None,
+            )
         if viol_df is not None:
             plan = compile_schema(cfg["schema"])
             viols = plan.validate(viol_df, keys=cfg.get("keys", [])).violations
             write_output(viols, out["violations"])
-            if side is not None:
-                side.commit(spark, todo_t, pid_of)
+        if side is not None and (todo_t or side.backfill):
+            # completion rows for what was written now AND the
+            # legacy-complete backfill (written by the old release)
+            side.commit(spark, list(todo_t) + list(side.backfill), pid_of)
 
     # store this run's quantile summary as the next run's drift baseline
     d = cfg.get("checks", {}).get("drift")

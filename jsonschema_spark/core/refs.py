@@ -25,7 +25,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .variant import variant_path_key as _variant_path
+from .variant import variant_child as _variant_child
 
 
 @dataclass
@@ -84,9 +84,7 @@ class ValueRef:
             # path walk; absent key -> SQL NULL, present JSON null ->
             # variant-null (required semantics preserved)
             return ValueRef(
-                F.try_variant_get(self.col, _variant_path(name), "variant"),
-                T.VariantType(),
-                child_path,
+                _variant_child(self.col, name), T.VariantType(), child_path
             )
         if self.is_root:
             dt = None

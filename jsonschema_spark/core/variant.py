@@ -115,6 +115,15 @@ def variant_bool(col: Column) -> Column:
     )
 
 
+def nn_size(col: Column) -> Column:
+    """NULL-propagating size: F.size(NULL) is NULL only under ANSI
+    mode (-1 with spark.sql.ansi.enabled=false), and the variant
+    branches use a NULL container VIEW as their "not this kind, skip"
+    signal — an unguarded -1 would fire min-bound keywords on values
+    the reference skips entirely."""
+    return F.when(col.isNotNull(), F.size(col))
+
+
 def variant_json(col: Column) -> Column:
     """JSON text of any variant value (container stringification — the
     static path renders containers with to_json; kept consistent)."""
@@ -170,12 +179,28 @@ def variant_bool_of(col: Column) -> Column:
     )
 
 
-def variant_path_key(name: str) -> str:
-    """Variant-get path for one object key.  Bare identifiers use dot
-    form; anything else is bracket-quoted (Spark variant path syntax)."""
+def variant_path_key(name: str) -> str | None:
+    """Variant-get path for one object key, or None when the key
+    cannot be expressed as a path.  Bare identifiers use dot form;
+    anything else is bracket-quoted.  Spark's variant path parser has
+    NO escape syntax — the bracket body is matched LITERALLY (a
+    backslash in the key is a backslash in the path), so a key
+    containing a single quote has no path form at all (probed on
+    Spark 4.1.2: $['a\\'b'] is INVALID_VARIANT_GET_PATH)."""
     import re
 
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         return f"$.{name}"
-    escaped = name.replace("\\", "\\\\").replace("'", "\\'")
-    return f"$['{escaped}']"
+    if "'" in name:
+        return None
+    return f"$['{name}']"
+
+
+def variant_child(col: Column, name: str) -> Column:
+    """One object-key descent: the path form when expressible (cheap
+    binary walk), else a map-view lookup — same semantics (absent key
+    -> SQL NULL, present JSON null -> variant-null) for ANY key."""
+    path = variant_path_key(name)
+    if path is not None:
+        return F.try_variant_get(col, path, "variant")
+    return F.try_element_at(variant_object(col), F.lit(name))

@@ -404,6 +404,16 @@ class CVal:
         and 0).  Dynamic non-boolean values approximate as non-null."""
         if isinstance(self.dtype, T.BooleanType):
             return F.coalesce(self.col.cast("boolean"), F.lit(False))
+        if isinstance(self.dtype, T.VariantType):
+            # runtime BoolCond: bool -> its value, JSON null/missing ->
+            # false, any other value -> true
+            from ..core.variant import variant_bool
+
+            return (
+                F.when(self.col.isNull(), F.lit(False))
+                .when(F.is_variant_null(self.col), F.lit(False))
+                .otherwise(F.coalesce(variant_bool(self.col), F.lit(True)))
+            )
         return self.col.isNotNull()
 
 
@@ -510,7 +520,15 @@ def _compile_bin(node: Bin, env: Env) -> CVal:
             return CVal(F.map_contains_key(b.col, a.col), T.BooleanType())
         return CVal(b.str_().contains(a.str_()), T.BooleanType())
     if op in ("==", "!="):
-        if _both_numeric(a, b):
+        if isinstance(a.dtype, T.VariantType) or isinstance(b.dtype, T.VariantType):
+            # runtime-kind coercing Equal (common.go:142-154) — a raw
+            # Column == on VARIANT has no ordering and fails analysis
+            from ..core.coerce import coercing_equal
+
+            eq = F.coalesce(
+                coercing_equal(a.col, a.dtype, b.col, b.dtype), F.lit(False)
+            )
+        elif _both_numeric(a, b):
             eq = a.num() == b.num()
         elif isinstance(a.dtype, T.BooleanType) or isinstance(b.dtype, T.BooleanType):
             eq = a.bool_().eqNullSafe(b.bool_())
@@ -582,6 +600,13 @@ def _compile_call(node: Call, env: Env) -> CVal:
             return CVal(
                 F.try_element_at(base.col, F.lit(name)), base.dtype.valueType
             )
+        if isinstance(base.dtype, T.VariantType):
+            # variant base (json_types="variant" documents bound to
+            # vars): same key walk as ValueRef.child — non-objects and
+            # absent keys yield SQL NULL, matching resolve()'s nil
+            from ..core.variant import variant_child
+
+            return CVal(variant_child(base.col, name), T.VariantType())
         if base.dtype is not None and not isinstance(
             base.dtype, (T.StructType, T.MapType)
         ):

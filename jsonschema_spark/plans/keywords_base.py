@@ -176,11 +176,11 @@ def _length_of(ref: ValueRef) -> Column | None:
     if isinstance(dt, T.VariantType):
         # runtime dispatch (MaxLength.Validate switches on string/array,
         # validator_base.go:257-275); NULL on other kinds -> no check
-        from ..core.variant import variant_array, variant_string
+        from ..core.variant import nn_size, variant_array, variant_string
 
         return F.coalesce(
             F.octet_length(variant_string(ref.col)),
-            F.size(variant_array(ref.col)),
+            nn_size(variant_array(ref.col)),
         )
     if isinstance(dt, T.ArrayType):
         return F.size(ref.col)
@@ -597,7 +597,9 @@ def kw_max_items(operand, path, siblings, ctx) -> Rule:
 
     def fn(ref: ValueRef) -> Column:
         if isinstance(ref.dtype, T.VariantType):
-            sz = F.size(_variant_array_ref(ref).col)  # NULL unless array
+            from ..core.variant import nn_size
+
+            sz = nn_size(_variant_array_ref(ref).col)  # NULL unless array
             return _skip_null(
                 ref, viol_when(sz > n, ref.path, f" max length is {n}")
             )
@@ -616,7 +618,9 @@ def kw_min_items(operand, path, siblings, ctx) -> Rule:
 
     def fn(ref: ValueRef) -> Column:
         if isinstance(ref.dtype, T.VariantType):
-            sz = F.size(_variant_array_ref(ref).col)
+            from ..core.variant import nn_size
+
+            sz = nn_size(_variant_array_ref(ref).col)
             return _skip_null(
                 ref, viol_when(sz < n, ref.path, f" min length is {n}")
             )
@@ -673,10 +677,10 @@ def _prop_count(ref: ValueRef) -> Column | None:
     if isinstance(dt, T.VariantType):
         # objects AND arrays count (validator_properties.go:29-35);
         # NULL on scalars -> check skips
-        from ..core.variant import variant_array, variant_object
+        from ..core.variant import nn_size, variant_array, variant_object
 
         return F.coalesce(
-            F.size(variant_object(ref.col)), F.size(variant_array(ref.col))
+            nn_size(variant_object(ref.col)), nn_size(variant_array(ref.col))
         )
     if isinstance(dt, T.MapType):
         return F.size(ref.col)

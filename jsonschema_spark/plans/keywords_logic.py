@@ -534,6 +534,15 @@ def _foreach_mut_program(subdoc: dict, path: str):
     return prog, names, elem
 
 
+def _struct_has_field(dt, dotted: str) -> bool:
+    """Whether a (possibly dotted) field path exists in a StructType."""
+    for seg in dotted.split("."):
+        if not isinstance(dt, T.StructType) or seg not in dt.fieldNames():
+            return False
+        dt = dt[seg].dataType
+    return True
+
+
 def _register_foreach_elem_writes(ctx, elem_entries) -> None:
     """Per-element mutation: the reference binds ``__val`` to the
     element object itself, so a jsonpath write through it mutates the
@@ -600,11 +609,17 @@ def _register_foreach_elem_writes(ctx, elem_entries) -> None:
                             )
                         new = b.col
                         if skip_null:
-                            try:
-                                old = cur.getField(sub)
-                            except Exception:
-                                old = F.lit(None)
-                            new = F.coalesce(new, old)
+                            # getField on a statically-absent field is
+                            # an AnalysisException at plan time — check
+                            # the tracked element type instead (a nil
+                            # template on a new field adds NULL, the
+                            # closest a fixed column gets to Go's
+                            # "skip the write entirely")
+                            if _struct_has_field(cur_dt, sub):
+                                old = cur
+                                for seg in sub.split("."):
+                                    old = old.getField(seg)
+                                new = F.coalesce(new, old)
                         cur = cur.withField(sub, new)
                         if "." not in sub:
                             fields = [

@@ -86,6 +86,18 @@ def write_output(
     w.parquet(sink)
 
 
+def sink_exists(spark, sink: str) -> bool:
+    """Whether a write_output sink already holds data: catalog lookup
+    for iceberg: sinks, Hadoop-FS existence for paths (works for
+    file:/hdfs:/s3a: alike — os.path would only see local paths)."""
+    if sink.startswith("iceberg:"):
+        return spark.catalog.tableExists(sink[len("iceberg:"):])
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(sink)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

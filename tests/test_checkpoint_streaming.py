@@ -393,3 +393,99 @@ def test_resume_transformed_input_falls_back_to_scan(spark, tmp_path):
     out = run.run(df)
     assert run.partition_source == "scan"
     assert {r["partition_id"] for r in out.collect()} == {"day=2025-01-01"}
+
+
+def test_partition_listing_rejects_ancestor_lookalike(spark, tmp_path):
+    """An ancestor directory that merely LOOKS like a partition dir
+    (/data/env=prod/tbl with a data column `env`) must not shadow the
+    real layout: the metadata route refuses and the scan fallback
+    enumerates the true partition values."""
+    from jsonschema_spark.checkpoint import _partition_tuples_from_files
+
+    src = str(tmp_path / "env=prod" / "tbl")
+    spark.createDataFrame(
+        [("prod", "c1", 0), ("staging", "c2", 0), ("dev", "c3", 1)],
+        "env string, conv_id string, turn_idx int",
+    ).write.parquet(src)  # NOT partitioned by env
+    df = spark.read.parquet(src)
+    assert _partition_tuples_from_files(df, ["env"]) is None
+
+    from jsonschema_spark.checkpoint import CheckpointManifest, ResumableRun
+
+    manifest = CheckpointManifest(str(tmp_path / "env_m"))
+    suite = checks.CheckSuite(
+        [checks.Uniqueness(keys=["conv_id", "turn_idx"], partition_by=["env"])]
+    )
+    run = ResumableRun(suite=suite, manifest=manifest,
+                       partition_by=["env"], source_id="t")
+    out = run.run(df)
+    assert run.partition_source == "scan"
+    assert {r["partition_id"] for r in out.collect()} == {
+        "env=prod", "env=staging", "env=dev"
+    }
+
+
+def test_partition_listing_rejects_extra_partition_levels(spark, tmp_path):
+    """A table partitioned by MORE columns than requested must fall
+    back: slicing by the requested subset from paths alone would
+    enumerate duplicates with wrong pids."""
+    from jsonschema_spark.checkpoint import _partition_tuples_from_files
+
+    src = str(tmp_path / "extra_parts")
+    spark.createDataFrame(
+        [("a", 1, "c1"), ("a", 2, "c2"), ("b", 1, "c3")],
+        "day string, bucket int, conv_id string",
+    ).write.partitionBy("day", "bucket").parquet(src)
+    df = spark.read.parquet(src)
+    assert _partition_tuples_from_files(df, ["day"]) is None
+
+
+def test_sideoutput_metadata_route_and_transitions(spark, tmp_path):
+    """SideOutput.todo: (a) enumerates partitions scan-free on a bare
+    hive read; (b) a MISSING sink voids completion rows (rebuild);
+    (c) a present sink with no completion rows backfills the
+    partitions the verdict run skipped instead of re-appending."""
+    from jsonschema_spark.checkpoint import (CheckpointManifest, SideOutput,
+                                             side_lineage)
+
+    src = str(tmp_path / "so_parts")
+    spark.createDataFrame(
+        [("2025-01-01", "c1", 0), ("2025-01-02", "c2", 0)],
+        "day string, conv_id string, turn_idx int",
+    ).write.partitionBy("day").parquet(src)
+    df = spark.read.parquet(src)
+    manifest = CheckpointManifest(str(tmp_path / "so_m"))
+    side = SideOutput(manifest=manifest, name="schema:violations",
+                      lineage=side_lineage("t", {"x": 1}, "sink"),
+                      partition_by=["day"])
+
+    # fresh: everything todo, via the files route
+    sub, todo, pid_of = side.todo(df, sink_present=False)
+    assert side.partition_source == "files"
+    assert len(todo) == 2 and sub is not None
+    side.commit(spark, todo, pid_of)
+
+    # confirmed: nothing todo, still no scan needed
+    sub2, todo2, _ = side.todo(df)
+    assert sub2 is None and todo2 == []
+
+    # sink deleted: completion rows are void, everything rebuilds
+    sub3, todo3, _ = side.todo(df, sink_present=False)
+    assert len(todo3) == 2
+
+    # pre-SideOutput manifest (different lineage -> zero completion
+    # rows) + present sink: partitions NOT just run are backfilled
+    side_legacy = SideOutput(manifest=manifest, name="schema:violations",
+                             lineage=side_lineage("t", {"x": 2}, "sink"),
+                             partition_by=["day"])
+    # NOTE: partition-column inference reads "2025-01-01" back as a
+    # DATE — just_ran must carry the TYPED values, exactly what
+    # ResumableRun.last_ran holds (the cli passes those through)
+    import datetime as _dt
+
+    d1, d2 = _dt.date(2025, 1, 1), _dt.date(2025, 1, 2)
+    sub4, todo4, pid4 = side_legacy.todo(
+        df, sink_present=True, just_ran={(d2,)}
+    )
+    assert todo4 == [(d2,)]
+    assert side_legacy.backfill == [(d1,)]

@@ -229,3 +229,18 @@ def test_foreach_mix_acc_and_element_write_rejected(spark):
             "total": ["add()", "${total}", "${__val}"],
             "__val": "1",
         }}}})
+
+
+def test_foreach_setnn_adds_null_field_for_new_name(spark):
+    """setNN writing a field the element struct LACKS must not crash
+    at analysis (getField on an absent field raises): the field is
+    added, NULL where the template was nil — the documented static
+    divergence from Go's skip-the-write."""
+    df = spark.createDataFrame(
+        [(1, [(2.0,), (None,)])], "id int, ws array<struct<w double>>"
+    )
+    plan = js.compile_schema(
+        {"foreach": {"ws": {"setNN": {"__val.lab": "v${__val.w}"}}}}
+    )
+    got = plan.transform(df).collect()[0]["ws"]
+    assert [(e["w"], e["lab"]) for e in got] == [(2.0, "v2"), (None, "v")]

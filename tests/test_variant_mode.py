@@ -289,3 +289,62 @@ def test_additional_properties_on_variant(spark):
         ['{"a": 1}', '{"a": 1, "zz": 2}', '"scalar"'],
     )
     assert {(i, p) for (i, p, m) in got} == {(1, "$.zz")}
+
+
+def test_special_keys_path_vs_mapview(spark):
+    """Spark's variant path parser has NO escape syntax: keys with a
+    single quote have no path form and must route through the
+    map-view lookup (core/variant.variant_child); backslash keys are
+    matched literally."""
+    doc = {
+        "required": ["a'b", "a\\b", "a b"],
+        "properties": {"a'b": {"minimum": 5}},
+    }
+    got = _viol(
+        spark,
+        doc,
+        ['{"a\'b": 1, "a\\\\b": 2, "a b": 3}', "{}"],
+    )
+    assert (0, "$.a'b", "value must be larger or equal than 5") in got
+    assert {(i, p) for (i, p, m) in got if i == 1} == {
+        (1, "$.a'b"), (1, "$.a\\b"), (1, "$.a b")
+    }
+
+
+def test_min_bounds_skip_non_containers_without_ansi(spark):
+    """size(NULL) is -1 with ANSI off — the variant container views
+    use NULL as the 'not this kind' signal, so min-bound keywords must
+    not fire on scalars regardless of the ANSI setting (nn_size)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = _viol(
+            spark,
+            {"properties": {"v": {"minItems": 1, "minProperties": 1,
+                                  "minLength": 1}}},
+            ['{"v": 7}', '{"v": []}', '{"v": {}}', '{"v": ""}'],
+        )
+        assert {i for (i, p, m) in got} == {1, 2, 3}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_script_field_access_on_variant_var(spark):
+    """__field__ through a variable bound to a variant value must walk
+    the variant (was: silent nil), matching resolve()'s behavior."""
+    import jsonschema_spark as js
+
+    df = spark.createDataFrame(
+        [(1, '{"user": {"admin": "yes"}}'), (2, '{"user": {}}'), (3, '{"user": 5}')],
+        "id int, payload string",
+    )
+    plan = js.compile_schema({
+        "script": ["x = $.user", {"if": "x.admin == 'yes'",
+                                  "then": ["return('is admin')"]}],
+    })
+    got = {
+        (r["id"], r["info"])
+        for r in plan.validate(df, keys=["id"], json_col="payload")
+        .violations.collect()
+    }
+    assert got == {(1, "err :[is admin]")}
