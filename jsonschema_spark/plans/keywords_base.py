@@ -119,13 +119,10 @@ def _type_variant(ref: ValueRef, wanted, union, operand) -> Column:
         KIND_NUMBER,
         KIND_OBJECT,
         KIND_STRING,
-        go_type_label,
-        variant_double,
     )
-    from ..core.variant import variant_kind as _vk
 
-    kind = _vk(ref.col)
-    d = variant_double(ref.col)
+    kind = ref.v_kind()
+    d = ref.v_double()
 
     def ok_of(w: str) -> Column:
         if w == "string":
@@ -153,18 +150,18 @@ def _type_variant(ref: ValueRef, wanted, union, operand) -> Column:
             kind == KIND_NUMBER,
             F.concat(
                 F.lit("type should be integer, but float:"),
-                string_of(ref.col, ref.dtype),
+                ref.str_of(),
             ),
         ).otherwise(
             F.concat(
                 F.lit("Invalid type, expected: integer , given: "),
-                go_type_label(ref.col),
+                ref.go_label(),
             )
         )
     else:
         info = F.concat(
             F.lit(f"Invalid type, expected: {wanted[0]} , given: "),
-            go_type_label(ref.col),
+            ref.go_label(),
         )
     return _skip_null(ref, viol_when(~ok, ref.path, info))
 
@@ -176,11 +173,11 @@ def _length_of(ref: ValueRef) -> Column | None:
     if isinstance(dt, T.VariantType):
         # runtime dispatch (MaxLength.Validate switches on string/array,
         # validator_base.go:257-275); NULL on other kinds -> no check
-        from ..core.variant import nn_size, variant_array, variant_string
+        from ..core.variant import nn_size
 
         return F.coalesce(
-            F.octet_length(variant_string(ref.col)),
-            nn_size(variant_array(ref.col)),
+            F.octet_length(ref.v_string()),
+            nn_size(ref.v_array()),
         )
     if isinstance(dt, T.ArrayType):
         return F.size(ref.col)
@@ -243,9 +240,7 @@ def _numeric_value(ref: ValueRef) -> Column | None:
     if isinstance(dt, T.VariantType):
         # strict: JSON numbers only, exactly valueOfFloat
         # (validator_base.go:405-425) — no string/bool coercion
-        from ..core.variant import variant_double
-
-        return variant_double(ref.col)
+        return ref.v_double()
     if _is_numeric(dt):
         return ref.col.cast("double")
     if isinstance(dt, (T.TimestampType, T.DateType)):
@@ -377,16 +372,16 @@ def _enum_rule(operand, path, keyword) -> Rule:
         # coercing Equal keyed on LHS type (common.go:142-154)
         if isinstance(dt, T.VariantType):
             # runtime LHS kind picks the comparison family per row
-            from ..core.variant import KIND_BOOL, KIND_NUMBER, variant_kind
+            from ..core.variant import KIND_BOOL, KIND_NUMBER
 
-            k = variant_kind(ref.col)
+            k = ref.v_kind()
             nums = [float(coerce_literal_for(T.DoubleType(), v)) for v in operand]
             bools = [bool(coerce_literal_for(T.BooleanType(), v)) for v in operand]
             strs = [str(coerce_literal_for(T.StringType(), v)) for v in operand]
             ok = (
-                F.when(k == KIND_NUMBER, number_of(ref.col, dt).isin(nums))
-                .when(k == KIND_BOOL, bool_of(ref.col, dt).isin(bools))
-                .otherwise(string_of(ref.col, dt).isin(strs))
+                F.when(k == KIND_NUMBER, ref.num_of().isin(nums))
+                .when(k == KIND_BOOL, ref.bool_of().isin(bools))
+                .otherwise(ref.str_of().isin(strs))
             )
             return _skip_null(ref, viol_when(~ok, ref.path, msg))
         lits = [coerce_literal_for(dt, v) for v in operand]
@@ -417,7 +412,7 @@ def kw_const(operand, path, siblings, ctx) -> Rule:
     sv = coerce_literal_for(T.StringType(), operand)
 
     def fn(ref: ValueRef) -> Column:
-        ok = string_of(ref.col, ref.dtype) == F.lit(sv)
+        ok = ref.str_of() == F.lit(sv)
         return _skip_null(ref, viol_when(~ok, ref.path, f"value is invalid , expected: {sv}"))
 
     return FnRule(fn)
@@ -463,10 +458,8 @@ def kw_required(operand, path, siblings, ctx) -> Rule:
         if isinstance(ref.dtype, T.VariantType):
             # non-object value: reference skips entirely
             # (value.(map[string]interface{}) guard)
-            from ..core.variant import variant_object
-
             out = F.when(
-                variant_object(ref.col).isNull(), empty_violations()
+                ref.v_object().isNull(), empty_violations()
             ).otherwise(out)
         return out
 
@@ -489,11 +482,9 @@ def kw_pattern(operand, path, siblings, ctx) -> Rule:
     def fn(ref: ValueRef) -> Column:
         dt = ref.dtype
         if isinstance(dt, T.VariantType):
-            from ..core.variant import variant_string
-
             # strict view: non-strings are NULL -> check skips, exactly
             # the value.(string) guard (validator_strings.go:14-18)
-            s = variant_string(ref.col)
+            s = ref.v_string()
         elif dt is not None and not isinstance(dt, T.StringType):
             return empty_violations()
         else:
@@ -525,13 +516,17 @@ def kw_items(operand, path, siblings, ctx) -> Rule:
 
 
 def _variant_array_ref(ref: ValueRef) -> ValueRef:
-    """array<variant> view of a variant ref (NULL when not an array)."""
+    """array<variant> view of a variant ref (NULL when not an array).
+    The copy keeps the parent's hoist registry under a view-scoped key
+    so element descents stay correctly namespaced."""
     from dataclasses import replace as _replace
 
-    from ..core.variant import variant_array
-
     return _replace(
-        ref, col=variant_array(ref.col), dtype=T.ArrayType(T.VariantType())
+        ref,
+        col=ref.v_array(),
+        dtype=T.ArrayType(T.VariantType()),
+        hkey=(ref.hkey + ("arrv",)) if ref.hkey is not None else None,
+        hlevel=ref.hlevel + 1,
     )
 
 
@@ -677,10 +672,10 @@ def _prop_count(ref: ValueRef) -> Column | None:
     if isinstance(dt, T.VariantType):
         # objects AND arrays count (validator_properties.go:29-35);
         # NULL on scalars -> check skips
-        from ..core.variant import nn_size, variant_array, variant_object
+        from ..core.variant import nn_size
 
         return F.coalesce(
-            nn_size(variant_object(ref.col)), nn_size(variant_array(ref.col))
+            nn_size(ref.v_object()), nn_size(ref.v_array())
         )
     if isinstance(dt, T.MapType):
         return F.size(ref.col)
@@ -738,9 +733,7 @@ def _string_view(ref: ValueRef) -> Column | None:
     for static strings, the strict runtime view for variants (NULL on
     non-strings -> check skips), None for statically non-string."""
     if isinstance(ref.dtype, T.VariantType):
-        from ..core.variant import variant_string
-
-        return variant_string(ref.col)
+        return ref.v_string()
     if ref.dtype is not None and not isinstance(ref.dtype, T.StringType):
         return None
     return ref.col.cast("string")
@@ -756,9 +749,7 @@ def kw_format(operand, path, siblings, ctx) -> Rule:
 
     def fn(ref: ValueRef) -> Column:
         if isinstance(ref.dtype, T.VariantType):
-            from ..core.variant import variant_string
-
-            s = variant_string(ref.col)  # non-strings skip at runtime
+            s = ref.v_string()  # non-strings skip at runtime
         elif ref.dtype is not None and not isinstance(
             ref.dtype, (T.StringType, T.TimestampType, T.DateType)
         ):
@@ -800,10 +791,8 @@ def kw_dependencies(operand, path, siblings, ctx) -> Rule:
                 )
         out = concat_violations(*parts)
         if isinstance(ref.dtype, T.VariantType):
-            from ..core.variant import variant_object
-
             out = F.when(
-                variant_object(ref.col).isNull(), empty_violations()
+                ref.v_object().isNull(), empty_violations()
             ).otherwise(out)
         return out
 
@@ -910,24 +899,24 @@ def _static_str(raw) -> str:
 
 def _zs(target: ValueRef) -> Column:
     # Go zero-value string for missing (compare.go:23-27)
-    return F.coalesce(string_of(target.col, target.dtype), F.lit(""))
+    return F.coalesce(target.str_of(), F.lit(""))
 
 
 def _zn(target: ValueRef) -> Column:
-    return F.coalesce(number_of(target.col, target.dtype), F.lit(0.0))
+    return F.coalesce(target.num_of(), F.lit(0.0))
 
 
-_compare_map("startWiths", "should start with ", lambda t, b: _zs(t).startswith(string_of(b.col, b.dtype)))
+_compare_map("startWiths", "should start with ", lambda t, b: _zs(t).startswith(b.str_of()))
 # sic: reference reuses the startWith message for endWiths
 # (validator_core.go:78-80)
-_compare_map("endWiths", "should start with ", lambda t, b: _zs(t).endswith(string_of(b.col, b.dtype)))
-_compare_map("containss", "should contains ", lambda t, b: _zs(t).contains(string_of(b.col, b.dtype)))
-_compare_map("maxLengths", "length should less then", lambda t, b: F.octet_length(_zs(t)) <= number_of(b.col, b.dtype))
-_compare_map("minLengths", "length should larger then", lambda t, b: F.octet_length(_zs(t)) >= number_of(b.col, b.dtype))
-_compare_map("gt", "should greater than ", lambda t, b: _zn(t) > number_of(b.col, b.dtype))
-_compare_map("lt", "should less than", lambda t, b: _zn(t) < number_of(b.col, b.dtype))
-_compare_map("gte", "should greater or equal than ", lambda t, b: _zn(t) >= number_of(b.col, b.dtype))
-_compare_map("lte", "should less or equal  than ", lambda t, b: _zn(t) <= number_of(b.col, b.dtype))
+_compare_map("endWiths", "should start with ", lambda t, b: _zs(t).endswith(b.str_of()))
+_compare_map("containss", "should contains ", lambda t, b: _zs(t).contains(b.str_of()))
+_compare_map("maxLengths", "length should less then", lambda t, b: F.octet_length(_zs(t)) <= b.num_of())
+_compare_map("minLengths", "length should larger then", lambda t, b: F.octet_length(_zs(t)) >= b.num_of())
+_compare_map("gt", "should greater than ", lambda t, b: _zn(t) > b.num_of())
+_compare_map("lt", "should less than", lambda t, b: _zn(t) < b.num_of())
+_compare_map("gte", "should greater or equal than ", lambda t, b: _zn(t) >= b.num_of())
+_compare_map("lte", "should less or equal  than ", lambda t, b: _zn(t) <= b.num_of())
 
 
 @register_keyword("patterns")
@@ -967,14 +956,14 @@ def kw_neq(operand, path, siblings, ctx) -> Rule:
     compiled = [(jp, parse_value(v), v) for jp, v in operand.items()]
 
     def fn(ref: ValueRef) -> Column:
-        from ..core.coerce import coercing_equal
         from ..core.errors import concat_violations
+        from ..core.refs import equal_refs
 
         parts = []
         for jp, val, raw in compiled:
             target = resolve(ref, jp)
             bound = val.bind(ref)
-            eq = coercing_equal(target.col, target.dtype, bound.col, bound.dtype)
+            eq = equal_refs(target, bound)
             parts.append(
                 viol_when(
                     F.coalesce(eq, F.lit(False)),
@@ -999,8 +988,8 @@ def _in_rule(operand, path, ctx, negate: bool) -> Rule:
         compiled.append((jp, [parse_value(v) for v in lst], lst))
 
     def fn(ref: ValueRef) -> Column:
-        from ..core.coerce import coercing_equal
         from ..core.errors import concat_violations
+        from ..core.refs import equal_refs
 
         parts = []
         for jp, vals, raw in compiled:
@@ -1008,10 +997,7 @@ def _in_rule(operand, path, ctx, negate: bool) -> Rule:
             ok = F.lit(False)
             for v in vals:
                 b = v.bind(ref)
-                ok = ok | F.coalesce(
-                    coercing_equal(target.col, target.dtype, b.col, b.dtype),
-                    F.lit(False),
-                )
+                ok = ok | F.coalesce(equal_refs(target, b), F.lit(False))
             if negate:
                 # notin wraps in a Not -> "is not valid" (validator_logic.go:151)
                 parts.append(viol_when(ok, f"$.{jp}", "is not valid"))
@@ -1072,7 +1058,7 @@ def kw_ip_in(operand, path, siblings, ctx) -> Rule:
         parts = []
         for jp, ranges, raw in compiled:
             target = resolve(ref, jp)
-            num = ip_to_long(string_of(target.col, target.dtype))
+            num = ip_to_long(target.str_of())
             ok = F.lit(False)
             for lo, hi in ranges:
                 ok = ok | ((num >= lo) & (num <= hi))

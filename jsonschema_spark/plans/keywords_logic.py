@@ -24,7 +24,7 @@ from ..core.errors import (
     viol_when,
     violation,
 )
-from ..core.refs import ValueRef, resolve
+from ..core.refs import ValueRef, equal_refs, resolve
 from ..functions.values import parse_value
 from .compiler import FnRule, Rule, SchemaError, register_keyword
 
@@ -138,9 +138,7 @@ def _properties(operand, path, siblings, ctx) -> Rule:
                         )
             elif isinstance(dt, (T.MapType, T.VariantType)):
                 if isinstance(dt, T.VariantType):
-                    from ..core.variant import variant_object
-
-                    keys_col = F.map_keys(variant_object(ref.col))
+                    keys_col = F.map_keys(ref.v_object())
                 else:
                     keys_col = F.map_keys(ref.col)
                 unknown = F.filter(
@@ -297,7 +295,7 @@ def kw_switch(operand, path, siblings, ctx) -> Rule:
 
     def switch_val(ref: ValueRef) -> Column:
         target = resolve(ref, operand)
-        return string_of(target.col, target.dtype)
+        return target.str_of()
 
     case_nodes = []
     for cv, sub in cases.items():
@@ -357,9 +355,7 @@ def _key_match(operand, path, ctx) -> Rule:
         for jp, val, raw in compiled:
             target = resolve(ref, jp)
             b = val.bind(ref)
-            eq = F.coalesce(
-                coercing_equal(target.col, target.dtype, b.col, b.dtype), F.lit(False)
-            )
+            eq = F.coalesce(equal_refs(target, b), F.lit(False))
             if silent:
                 parts.append(viol_when(~eq, "", ""))
             else:
@@ -396,7 +392,7 @@ def kw_error(operand, path, siblings, ctx) -> Rule:
 
     def fn(ref: ValueRef) -> Column:
         b = val.bind(ref)
-        return violation(ref.path, string_of(b.col, b.dtype))
+        return violation(ref.path, b.str_of())
 
     return FnRule(fn)
 
@@ -687,9 +683,9 @@ def _register_foreach_fold(ctx, mut_entries, mut_names) -> None:
                             b = val.bind(bind_ref(ref, kref, vref, cur))
                             tgt_dt = acc[name][1]
                             col = (
-                                number_of(b.col, b.dtype)
+                                b.num_of()
                                 if isinstance(tgt_dt, T.NumericType)
-                                else string_of(b.col, b.dtype)
+                                else b.str_of()
                             )
                             cur[name] = (col, tgt_dt)
                     else:
@@ -748,9 +744,9 @@ def _register_foreach_fold(ctx, mut_entries, mut_names) -> None:
         for n in mut_names:
             src = resolve(root, n)
             if isinstance(observed.get(n), T.NumericType):
-                acc[n] = (number_of(src.col, src.dtype), T.DoubleType())
+                acc[n] = (src.num_of(), T.DoubleType())
             else:
-                acc[n] = (string_of(src.col, src.dtype), T.StringType())
+                acc[n] = (src.str_of(), T.StringType())
         for jp, prog in mut_entries:
             acc = run_fold(root, jp, prog, acc)
 
@@ -875,10 +871,8 @@ def kw_foreach(operand, path, siblings, ctx) -> Rule:
             elif isinstance(dt, T.VariantType):
                 # runtime container dispatch: object -> (key,val) walk,
                 # array -> (index,val) walk, scalar -> skip
-                from ..core.variant import variant_array, variant_object
-
-                obj = variant_object(target.col)
-                arr = variant_array(target.col)
+                obj = target.v_object()
+                arr = target.v_array()
 
                 def bind_kv(k_ref, v_ref):
                     return dataclasses.replace(
