@@ -16,7 +16,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core.coerce import coercing_equal, string_of
 from ..core.errors import (
     concat_violations,
     empty_violations,
@@ -644,7 +643,6 @@ def _register_foreach_fold(ctx, mut_entries, mut_names) -> None:
     import dataclasses
     from functools import reduce
 
-    from ..core.coerce import number_of
     from .compiler import TransformOp
 
     guards = list(ctx.guards)
