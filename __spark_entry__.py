@@ -415,6 +415,28 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, n=5, k=16, bands=4, threshold=0.5)
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Continuous-ingest dedup (operators/dedup.incremental_minhash_
+    pairs): the corpus is split into an already-ingested store half
+    (even doc_id -> band-row store, built once) and a new batch (odd
+    doc_id); the batch reports its internal pairs plus batch-vs-store
+    pairs by BROADCASTING its band rows at the store scan — the store
+    is never re-hashed and never shuffled.  Oracle = the full-corpus
+    LSH pairs restricted to pairs involving the new half (store-
+    internal pairs were already reported when that half was
+    ingested)."""
+    docs = _docs(spark, sf_dir)
+    old_half = docs.filter(F.col("doc_id") % 2 == 0)
+    new_half = docs.filter(F.col("doc_id") % 2 == 1)
+    _, store = dedup.incremental_minhash_pairs(
+        old_half, None, n=5, k=16, bands=4, threshold=0.5
+    )
+    pairs, _ = dedup.incremental_minhash_pairs(
+        new_half, store, n=5, k=16, bands=4, threshold=0.5
+    )
+    return pairs
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, Hamming ≤ 3 (banded = exact by
     pigeonhole at bands=4)."""
@@ -636,17 +658,10 @@ def q_script_fold_docs(spark, sf_dir):
     return plan.transform(base).select("doc_id", "n_long_out", "first3_out")
 
 
-def _json_events_payload_df(spark, sf_dir):
-    """Shared deterministic JSON payload construction for the
-    validate_json_events / verdict_counts_json queries.
-
-    Like _docs(): the testdata parquet is ONE file (one scan
-    partition) while parse+validate is CPU-bound — at corpus scale an
-    Iceberg scan yields thousands of splits; locally an explicit
-    repartition of the 3 needed columns stands in for that."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "props"
-    ).repartition(spark.sparkContext.defaultParallelism)
+def _json_events_payload_col():
+    """Deterministic JSON payload Column from events (event_id,
+    user_id, props) — shared by the batch json queries AND the
+    streaming windowed-verdict query (stateless, stream-legal)."""
     k = F.get_json_object("props", "$.k").cast("long")
     u = F.col("user_id")
     name_part = (
@@ -672,10 +687,23 @@ def _json_events_payload_df(spark, sf_dir):
         F.repeat(F.lit("n"), F.pmod(F.col("event_id"), 15).cast("int")),
         F.lit('"}'),
     )
-    payload = F.when(
+    return F.when(
         F.pmod(F.col("event_id"), 97) == 0, F.lit('{"broken": ')
     ).otherwise(payload)
-    return ev.select("event_id", payload.alias("payload"))
+
+
+def _json_events_payload_df(spark, sf_dir):
+    """Shared deterministic JSON payload construction for the
+    validate_json_events / verdict_counts_json queries.
+
+    Like _docs(): the testdata parquet is ONE file (one scan
+    partition) while parse+validate is CPU-bound — at corpus scale an
+    Iceberg scan yields thousands of splits; locally an explicit
+    repartition of the 3 needed columns stands in for that."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "props"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return ev.select("event_id", _json_events_payload_col().alias("payload"))
 
 
 def q_verdict_counts_json(spark, sf_dir):
@@ -691,6 +719,48 @@ def q_verdict_counts_json(spark, sf_dir):
         F.count(F.lit(1)).alias("rows"),
         F.sum(pred.cast("long")).alias("bad_rows"),
     )
+
+
+def q_stream_windowed_verdicts_json(spark, sf_dir):
+    """Streaming JSON-string-column validation end to end (the Kafka
+    shape): a readStream source carrying deterministic JSON payloads,
+    validated in the DEFAULT variant runtime-dispatch mode inside
+    watermarked 1-hour windowed verdicts, drained with availableNow.
+    The hoisted variant projection chain is stateless, so it is
+    streaming-legal; the oracle re-derives each document's violation
+    count in pure SQL and windows by time_bucket."""
+    from jsonschema_spark.streaming.validate import windowed_verdicts
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    doc = stream.select("ts", _json_events_payload_col().alias("payload"))
+    plan = js.compile_schema(JSON_EVENTS_SCHEMA)
+    out = windowed_verdicts(
+        doc, plan, window="1 hour", watermark="2 hours", json_col="payload"
+    )
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    name = f"stream_json_verdicts_sink_{_STREAM_SINK_N}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = spark.table(name)
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "rows",
+        "bad_rows",
+        "violation_total",
+        "pass",
+    ).orderBy("window_start")
 
 
 JSON_TYPED_SCHEMA = {
@@ -992,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_event_type": q_stats_by_event_type,
         "window_gaps": q_window_gaps,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
+        "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
         "transform_events": q_transform_events,
         "stats_lineitem": q_stats_lineitem,
         "uniqueness_lineitem": q_uniqueness_lineitem,
@@ -1012,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -1085,7 +1157,7 @@ def _oracle_validate_events() -> str:
     """
 
 
-def _oracle_minhash() -> str:
+def _oracle_minhash(pair_where: str = "") -> str:
     # signature: ONE md5-derived base hash per distinct 5-gram shingle,
     # then 16 affine universal-hash maps (a_i*h+b_i) mod P minimized per
     # doc (dedup.minhash_coeffs); bands of 4 components; candidate =
@@ -1129,7 +1201,8 @@ def _oracle_minhash() -> str:
                AS est_jaccard
       FROM cand
     )
-    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5{pair_where}
     """
 
 
@@ -1649,6 +1722,45 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY w
             ORDER BY window_start
         """,
+        "stream_windowed_verdicts_json": """
+            WITH base AS (
+              SELECT event_id, user_id, ts,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ),
+            p AS (
+              SELECT ts,
+                     user_id % 40 AS idv,
+                     CASE WHEN user_id % 17 = 0 THEN NULL
+                          WHEN user_id % 13 = 0 THEN 'x' || CAST(user_id % 50 AS VARCHAR)
+                          ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS name,
+                     k AS q1, (k * 7) % 120 AS q2,
+                     CAST(event_id % 15 AS INT) AS note_len,
+                     (event_id % 97 = 0) AS broken
+              FROM base
+            ),
+            v AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+                     CASE WHEN broken THEN 1 ELSE
+                       (CASE WHEN NOT (idv >= 1) THEN 1 ELSE 0 END)
+                     + (CASE WHEN name IS NULL THEN 1 ELSE 0 END)
+                     + (CASE WHEN name IS NOT NULL
+                              AND NOT regexp_matches(name, '^u[0-9]+$')
+                        THEN 1 ELSE 0 END)
+                     + (CASE WHEN q1 > 100 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q2 > 100 THEN 1 ELSE 0 END)
+                     + (CASE WHEN note_len > 10 THEN 1 ELSE 0 END)
+                     END AS nv
+              FROM p
+            )
+            SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS rows,
+                   CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+                   CAST(SUM(nv) AS BIGINT) AS violation_total,
+                   SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS pass
+            FROM v GROUP BY w
+            ORDER BY window_start
+        """,
         "window_gaps": """
             SELECT user_id, event_id, gap_sec FROM (
               SELECT user_id, event_id,
@@ -1881,6 +1993,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_minhash_incremental": _oracle_minhash(
+            " AND (id_a % 2 = 1 OR id_b % 2 = 1)"
+        ),
         "dedup_simhash": _oracle_simhash(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "embedding_neardup_lsh": _oracle_embedding_lsh(),

@@ -112,6 +112,7 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # G1, not ParallelGC: the r2 scaling diagnostics measured
         # ParallelGC pausing 2.9s of a 6.1s 32-core wall (94s of

@@ -78,6 +78,10 @@ def _lineage(source_id: str, check: Check) -> str:
             cfg[k] = v
         elif isinstance(v, DataFrame):
             cfg[k] = _df_fingerprint(v)
+        elif isinstance(getattr(v, "doc", None), (dict, list)):
+            # compiled schema plan: the DOCUMENT is the config — a
+            # changed schema must invalidate cached schema verdicts
+            cfg[k] = v.doc
     blob = json.dumps({"source": source_id, "check": check.name, "cfg": cfg},
                       sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]

@@ -55,7 +55,13 @@ def build_suite(spark: SparkSession, cfg: dict):
         plan = compile_schema(cfg["schema"])
         suite.append(
             checks.SchemaCheck(
-                plan=plan, partition_by=cfg.get("partition_by"), name="schema"
+                plan=plan,
+                partition_by=cfg.get("partition_by"),
+                name="schema",
+                # validate a JSON-string column (the reference's actual
+                # input domain) instead of fixed columns
+                json_col=cfg.get("json_col"),
+                json_types=cfg.get("json_types"),
             )
         )
     c = cfg.get("checks", {})
@@ -159,7 +165,13 @@ def cmd_run(args) -> int:
                 manifest=run.manifest,
                 name="schema:violations",
                 lineage=side_lineage(
-                    cfg["source"], cfg["schema"], out["violations"]
+                    cfg["source"],
+                    cfg["schema"] if not cfg.get("json_col") else {
+                        "schema": cfg["schema"],
+                        "json_col": cfg["json_col"],
+                        "json_types": cfg.get("json_types"),
+                    },
+                    out["violations"],
                 ),
                 partition_by=cfg.get("partition_by"),
             )
@@ -181,7 +193,12 @@ def cmd_run(args) -> int:
             )
         if viol_df is not None:
             plan = compile_schema(cfg["schema"])
-            viols = plan.validate(viol_df, keys=cfg.get("keys", [])).violations
+            viols = plan.validate(
+                viol_df,
+                keys=cfg.get("keys", []),
+                json_col=cfg.get("json_col"),
+                json_types=cfg.get("json_types"),
+            ).violations
             write_output(viols, out["violations"])
         if side is not None and (todo_t or side.backfill):
             # completion rows for what was written now AND the

@@ -184,11 +184,11 @@ def register_func(name: str):
 
 
 def _num(b: Bound) -> Column:
-    return number_of(b.col, b.dtype)
+    return b.num_of()
 
 
 def _str(b: Bound) -> Column:
-    return b.col if isinstance(b.dtype, T.StringType) else string_of(b.col, b.dtype)
+    return b.col if isinstance(b.dtype, T.StringType) else b.str_of()
 
 
 @register_func("add")
@@ -370,9 +370,7 @@ def _toint(args, root):
 
 @register_func("tobool")
 def _tobool(args, root):
-    from ..core.coerce import bool_of
-
-    return Bound(bool_of(args[0].col, args[0].dtype), T.BooleanType())
+    return Bound(args[0].bool_of(), T.BooleanType())
 
 
 @register_func("rand.new16")

@@ -538,12 +538,24 @@ class SchemaCheck(Check):
     partition_by: Sequence[str] | None = None
     keys: Sequence[str] | None = None  # violation row identity columns
     name: str = "schema"
+    # validate a JSON *string* column instead of fixed columns (the
+    # reference's actual input domain); json_types as in compile_schema
+    # ("variant" runtime dispatch / "static" inferred struct)
+    json_col: str | None = None
+    json_types: str | None = None
 
     def _agg_exprs(self, df: DataFrame, p: str = ""):
         # hot path: predicate-only compilation skips violation-array
         # construction (~2.4x) — falls back to the array path when the
-        # document uses keywords outside the predicate subset
-        pred = self.plan.fail_predicate(df)
+        # document uses keywords outside the predicate subset.  The
+        # json_col predicate is a single Column in both parse modes
+        # (fused-suite compatible); variant mode prices the violations
+        # array in — standalone verdict counting should prefer
+        # plan.fail_verdicts (hoisted), but fusion with the other
+        # checks' single scan dominates that here.
+        pred = self.plan.fail_predicate(
+            df, json_col=self.json_col, json_types=self.json_types
+        ) if self.json_col is not None else self.plan.fail_predicate(df)
         if pred is not None:
             return [
                 F.count(F.lit(1)).alias(f"{p}rows"),
@@ -591,7 +603,9 @@ class SchemaCheck(Check):
         keys = list(self.keys) if self.keys else [
             c for c in ("conv_id", "turn_idx") if c in df.columns
         ]
-        return self.plan.validate(df, keys=keys).violations
+        return self.plan.validate(
+            df, keys=keys, json_col=self.json_col, json_types=self.json_types
+        ).violations
 
 
 @dataclass

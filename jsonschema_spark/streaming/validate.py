@@ -24,10 +24,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def annotate_stream(stream_df: DataFrame, plan) -> DataFrame:
+def annotate_stream(
+    stream_df: DataFrame,
+    plan,
+    json_col: str | None = None,
+    json_types: str | None = None,
+) -> DataFrame:
     """Apply a compiled schema plan to a streaming DataFrame.  The plan
     is a pure Column expression — identical semantics to the batch
-    path, no state."""
+    path, no state.
+
+    ``json_col`` validates a JSON *string* column instead of fixed
+    columns — the Kafka-shaped input (``value`` holding a JSON
+    document).  Both parse modes work on streams: the parse, the
+    hoisted variant projection levels and the violations expression
+    are all stateless deterministic projections."""
+    if json_col is not None:
+        return plan.annotate_json(stream_df, json_col, json_types=json_types)
     return plan.annotate(stream_df)
 
 
@@ -37,11 +50,15 @@ def windowed_verdicts(
     ts_col: str = "ts",
     window: str = "1 minute",
     watermark: str = "5 minutes",
+    json_col: str | None = None,
+    json_types: str | None = None,
 ) -> DataFrame:
     """Per event-time window: rows, bad rows, violation total — the
     streaming analog of SchemaCheck.verdicts.  Late rows beyond the
-    watermark are dropped (documented north-star late-data policy)."""
-    ann = plan.annotate(stream_df)
+    watermark are dropped (documented north-star late-data policy).
+    With ``json_col`` the verdicts run over a streaming JSON-string
+    column (see annotate_stream)."""
+    ann = annotate_stream(stream_df, plan, json_col=json_col, json_types=json_types)
     return (
         ann.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"))

@@ -489,3 +489,98 @@ def test_sideoutput_metadata_route_and_transitions(spark, tmp_path):
     )
     assert todo4 == [(d2,)]
     assert side_legacy.backfill == [(d1,)]
+
+
+def test_windowed_verdicts_json_stream(spark, tmp_path):
+    """Streaming JSON-string-column validation (the Kafka shape: a
+    `value` column holding a JSON document) — both parse modes; the
+    hoisted variant projection chain must be streaming-legal
+    (stateless projections only)."""
+    from jsonschema_spark.streaming.validate import windowed_verdicts
+
+    rows = [
+        ("2025-01-01 00:00:05", '{"id": 1, "name": "ok"}'),
+        ("2025-01-01 00:00:30", '{"id": "x", "name": "ok"}'),   # type err
+        ("2025-01-01 00:01:10", '{"name": "missing id"}'),      # required
+        ("2025-01-01 00:01:40", '{"bad": '),                    # malformed
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, value string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    path = str(tmp_path / "json_stream_src")
+    df.coalesce(1).write.parquet(path)
+    plan = js.compile_schema(
+        {"required": ["id"], "properties": {"id": {"type": "integer"}}}
+    )
+    for i, mode in enumerate(("variant", "static")):
+        src = spark.readStream.schema("value string, ts timestamp").parquet(path)
+        out = windowed_verdicts(
+            src, plan, window="1 minute", json_col="value", json_types=mode
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"jverdicts_{i}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            str(r["window_start"]): (r["rows"], r["bad_rows"])
+            for r in spark.sql(f"select * from jverdicts_{i}").collect()
+        }
+        # variant mode flags the wrong-typed id; static degrades it to
+        # a null field which `required` (field presence on the struct)
+        # still reports — both windows carry 1 bad row in window 0
+        assert got["2025-01-01 00:00:00"] == (2, 1), (mode, got)
+        assert got["2025-01-01 00:01:00"] == (2, 2), (mode, got)
+
+
+def test_resume_invalidated_by_schema_doc_change(spark, part_df, tmp_path):
+    """The schema DOCUMENT is check config: editing it must invalidate
+    cached schema verdicts (the compiled plan object itself is not a
+    JSON-serializable field, so _lineage reads plan.doc)."""
+    manifest = CheckpointManifest(str(tmp_path / "manifest_doc"))
+    s1 = checks.CheckSuite([checks.SchemaCheck(
+        plan=js.compile_schema({"required": ["conv_id"]}),
+        partition_by=["day"])])
+    ResumableRun(suite=s1, manifest=manifest, partition_by=["day"],
+                 source_id="t").run(part_df)
+    # same doc => fully checkpointed, nothing re-runs
+    s1b = checks.CheckSuite([checks.SchemaCheck(
+        plan=js.compile_schema({"required": ["conv_id"]}),
+        partition_by=["day"])])
+    out = ResumableRun(suite=s1b, manifest=manifest, partition_by=["day"],
+                       source_id="t").run(part_df).collect()
+    assert out == []
+    # different doc => different lineage => re-runs
+    s2 = checks.CheckSuite([checks.SchemaCheck(
+        plan=js.compile_schema({"required": ["conv_id", "role"]}),
+        partition_by=["day"])])
+    out2 = ResumableRun(suite=s2, manifest=manifest, partition_by=["day"],
+                        source_id="t").run(part_df).collect()
+    assert len(out2) == 2
+
+
+def test_schema_check_json_col(spark):
+    """SchemaCheck over a JSON-string column: verdicts count malformed
+    and invalid documents; violations carry the json-path errors."""
+    df = spark.createDataFrame(
+        [("p1", 1, '{"id": 1}'), ("p1", 2, '{"id": "x"}'),
+         ("p2", 3, '{"id": '), ("p2", 4, None)],
+        "part string, k int, payload string",
+    )
+    chk = checks.SchemaCheck(
+        plan=js.compile_schema(
+            {"required": ["id"], "properties": {"id": {"type": "integer"}}}
+        ),
+        partition_by=["part"], keys=["k"], json_col="payload",
+    )
+    v = {r["partition_id"]: (r["metrics"]["rows"], r["metrics"]["bad_rows"])
+         for r in chk.verdicts(df).collect()}
+    # p1: wrong-typed id (variant mode type error); p2: malformed doc +
+    # NULL payload (validates as {} -> required fires)
+    assert v == {"part=p1": ("2", "1"), "part=p2": ("2", "2")}
+    viols = {(r["k"], r["path"]) for r in chk.violations(df).collect()}
+    assert viols == {(2, "$.id"), (3, "$"), (4, "$.id")}

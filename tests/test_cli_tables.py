@@ -205,3 +205,52 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_facts")
         spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_cli_run_json_col(spark, tmp_path):
+    """End-to-end CLI run over a JSON-string column (the reference's
+    actual input domain): schema verdicts + violations via
+    cfg["json_col"], with manifest resume and doc-change invalidation."""
+    from jsonschema_spark.cli import main
+
+    src = str(tmp_path / "json_src")
+    spark.createDataFrame(
+        [("d1", 1, '{"id": 1, "name": "ok"}'),
+         ("d1", 2, '{"id": "x", "name": "ok"}'),
+         ("d2", 3, '{"id": ')],
+        "day string, k int, payload string",
+    ).write.partitionBy("day").parquet(src)
+
+    cfg = {
+        "source": src,
+        "schema": {"required": ["id"],
+                   "properties": {"id": {"type": "integer"}}},
+        "json_col": "payload",
+        "keys": ["k"],
+        "partition_by": ["day"],
+        "output": {
+            "verdicts": str(tmp_path / "jv"),
+            "violations": str(tmp_path / "jviol"),
+            "manifest": str(tmp_path / "jm"),
+        },
+    }
+    cfg_path = tmp_path / "jcfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["run", str(cfg_path)]) == 0
+    verdicts = spark.read.parquet(str(tmp_path / "jv"))
+    got = {r["partition_id"]: r["metrics"]["bad_rows"] for r in verdicts.collect()}
+    assert got == {"day=d1": "1", "day=d2": "1"}
+    viols = {(r["k"], r["path"]) for r in
+             spark.read.parquet(str(tmp_path / "jviol")).collect()}
+    assert viols == {(2, "$.id"), (3, "$")}
+
+    # resume: nothing re-runs (verdict sink unchanged row count)
+    assert main(["run", str(cfg_path)]) == 0
+    assert spark.read.parquet(str(tmp_path / "jv")).count() == 2
+
+    # switching the parse mode changes semantics -> lineage must
+    # invalidate and the run re-appends fresh verdicts
+    cfg["json_types"] = "static"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["run", str(cfg_path)]) == 0
+    assert spark.read.parquet(str(tmp_path / "jv")).count() == 4

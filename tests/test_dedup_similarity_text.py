@@ -216,3 +216,46 @@ def test_hash_mode_xxhash64(spark, docs):
         dedup.set_hash_mode("md5")
     with pytest.raises(ValueError):
         dedup.set_hash_mode("sha1")
+
+
+def test_incremental_minhash_matches_batch(spark, docs):
+    """Incremental contract: pairs reported for a new batch (internal +
+    vs-store) == the full-corpus batch pairs minus store-internal ones,
+    with identical est_jaccard values; the store is band rows only —
+    no historical text is re-read or re-hashed."""
+    old = docs.filter(F.col("doc_id") <= 2)   # 0,1,2 mutual dups
+    new = docs.filter(F.col("doc_id") >= 3)   # 3 near-dups them, 4/5 unrelated
+
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    store_internal = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(old, threshold=0.4).collect()
+    }
+    expected = {p: j for p, j in full.items() if p not in store_internal}
+
+    # batch 1 -> store; batch 2 incremental
+    _, store_rows = dedup.incremental_minhash_pairs(old, None, threshold=0.4)
+    pairs, new_rows = dedup.incremental_minhash_pairs(
+        new, store_rows, threshold=0.4
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got == expected and len(got) > 0
+    # the rows handed back for appending cover the new batch's bands
+    assert new_rows.select("id").distinct().count() == 3
+
+
+def test_incremental_minhash_store_side_not_shuffled(spark, docs):
+    """Scale shape: the store scan joins the BROADCAST batch (no
+    exchange of historical rows).  The batch-internal self-join may
+    legitimately shuffle — the batch is the small unit — so the only
+    shuffle joins allowed are that one."""
+    old = docs.filter(F.col("doc_id") <= 2)
+    new = docs.filter(F.col("doc_id") >= 3)
+    _, store_rows = dedup.incremental_minhash_pairs(old, None)
+    pairs, _ = dedup.incremental_minhash_pairs(new, store_rows)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # batch-vs-store side
+    assert plan.count("SortMergeJoin") <= 1  # batch-internal only
