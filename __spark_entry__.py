@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import jsonschema_spark as js
-from jsonschema_spark.operators import checks, dedup, similarity, text
+from jsonschema_spark.operators import checks, dedup, similarity, text, transcripts
 
 # --------------------------------------------------------------------
 # helpers
@@ -1038,6 +1038,87 @@ def q_verdict_counts_orders(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# conversation-transcript operators (north-rule payload shape)
+# --------------------------------------------------------------------
+
+def _transcripts_from_events(ev: DataFrame) -> DataFrame:
+    """Deterministic transcript derivation from the events table — the
+    north rule's (conv_id, turn_idx, role, text, tool, ts) shape with
+    planted sequence hazards: turn-index gaps (event_id%97) and
+    timestamp regressions (event_id%89), both applied AFTER the
+    row_number so Spark and the oracle agree bit-for-bit.  ``seq``
+    carries a unique per-turn tiebreak for the integrity window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    et = F.col("event_type")
+    role = (
+        F.when(et == "click", "user")
+        .when(et == "view", "assistant")
+        .when(et == "purchase", "tool")
+        .when(et == "signup", "system")
+        .otherwise("assistant")
+    )
+    return ev.select(
+        F.format_string("c%08d", F.col("user_id").cast("bigint")).alias(
+            "conv_id"
+        ),
+        (
+            rn
+            + F.when(F.col("event_id") % 97 == 3, F.lit(2)).otherwise(F.lit(0))
+        ).alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.when(et == "purchase", F.lit("checkout"))
+        .when(et == "error", F.lit("diagnose"))
+        .alias("tool"),
+        F.when(
+            F.col("event_id") % 89 == 5,
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def q_transcript_integrity(spark, sf_dir):
+    """Conversation-sequence validation (operators/transcripts.py):
+    turn-index contiguity, timestamp monotonicity and the
+    role-transition FSM, all from ONE window pass (single hash shuffle
+    on conv_id) + a codegen projection/explode — no self-join."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.conversation_integrity(tdf, order_by=("turn_idx", "seq"))
+
+
+def q_transcript_rollup(spark, sf_dir):
+    """Per-conversation metrics in ONE map-side-combinable aggregation:
+    turn count/range, distinct roles, tool calls, character volume,
+    wall duration, turn-contiguity flag."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.conversation_rollup(tdf)
+
+
+def q_dedup_conversations(spark, sf_dir):
+    """Conversation-LEVEL near-dup pairs: documents split into turns,
+    skew-safe ordered re-concatenation (transcripts.conversation_text →
+    salted two-phase collect), then MinHash-LSH over the conversation
+    document.  Dedup at the granularity a training pipeline drops —
+    whole conversations."""
+    docs = _docs(spark, sf_dir)
+    turns = docs.select(
+        F.format_string("v%08d", F.col("doc_id").cast("bigint")).alias(
+            "conv_id"
+        ),
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias(
+            "turn_idx", "text"
+        ),
+    )
+    return transcripts.conversation_dedup_pairs(
+        turns, n=5, k=16, bands=4, threshold=0.5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -1096,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "transcript_integrity": q_transcript_integrity,
+        "transcript_rollup": q_transcript_rollup,
+        "dedup_conversations": q_dedup_conversations,
     }
 
 
@@ -1157,11 +1241,16 @@ def _oracle_validate_events() -> str:
     """
 
 
-def _oracle_minhash(pair_where: str = "") -> str:
+def _oracle_minhash(
+    pair_where: str = "",
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     # signature: ONE md5-derived base hash per distinct 5-gram shingle,
     # then 16 affine universal-hash maps (a_i*h+b_i) mod P minimized per
     # doc (dedup.minhash_coeffs); bands of 4 components; candidate =
     # pair sharing an identical band; est = matching components / 16.
+    # ``docs_sql`` supplies the (doc_id, text) source — the
+    # conversation-level variant rebuilds the corpus from split turns.
     from jsonschema_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
     norm = _SQL_NORM.format(col="text")
@@ -1181,7 +1270,8 @@ def _oracle_minhash(pair_where: str = "") -> str:
     band_union = "\nUNION ALL\n".join(bands)
     eq_terms = " + ".join(f"CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END" for i in range(1, 17))
     return f"""
-    WITH docs AS (SELECT doc_id, {norm} AS n FROM documents),
+    WITH src AS ({docs_sql}),
+    docs AS (SELECT doc_id, {norm} AS n FROM src),
     sh AS (
       SELECT doc_id, DISTINCT_SH.sh FROM docs,
         LATERAL (SELECT DISTINCT unnest(list_transform(
@@ -1417,6 +1507,96 @@ def _oracle_embedding_neardup() -> str:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {cos} >= 0.4
     """
+
+
+# Deterministic transcript derivation shared by the transcript_* oracles
+# — mirrors _transcripts_from_events bit-for-bit (row_number BEFORE the
+# planted turn-gap / ts-regression hazards).
+_SQL_TRANSCRIPTS = """
+      SELECT printf('c%08d', CAST(user_id AS BIGINT)) AS conv_id,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              + CASE WHEN event_id % 97 = 3 THEN 2 ELSE 0 END) AS turn_idx,
+             CASE WHEN event_type = 'click' THEN 'user'
+                  WHEN event_type = 'view' THEN 'assistant'
+                  WHEN event_type = 'purchase' THEN 'tool'
+                  WHEN event_type = 'signup' THEN 'system'
+                  ELSE 'assistant' END AS role,
+             props AS text,
+             CASE WHEN event_type = 'purchase' THEN 'checkout'
+                  WHEN event_type = 'error' THEN 'diagnose' END AS tool,
+             CASE WHEN event_id % 89 = 5 THEN ts - INTERVAL 1 HOUR
+                  ELSE ts END AS ts,
+             event_id AS seq
+      FROM events
+"""
+
+
+def _oracle_transcript_integrity() -> str:
+    from jsonschema_spark.operators.transcripts import (
+        DEFAULT_FIRST_ROLES,
+        DEFAULT_TRANSITIONS,
+    )
+
+    allowed = ", ".join(
+        f"'{a}>{b}'" for a, b in sorted(DEFAULT_TRANSITIONS)
+    )
+    first = ", ".join(f"'{r}'" for r in sorted(DEFAULT_FIRST_ROLES))
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    l AS (
+      SELECT conv_id, turn_idx, role, ts,
+             lag(turn_idx) OVER w AS p_turn,
+             lag(role) OVER w AS p_role,
+             lag(ts) OVER w AS p_ts
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, seq)
+    )
+    SELECT conv_id, turn_idx, 'turn_sequence' AS "check",
+           'first turn index is ' || turn_idx || ' , expected 0' AS info
+      FROM l WHERE p_turn IS NULL AND turn_idx <> 0
+    UNION ALL
+    SELECT conv_id, turn_idx, 'turn_sequence',
+           'turn index ' || turn_idx || ' follows ' || p_turn
+      FROM l WHERE p_turn IS NOT NULL AND turn_idx <> p_turn + 1
+    UNION ALL
+    SELECT conv_id, turn_idx, 'ts_monotonic',
+           'timestamp regresses within conversation'
+      FROM l WHERE p_ts IS NOT NULL AND ts IS NOT NULL AND ts < p_ts
+    UNION ALL
+    SELECT conv_id, turn_idx, 'role_transition',
+           'conversation opens with role ' || role
+      FROM l WHERE p_turn IS NULL AND role IS NOT NULL
+               AND role NOT IN ({first})
+    UNION ALL
+    SELECT conv_id, turn_idx, 'role_transition',
+           'role ' || role || ' cannot follow ' || p_role
+      FROM l WHERE p_role IS NOT NULL AND role IS NOT NULL
+               AND (p_role || '>' || role) NOT IN ({allowed})
+    """
+
+
+def _oracle_transcript_rollup() -> str:
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS})
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           min(turn_idx) AS first_turn,
+           max(turn_idx) AS last_turn,
+           CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tool_calls,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+           (max(turn_idx) - min(turn_idx) + 1) = count(*) AS turns_contiguous
+    FROM t GROUP BY conv_id
+    """
+
+
+_SQL_CONV_DOCS = """
+    SELECT printf('v%08d', CAST(doc_id AS BIGINT)) AS doc_id,
+           array_to_string(string_split(text, '. '), ' ') AS text
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2012,6 +2192,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _oracle_langid(),
         "text_quality": _oracle_text_quality(),
         "doc_fingerprint": _oracle_fingerprint(),
+        "transcript_integrity": _oracle_transcript_integrity(),
+        "transcript_rollup": _oracle_transcript_rollup(),
+        "dedup_conversations": _oracle_minhash(docs_sql=_SQL_CONV_DOCS),
     }
 
 
