@@ -437,6 +437,16 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     return pairs
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pair→cluster resolution (dedup.duplicate_clusters): connected
+    components over the MinHash-LSH near-dup pair graph via min-label
+    propagation + pointer jumping — every round an equality join, no
+    driver-side graph state; cluster_id = canonical (minimum) doc id."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n=5, k=16, bands=4, threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, Hamming ≤ 3 (banded = exact by
     pigeonhole at bands=4)."""
@@ -1165,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -1589,6 +1600,24 @@ def _oracle_transcript_rollup() -> str:
              - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
            (max(turn_idx) - min(turn_idx) + 1) = count(*) AS turns_contiguous
     FROM t GROUP BY conv_id
+    """
+
+
+def _oracle_dedup_clusters() -> str:
+    # connected components over the SAME minhash pair graph, as a
+    # recursive label closure: r enumerates every label reachable from
+    # each node; min over them = the Spark side's converged min-label.
+    inner = _oracle_minhash()
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({inner}) q),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r AS (
+      SELECT u AS id, u AS lab FROM e
+      UNION
+      SELECT e.u AS id, r.lab FROM e JOIN r ON r.id = e.v
+    )
+    SELECT id, min(lab) AS cluster_id FROM r GROUP BY id
     """
 
 
@@ -2195,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_integrity": _oracle_transcript_integrity(),
         "transcript_rollup": _oracle_transcript_rollup(),
         "dedup_conversations": _oracle_minhash(docs_sql=_SQL_CONV_DOCS),
+        "dedup_clusters": _oracle_dedup_clusters(),
     }
 
 

@@ -89,6 +89,12 @@ HEADLINE = [
     # round 3: runtime-type-dispatch (VariantType) JSON validation
     "validate_json_typed",
     "verdict_counts_json_typed",
+    # round 3 (late): conversation-transcript sequence operators and
+    # pair->cluster resolution
+    "transcript_integrity",
+    "transcript_rollup",
+    "dedup_conversations",
+    "dedup_clusters",
 ]
 
 

@@ -94,6 +94,35 @@ def build_suite(spark: SparkSession, cfg: dict):
                 expectations=s.get("expectations", {}),
             )
         )
+    if "sequence" in c:
+        sq = c["sequence"]
+        from jsonschema_spark.operators.transcripts import (
+            DEFAULT_FIRST_ROLES,
+            DEFAULT_TRANSITIONS,
+            SequenceIntegrity,
+        )
+
+        suite.append(
+            SequenceIntegrity(
+                conv_col=sq.get("conv_col", "conv_id"),
+                turn_col=sq.get("turn_col", "turn_idx"),
+                ts_col=sq.get("ts_col", "ts"),
+                role_col=sq.get("role_col", "role"),
+                order_by=sq.get("order_by"),
+                allowed_transitions=(
+                    frozenset(tuple(p) for p in sq["transitions"])
+                    if sq.get("transitions") is not None
+                    else DEFAULT_TRANSITIONS
+                ),
+                first_roles=(
+                    frozenset(sq["first_roles"])
+                    if sq.get("first_roles") is not None
+                    else DEFAULT_FIRST_ROLES
+                ),
+                first_index=int(sq.get("first_index", 0)),
+                partition_by=cfg.get("partition_by"),
+            )
+        )
     if "drift" in c:
         d = c["drift"]
         suite.append(

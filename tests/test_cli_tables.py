@@ -254,3 +254,40 @@ def test_cli_run_json_col(spark, tmp_path):
     cfg_path.write_text(json.dumps(cfg))
     assert main(["run", str(cfg_path)]) == 0
     assert spark.read.parquet(str(tmp_path / "jv")).count() == 4
+
+
+def test_cli_run_sequence_check(spark, data_dir, tmp_path):
+    """cfg["checks"]["sequence"] runs SequenceIntegrity over the
+    transcript table inside the same suite as schema/uniqueness."""
+    from jsonschema_spark.cli import main
+
+    cfg = {
+        "source": str(data_dir / "transcripts"),
+        "schema": {"required": ["conv_id"]},
+        "keys": ["conv_id", "turn_idx"],
+        "checks": {
+            "sequence": {
+                "order_by": ["turn_idx", "ts", "text"],
+                # the fixture corpus has no role FSM; check ordering only
+                "transitions": None,
+                "first_roles": None,
+            },
+        },
+        "output": {"verdicts": str(tmp_path / "sv")},
+    }
+    cfg["checks"]["sequence"] = {
+        k: v for k, v in cfg["checks"]["sequence"].items() if v is not None
+    } or {}
+    # transitions/first_roles omitted -> engine defaults apply
+    cfg_path = tmp_path / "cfg_seq.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["run", str(cfg_path)])
+    assert rc == 0
+    verdicts = spark.read.parquet(str(tmp_path / "sv"))
+    rows = {r["check"]: r for r in verdicts.collect()}
+    assert "sequence_integrity" in rows
+    sq = rows["sequence_integrity"]
+    assert sq["metrics"]["conversations"] is not None
+    # the fixture plants ~0.5% duplicate (conv_id, turn_idx) pairs ->
+    # duplicate turn indices trip turn_sequence
+    assert sq["violation_count"] > 0 and sq["pass"] is False

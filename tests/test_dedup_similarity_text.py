@@ -259,3 +259,35 @@ def test_incremental_minhash_store_side_not_shuffled(spark, docs):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # batch-vs-store side
     assert plan.count("SortMergeJoin") <= 1  # batch-internal only
+
+
+def test_duplicate_clusters_resolves_chains_and_stars(spark):
+    from jsonschema_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4, star 10-(11,12,13), singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_duplicate_clusters_string_ids(spark):
+    from jsonschema_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
