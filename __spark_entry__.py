@@ -1110,19 +1110,23 @@ def q_transcript_rollup(spark, sf_dir):
 
 
 def q_dedup_conversations(spark, sf_dir):
-    """Conversation-LEVEL near-dup pairs: documents split into turns,
-    skew-safe ordered re-concatenation (transcripts.conversation_text →
-    salted two-phase collect), then MinHash-LSH over the conversation
-    document.  Dedup at the granularity a training pipeline drops —
-    whole conversations."""
+    """Conversation-LEVEL near-dup pairs: documents split into 8-word
+    turns, skew-safe ordered re-concatenation
+    (transcripts.conversation_text → salted two-phase collect), then
+    MinHash-LSH over the conversation document.  Dedup at the
+    granularity a training pipeline drops — whole conversations."""
     docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_turns = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_turns - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
     turns = docs.select(
         F.format_string("v%08d", F.col("doc_id").cast("bigint")).alias(
             "conv_id"
         ),
-        F.posexplode(F.split(F.col("text"), r"\. ")).alias(
-            "turn_idx", "text"
-        ),
+        F.posexplode(chunks).alias("turn_idx", "text"),
     )
     return transcripts.conversation_dedup_pairs(
         turns, n=5, k=16, bands=4, threshold=0.5
@@ -1621,9 +1625,15 @@ def _oracle_dedup_clusters() -> str:
     """
 
 
+# split into 8-word turns, then rebuild the conversation document by
+# re-joining the ordered chunks — mirrors q_dedup_conversations
 _SQL_CONV_DOCS = """
     SELECT printf('v%08d', CAST(doc_id AS BIGINT)) AS doc_id,
-           array_to_string(string_split(text, '. '), ' ') AS text
+           array_to_string(
+             list_transform(
+               range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)),
+               i -> array_to_string(string_split(text, ' ')[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+             ), ' ') AS text
     FROM documents
 """
 
