@@ -437,6 +437,31 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     return pairs
 
 
+def q_stats_incremental(spark, sf_dir):
+    """Incremental corpus stats (operators/incremental.py): the corpus
+    arrives as two independently-scanned batches; corpus-wide stats
+    are the MERGE of the two partial sets (counts add, typed min/max
+    fold) — provably equal to the oracle's single-pass scan.  The HLL
+    sketch (n_distinct_est) carried by the same partials is
+    pytest-verified; approximate estimates are not oracle-hashable."""
+    from jsonschema_spark.operators.incremental import (
+        merge_partials,
+        stats_partials,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_partials(
+        stats_partials(a, cols).unionByName(stats_partials(b, cols))
+    )
+    return merged.select(
+        "column", "kind", "n_rows", "n_nulls",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pair→cluster resolution (dedup.duplicate_clusters): connected
     components over the MinHash-LSH near-dup pair graph via min-label
@@ -1160,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
         "transform_events": q_transform_events,
         "stats_lineitem": q_stats_lineitem,
+        "stats_incremental": q_stats_incremental,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "uniqueness_verdict": q_uniqueness_verdict,
         "ri_orders_customer": q_ri_orders_customer,
@@ -1605,6 +1631,36 @@ def _oracle_transcript_rollup() -> str:
            (max(turn_idx) - min(turn_idx) + 1) = count(*) AS turns_contiguous
     FROM t GROUP BY conv_id
     """
+
+
+def _oracle_stats_incremental() -> str:
+    # single-pass per-column stats over the FULL table — equality with
+    # the engine's two-batch partial merge is the incremental-stats
+    # correctness statement
+    parts = []
+    for c, kind in [
+        ("event_id", "num"), ("user_id", "num"), ("event_type", "str"),
+        ("value", "num"), ("props", "str"),
+    ]:
+        if kind == "num":
+            mn = f"min(CAST({c} AS DOUBLE))"
+            mx = f"max(CAST({c} AS DOUBLE))"
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"min(CAST({c} AS VARCHAR))"
+            xs = f"max(CAST({c} AS VARCHAR))"
+        parts.append(f"""
+        SELECT '{c}' AS column, '{kind}' AS kind,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               {mn} AS min_num, {mx} AS max_num,
+               {ms} AS min_str, {xs} AS max_str
+        FROM events""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def _oracle_dedup_clusters() -> str:
@@ -2235,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_rollup": _oracle_transcript_rollup(),
         "dedup_conversations": _oracle_minhash(docs_sql=_SQL_CONV_DOCS),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "stats_incremental": _oracle_stats_incremental(),
     }
 
 

@@ -95,6 +95,7 @@ HEADLINE = [
     "transcript_rollup",
     "dedup_conversations",
     "dedup_clusters",
+    "stats_incremental",
 ]
 
 
