@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import jsonschema_spark as js
-from jsonschema_spark.operators import checks, dedup, similarity, text, transcripts
+from jsonschema_spark.operators import (
+    checks,
+    decontam,
+    dedup,
+    similarity,
+    text,
+    transcripts,
+)
 
 # --------------------------------------------------------------------
 # helpers
@@ -1158,6 +1165,86 @@ def q_dedup_conversations(spark, sf_dir):
     )
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): documents
+    with doc_id%40==0 stand in for the held-out eval set; the rest are
+    the training corpus.  Word-3-gram overlap via a BROADCAST of the
+    benchmark n-gram set — the corpus is never shuffled for the join;
+    the only shuffle carries matched pairs (contamination-sized)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0)
+    pairs = decontam.decontaminate(corpus, bench, n=3, min_overlap=2)
+    return pairs.select(
+        "doc_id", "bench_id", "overlap", "doc_ngrams",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    """The fixture corpus carries no PII, so the query plants
+    deterministic doc_id-derived PII (email / ipv4 / phone / ssn
+    shapes) before scanning — the oracle replays the identical
+    concatenation, so extraction and redaction are exercised on known
+    ground truth."""
+    i = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(i % 7 == 0, F.concat(t, F.format_string(" mail user%d@example.com", i))).otherwise(t)
+    t = F.when(i % 11 == 0, F.concat(t, F.format_string(" from 10.0.%d.1", i % 256))).otherwise(t)
+    t = F.when(i % 13 == 0, F.concat(t, F.format_string(" call 1555%07d", i % 10000))).otherwise(t)
+    t = F.when(i % 17 == 0, F.concat(t, F.format_string(" ssn %03d-45-6789", i % 1000))).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_pii_scan_docs(spark, sf_dir):
+    """PII detection + redaction (operators/text.py pii_features /
+    pii_redact): per-kind match counts and the placeholder-redacted
+    text — a codegen'd map-only pass (RE2-subset regex, no Python)."""
+    planted = _pii_planted(_docs(spark, sf_dir))
+    feat = text.pii_features(planted)
+    return feat.select(
+        "doc_id", "pii_email", "pii_ipv4", "pii_phone", "pii_ssn",
+        "pii_total", text.pii_redact(F.col("text")).alias("redacted"),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition features: duplicate bigram/trigram
+    fractions and top-bigram share, all higher-order-function Column
+    expressions (zero shuffles)."""
+    docs = _docs(spark, sf_dir)
+    feat = text.repetition_features(docs)
+    return feat.select(
+        "doc_id",
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def q_transcript_tool_pairing(spark, sf_dir):
+    """Tool-call/result pairing over the derived transcripts
+    (operators/transcripts.tool_call_pairing): tool turns must carry a
+    tool name, tool names only appear on caller roles, tool results
+    must follow an assistant call or sibling tool result.  Hazards are
+    planted deterministically (seq-derived) so every check fires."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    i = F.col("seq")
+    tdf = tdf.withColumn(
+        "tool",
+        F.when(
+            (F.col("role") == "tool") & (i % 101 == 7),
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("tool")),
+    ).withColumn(
+        "tool",
+        F.when(
+            (F.col("role") == "user") & (i % 103 == 11), F.lit("search")
+        ).otherwise(F.col("tool")),
+    )
+    return transcripts.tool_call_pairing(tdf, order_by=("turn_idx", "seq"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -1221,6 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_integrity": q_transcript_integrity,
         "transcript_rollup": q_transcript_rollup,
         "dedup_conversations": q_dedup_conversations,
+        "decontaminate_docs": q_decontaminate_docs,
+        "pii_scan_docs": q_pii_scan_docs,
+        "text_repetition": q_text_repetition,
+        "transcript_tool_pairing": q_transcript_tool_pairing,
     }
 
 
@@ -2292,7 +2383,147 @@ def oracle_sql() -> dict[str, str]:
         "dedup_conversations": _oracle_minhash(docs_sql=_SQL_CONV_DOCS),
         "dedup_clusters": _oracle_dedup_clusters(),
         "stats_incremental": _oracle_stats_incremental(),
+        "decontaminate_docs": _oracle_decontaminate(),
+        "pii_scan_docs": _oracle_pii_scan(),
+        "text_repetition": _oracle_text_repetition(),
+        "transcript_tool_pairing": _oracle_tool_pairing(),
     }
+
+
+def _oracle_decontaminate() -> str:
+    norm = _SQL_NORM.format(col="text")
+    tg = (
+        "list_transform(range(1, len(t) - 1), "
+        "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
+        " || ' ' || t[CAST(i AS INT) + 2])"
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id AS id, string_split({norm}, ' ') AS t
+                  FROM documents),
+    ng AS (
+      SELECT id, D.ng FROM docs,
+        LATERAL (SELECT DISTINCT unnest(
+            CASE WHEN len(t) >= 3 THEN {tg}
+                 ELSE CAST([] AS VARCHAR[]) END) AS ng) D
+    ),
+    bench AS (SELECT id AS bench_id, ng FROM ng WHERE id % 40 = 0),
+    corpus AS (SELECT id AS doc_id, ng FROM ng WHERE id % 40 <> 0),
+    szs AS (SELECT doc_id, count(*) AS doc_ngrams FROM corpus
+            GROUP BY doc_id),
+    ov AS (
+      SELECT doc_id, bench_id, count(*) AS overlap
+      FROM corpus JOIN bench USING (ng)
+      GROUP BY doc_id, bench_id HAVING count(*) >= 2
+    )
+    SELECT doc_id, bench_id, overlap, doc_ngrams,
+           round(overlap / CAST(doc_ngrams AS DOUBLE), 6) AS contamination
+    FROM ov JOIN szs USING (doc_id)
+    """
+
+
+def _oracle_pii_scan() -> str:
+    from jsonschema_spark.operators.text import PII_PATTERNS
+
+    pats = {k: v.replace("'", "''") for k, v in PII_PATTERNS.items()}
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS pii_{k}"
+        for k, p in pats.items()
+    )
+    red = "text"
+    for kind in ("email", "ssn", "phone", "ipv4"):
+        red = f"regexp_replace({red}, '{pats[kind]}', '<{kind.upper()}>', 'g')"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN printf(' mail user%d@example.com', doc_id) ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN printf(' from 10.0.%d.1', doc_id % 256) ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN printf(' call 1555%07d', doc_id % 10000) ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN printf(' ssn %03d-45-6789', doc_id % 1000) ELSE '' END
+        AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           CAST(len(regexp_extract_all(text, '{pats["email"]}'))
+              + len(regexp_extract_all(text, '{pats["ipv4"]}'))
+              + len(regexp_extract_all(text, '{pats["phone"]}'))
+              + len(regexp_extract_all(text, '{pats["ssn"]}')) AS INT)
+             AS pii_total,
+           {red} AS redacted
+    FROM planted
+    """
+
+
+def _oracle_text_repetition() -> str:
+    norm = _SQL_NORM.format(col="text")
+    bg = (
+        "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), "
+        "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    tg = (
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), "
+        "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
+        " || ' ' || t[CAST(i AS INT) + 2]) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, string_split({norm}, ' ') AS t
+                  FROM documents),
+    g AS (SELECT doc_id, {bg} AS bg, {tg} AS tg FROM docs)
+    SELECT doc_id,
+           round(CASE WHEN len(bg) > 0
+                 THEN 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_bigram_frac,
+           round(CASE WHEN len(tg) > 0
+                 THEN 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_trigram_frac,
+           round(CASE WHEN len(bg) > 0
+                 THEN list_aggregate(
+                        list_transform(list_distinct(bg),
+                            x -> len(list_filter(bg, y -> y = x))),
+                        'max') / CAST(len(bg) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM g
+    """
+
+
+def _oracle_tool_pairing() -> str:
+    return f"""
+    WITH t0 AS ({{transcripts}}),
+    t AS (
+      SELECT conv_id, turn_idx, role, ts, seq,
+             CASE
+               WHEN role = 'tool' AND seq % 101 = 7 THEN NULL
+               WHEN role = 'user' AND seq % 103 = 11 THEN 'search'
+               ELSE tool
+             END AS tool
+      FROM t0
+    ),
+    l AS (
+      SELECT conv_id, turn_idx, role, tool,
+             lag(role) OVER w AS p_role
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, seq)
+    )
+    SELECT conv_id, turn_idx, 'tool_name' AS "check",
+           'tool turn carries no tool name' AS info
+      FROM l WHERE role = 'tool' AND tool IS NULL
+    UNION ALL
+    SELECT conv_id, turn_idx, 'tool_caller',
+           'tool ' || tool || ' named on role ' || role
+      FROM l WHERE tool IS NOT NULL AND role IS NOT NULL
+               AND role NOT IN ('assistant', 'tool')
+    UNION ALL
+    SELECT conv_id, turn_idx, 'tool_pairing',
+           'tool result follows role ' || coalesce(p_role, '<none>')
+      FROM l WHERE role = 'tool'
+               AND (p_role IS NULL OR p_role NOT IN ('assistant', 'tool'))
+    """.format(transcripts=_SQL_TRANSCRIPTS)
 
 
 def _oracle_text_quality() -> str:

@@ -1,0 +1,114 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard web-scale pretraining hygiene step (the GPT-3 paper's
+13-gram filter is the canonical recipe): any training document whose
+text overlaps an eval/benchmark document on enough n-grams is
+contaminated and must be dropped before training, or the benchmark
+stops measuring generalization.  The reference engine
+(seeadoog/jsonschema) has no cross-document operators (SURVEY.md §2.9);
+this is an engine-level addition for the 100 TB corpus case.
+
+Scale design (100 TB corpus, ~10^4-10^6 benchmark docs):
+
+* The benchmark side is always tiny relative to the corpus — its
+  distinct n-gram set is **broadcast**, so the corpus is never
+  shuffled for the join: each scan task streams its documents,
+  explodes n-grams map-side, and probes the broadcast hash table.
+* Only MATCHED (doc, bench, ngram) rows survive the probe; the ONE
+  shuffle in the whole plan is the groupBy on (doc_id, bench_id) over
+  that filtered stream — proportional to contamination volume (rare),
+  not corpus volume.
+* The per-document n-gram total is a per-row scalar (``size(grams)``)
+  computed BEFORE the explode and carried through the probe into the
+  grouping key — no second corpus aggregation, no doc_id join back.
+  (The naive formulation — count totals in a separate groupBy and join
+  them on — re-shuffles the entire corpus a second time and
+  sort-merge-joins it; at 100 TB that join IS the query cost.)
+
+No per-row Python anywhere: n-gram generation is
+``transform(sequence(...))`` over the token array (whole-stage
+codegen), the join is a broadcast hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, tokens
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text as an array<string>.
+
+    Guarded for short texts: fewer than ``n`` tokens yields an empty
+    array (``sequence(1, 0)`` would count DOWN, so the guard is
+    mandatory, not cosmetic).
+    """
+    toks = tokens(col)
+    cnt = F.size(toks) - F.lit(n - 1)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        cnt >= 1, F.array_distinct(F.transform(F.sequence(F.lit(1), cnt), gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Contaminated (corpus doc, benchmark doc) pairs with overlap
+    counts.
+
+    Returns ``(doc_id, bench_id, overlap, doc_ngrams, contamination)``
+    where ``overlap`` is the number of distinct word n-grams the pair
+    shares, ``doc_ngrams`` the corpus document's distinct n-gram count
+    and ``contamination = overlap / doc_ngrams``.  Pairs below
+    ``min_overlap`` are dropped.
+
+    The benchmark n-gram table is broadcast — the corpus-side scan is
+    shuffle-free up to the final (doc_id, bench_id) count, which only
+    carries matched rows.
+    """
+    bench_id_col = bench_id_col or id_col
+    grams = word_ngrams(F.col(text_col), n)
+
+    corpus_ng = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).alias("doc_ngrams"),
+        F.explode(grams).alias("ng"),
+    )
+    bench_ng = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"), F.explode(grams).alias("ng")
+    )
+
+    return (
+        corpus_ng.join(F.broadcast(bench_ng), "ng")
+        # doc_ngrams is functionally dependent on doc_id — keying on it
+        # costs nothing and saves the join back to a totals table
+        .groupBy("doc_id", "bench_id", "doc_ngrams")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            "doc_id",
+            "bench_id",
+            "overlap",
+            "doc_ngrams",
+            (F.col("overlap") / F.col("doc_ngrams")).alias("contamination"),
+        )
+    )
+
+
+def contaminated_ids(pairs: DataFrame) -> DataFrame:
+    """Distinct corpus doc_ids to drop — the actionable output: a
+    driver-small (or at worst contamination-sized) id list consumed by
+    a left-anti join at the next pipeline stage."""
+    return pairs.select("doc_id").distinct()

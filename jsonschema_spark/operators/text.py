@@ -149,3 +149,107 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round("quality_score", 6).alias("quality_score"),
         fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------
+# Patterns restricted to the Java<->RE2 common subset (no lookaround,
+# no backreferences) so the DuckDB oracle replays them verbatim.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # the reference's own 'phone' format shape (validator_format.go:285-291):
+    # 11 digits starting with 1
+    "phone": r"\b1[0-9]{10}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append one ``pii_<kind>`` match-count column per pattern plus a
+    ``pii_total``.  Pure `regexp_extract_all` — codegen'd RE2-subset
+    scans, no Python; at 100 TB this is a map-only pass that rides the
+    ingest scan for free."""
+    c = F.col(text_col)
+    out = df
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        cnt = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        out = out.withColumn(f"pii_{kind}", cnt)
+        total = total + cnt
+    return out.withColumn("pii_total", total)
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<IPV4>``, ...).  Order matters: email first so user@host.ip
+    doesn't get its host half rewritten by the ipv4 rule; ssn before
+    phone so hyphenated digit groups keep their own tag."""
+    out = col
+    for kind in ("email", "ssn", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+# --------------------------------------------------------------------
+# Repetition / boilerplate features (Gopher-style quality rules)
+# --------------------------------------------------------------------
+
+def _ngram_join(toks: Column, i: Column, n: int) -> Column:
+    return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+
+
+def _word_ngrams_all(col: Column, n: int) -> Column:
+    """ALL word n-grams (with duplicates — repetition needs the
+    multiset, unlike decontam's distinct set)."""
+    toks = tokens(col)
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: _ngram_join(toks, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``dup_bigram_frac`` / ``dup_trigram_frac`` — fraction of word
+      2-/3-grams that are repeats (1 - distinct/total), the "looping
+      text" detector;
+    * ``top_bigram_frac`` — fraction of all bigrams taken by the single
+      most frequent one, the boilerplate/template detector.
+
+    All higher-order-function Column expressions over the per-row token
+    array: the most-frequent-bigram count is a transform over the
+    distinct bigrams counting matches in the multiset — O(k^2) in the
+    per-document bigram count k, zero shuffles, zero Python.  Documents
+    with pathological k are exactly the ones these filters drop, so the
+    quadratic term is bounded by upstream length filters in practice.
+    """
+    c = F.col(text_col)
+
+    def dup_frac(n: int) -> Column:
+        grams = _word_ngrams_all(c, n)
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+
+    bi = _word_ngrams_all(c, 2)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda g: F.size(F.filter(bi, lambda x: x == g)),
+        )
+    )
+    top_frac = F.when(
+        F.size(bi) > 0, top_cnt.cast("double") / F.size(bi)
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("dup_bigram_frac", dup_frac(2))
+        .withColumn("dup_trigram_frac", dup_frac(3))
+        .withColumn("top_bigram_frac", top_frac)
+    )

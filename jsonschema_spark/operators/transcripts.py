@@ -396,3 +396,74 @@ def conversation_dedup_pairs(
         bands=bands,
         threshold=threshold,
     )
+
+
+def tool_call_pairing(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    order_by: Sequence[str] | None = None,
+    caller_roles: Iterable[str] = ("assistant", "tool"),
+) -> DataFrame:
+    """Tool-call / tool-result pairing violations:
+    ``(conv_id, turn_idx, check, info)``.
+
+    The role-transition FSM (``conversation_integrity``) validates the
+    ROLE sequence but ignores the ``tool`` column; this operator checks
+    the coupling between them:
+
+    * ``tool_name``    — a ``role='tool'`` turn must carry a tool name
+      (a result without its tool is unattributable);
+    * ``tool_caller``  — a non-null ``tool`` is only meaningful on an
+      assistant turn (the call) or a tool turn (the result);
+    * ``tool_pairing`` — a tool-result turn must directly follow an
+      assistant call or a sibling tool result (parallel fan-out), never
+      open a conversation or follow a user/system turn.
+
+    Same scale shape as ``conversation_integrity``: ONE window pass
+    (single hash shuffle on ``conv_col``), codegen projection, explode.
+    """
+    order_cols = list(order_by) if order_by else [turn_col]
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    role, tool = F.col(role_col), F.col(tool_col)
+    prev_role = F.lag(role).over(w)
+    callers = sorted(set(caller_roles))
+
+    def viol(cond: Column, name: str, info: Column) -> Column:
+        return F.when(
+            cond, F.struct(F.lit(name).alias("check"), info.alias("info"))
+        )
+
+    checks = [
+        viol(
+            (role == "tool") & tool.isNull(),
+            "tool_name",
+            F.lit("tool turn carries no tool name"),
+        ),
+        viol(
+            tool.isNotNull() & role.isNotNull() & ~role.isin(callers),
+            "tool_caller",
+            F.format_string("tool %s named on role %s", tool, role),
+        ),
+        viol(
+            (role == "tool")
+            & (prev_role.isNull() | ~prev_role.isin(callers)),
+            "tool_pairing",
+            F.format_string(
+                "tool result follows role %s",
+                F.coalesce(prev_role, F.lit("<none>")),
+            ),
+        ),
+    ]
+    arr = F.filter(F.array(*checks), lambda x: x.isNotNull())
+    return (
+        df.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            arr.alias("__v"),
+        )
+        .select("conv_id", "turn_idx", F.explode("__v").alias("v"))
+        .select("conv_id", "turn_idx", "v.check", "v.info")
+    )
