@@ -96,6 +96,10 @@ HEADLINE = [
     "dedup_conversations",
     "dedup_clusters",
     "stats_incremental",
+    # round 3 (late): training-data hygiene — benchmark decontamination
+    # (broadcast n-gram probe) and PII scan/redaction (map-only regex)
+    "decontaminate_docs",
+    "pii_scan_docs",
 ]
 
 
