@@ -22,6 +22,7 @@ from jsonschema_spark.operators import (
     checks,
     decontam,
     dedup,
+    sampling,
     similarity,
     text,
     transcripts,
@@ -1245,6 +1246,59 @@ def q_transcript_tool_pairing(spark, sf_dir):
     return transcripts.tool_call_pairing(tdf, order_by=("turn_idx", "seq"))
 
 
+def q_hash_split_docs(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.py):
+    per-row md5-derived label, map-only, stable under corpus growth —
+    unlike randomSplit, adding rows never reassigns old rows."""
+    docs = _docs(spark, sf_dir)
+    return sampling.hash_split(docs).select("doc_id", "split")
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Exact deterministic stratified sample: 20% per lang stratum,
+    lowest md5 unit-hash first (one window shuffle on the stratum)."""
+    docs = _docs(spark, sf_dir)
+    return sampling.stratified_sample(docs, 0.2, strata=("lang",)).select(
+        "doc_id", "lang"
+    )
+
+
+def q_token_budget_docs(spark, sf_dir):
+    """Per-source token-budget selection: order by lexical diversity
+    (distinct/total tokens) descending, take until each source has
+    spent its 800-token quota — the mixture-weights stage."""
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("diversity"),
+    )
+    out = sampling.token_budget_take(
+        feat, budget=800, group_col="source",
+        quality_col="diversity", token_col="n_tokens",
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", F.round("diversity", 6).alias("diversity")
+    )
+
+
+def q_pack_sequences_docs(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token training
+    sequences over the md5-shuffled token stream — GLOBAL running sum
+    via the two-phase distributed prefix-sum (range exchange + a
+    num_partitions-row driver collect), never a single-task window."""
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(with_tokens, seq_len=256)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -1312,6 +1366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_docs": q_pii_scan_docs,
         "text_repetition": q_text_repetition,
         "transcript_tool_pairing": q_transcript_tool_pairing,
+        "hash_split_docs": q_hash_split_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "token_budget_docs": q_token_budget_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
     }
 
 
@@ -2387,7 +2445,92 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_docs": _oracle_pii_scan(),
         "text_repetition": _oracle_text_repetition(),
         "transcript_tool_pairing": _oracle_tool_pairing(),
+        "hash_split_docs": _oracle_hash_split(),
+        "stratified_sample_docs": _oracle_stratified_sample(),
+        "token_budget_docs": _oracle_token_budget(),
+        "pack_sequences_docs": _oracle_pack_sequences(),
     }
+
+
+def _sql_unit_hash(expr: str, seed: int = 0) -> str:
+    """DuckDB replica of sampling._unit_hash: md5-derived integer in
+    [0, 1e9)."""
+    return f"(({_sql_md5_long(expr, seed)}) % 1000000000)"
+
+
+def _oracle_hash_split() -> str:
+    u = _sql_unit_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {u} < 900000000 THEN 'train'
+                WHEN {u} < 950000000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+def _oracle_stratified_sample() -> str:
+    u = _sql_unit_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             count(*) OVER (PARTITION BY lang) AS n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {u}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= round(0.2 * n)
+    """
+
+
+def _oracle_token_budget() -> str:
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CASE WHEN length({norm}) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS n_tokens,
+             CAST(len(list_distinct(string_split({norm}, ' '))) AS DOUBLE)
+               / greatest(len(string_split({norm}, ' ')), 1) AS diversity
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             diversity,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY diversity DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f
+    )
+    SELECT doc_id, source, n_tokens, round(diversity, 6) AS diversity
+    FROM c WHERE (cum - n_tokens) < 800
+    """
+
+
+def _oracle_pack_sequences() -> str:
+    norm = _SQL_NORM.format(col="text")
+    u = _sql_unit_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length({norm}) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS BIGINT)
+               AS n_tokens,
+             {u} AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY u, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS begin_seq,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS begin_offset,
+           CAST(floor((cum - 1) / 256.0) AS BIGINT) AS end_seq
+    FROM c
+    """
 
 
 def _oracle_decontaminate() -> str:
