@@ -25,6 +25,10 @@ Scale design (100 TB corpus, ~10^4-10^6 benchmark docs):
   (The naive formulation — count totals in a separate groupBy and join
   them on — re-shuffles the entire corpus a second time and
   sort-merge-joins it; at 100 TB that join IS the query cost.)
+  Known map-side cost: Catalyst's generator pruning inlines the n-gram
+  array into both the ``size`` projection and the ``Generate``, so the
+  array is built twice per row — pure scan-stage CPU, no extra IO or
+  shuffle, and still strictly cheaper than any join-back design.
 
 No per-row Python anywhere: n-gram generation is
 ``transform(sequence(...))`` over the token array (whole-stage
