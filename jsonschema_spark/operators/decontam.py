@@ -43,14 +43,23 @@ from pyspark.sql import functions as F
 from .dedup import normalize_text, tokens
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of normalized text as an array<string>.
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token-array
+    column.
+
+    The token array must be a bound column, not an inline
+    ``split(regexp_replace(...))`` expression: higher-order-function
+    lambdas are interpreted (outside whole-stage codegen) and inline
+    their argument expression into EVERY ``element_at`` — an inline
+    tokenizer gets re-run ~3n times per row (measured 20x slowdown on
+    the decontamination scan).  Callers materialize ``tokens(text)``
+    in a projection first; CollapseProject keeps that level because
+    the expression is non-cheap and multiply referenced.
 
     Guarded for short texts: fewer than ``n`` tokens yields an empty
     array (``sequence(1, 0)`` would count DOWN, so the guard is
     mandatory, not cosmetic).
     """
-    toks = tokens(col)
     cnt = F.size(toks) - F.lit(n - 1)
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -58,6 +67,13 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.when(
         cnt >= 1, F.array_distinct(F.transform(F.sequence(F.lit(1), cnt), gram))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text.  Convenience form for
+    single-use contexts; hot paths should materialize ``tokens(col)``
+    and use ``ngrams_from_tokens`` (see its docstring)."""
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def decontaminate(
@@ -83,16 +99,20 @@ def decontaminate(
     carries matched rows.
     """
     bench_id_col = bench_id_col or id_col
-    grams = word_ngrams(F.col(text_col), n)
+    grams = ngrams_from_tokens(F.col("__toks"), n)
 
     corpus_ng = corpus.select(
         F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
         F.size(grams).alias("doc_ngrams"),
         F.explode(grams).alias("ng"),
     )
     bench_ng = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"), F.explode(grams).alias("ng")
-    )
+        F.col(bench_id_col).alias("bench_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select("bench_id", F.explode(grams).alias("ng"))
 
     return (
         corpus_ng.join(F.broadcast(bench_ng), "ng")

@@ -200,10 +200,11 @@ def _ngram_join(toks: Column, i: Column, n: int) -> Column:
     return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
 
 
-def _word_ngrams_all(col: Column, n: int) -> Column:
+def _word_ngrams_all(toks: Column, n: int) -> Column:
     """ALL word n-grams (with duplicates — repetition needs the
-    multiset, unlike decontam's distinct set)."""
-    toks = tokens(col)
+    multiset, unlike decontam's distinct set) from a MATERIALIZED
+    token-array column (see decontam.ngrams_from_tokens for why the
+    tokenizer must not be inlined into the HOF lambda)."""
     cnt = F.size(toks) - F.lit(n - 1)
     return F.when(
         cnt >= 1,
@@ -226,18 +227,21 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-document bigram count k, zero shuffles, zero Python.  Documents
     with pathological k are exactly the ones these filters drop, so the
     quadratic term is bounded by upstream length filters in practice.
-    """
-    c = F.col(text_col)
 
-    def dup_frac(n: int) -> Column:
-        grams = _word_ngrams_all(c, n)
+    The tokenizer and the bigram array are materialized in projection
+    levels below the feature expressions (non-cheap + multiply
+    referenced, so CollapseProject keeps them): each is computed ONCE
+    per row instead of once per HOF element access.
+    """
+    toks, bi = F.col("__toks"), F.col("__bi")
+
+    def dup_frac(grams: Column) -> Column:
         total = F.size(grams)
         return F.when(
             total > 0,
             1.0 - F.size(F.array_distinct(grams)).cast("double") / total,
         ).otherwise(F.lit(0.0))
 
-    bi = _word_ngrams_all(c, 2)
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct(bi),
@@ -249,7 +253,10 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
 
     return (
-        df.withColumn("dup_bigram_frac", dup_frac(2))
-        .withColumn("dup_trigram_frac", dup_frac(3))
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__bi", _word_ngrams_all(toks, 2))
+        .withColumn("dup_bigram_frac", dup_frac(bi))
+        .withColumn("dup_trigram_frac", dup_frac(_word_ngrams_all(toks, 3)))
         .withColumn("top_bigram_frac", top_frac)
+        .drop("__toks", "__bi")
     )
