@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 import jsonschema_spark as js
 from jsonschema_spark.operators import (
     checks,
+    curate,
     decontam,
     dedup,
     sampling,
@@ -1299,6 +1300,22 @@ def q_pack_sequences_docs(spark, sf_dir):
     return sampling.pack_sequences(with_tokens, seq_len=256)
 
 
+def q_curate_docs(spark, sf_dir):
+    """The composed curation pipeline (operators/curate.py): exact-dup
+    flag (min-id per normalized-text hash), benchmark-contamination
+    flag (broadcast n-gram probe), quality flag, keep verdict, and the
+    deterministic split — ONE row per corpus document with every drop
+    reason auditable."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0)
+    flagged = curate.curate_flags(corpus, bench, quality_min=0.5)
+    return sampling.hash_split(flagged).select(
+        "doc_id", "is_exact_dup", "contaminated", "low_quality", "keep",
+        "split",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -1370,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "token_budget_docs": q_token_budget_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
+        "curate_docs": q_curate_docs,
     }
 
 
@@ -2449,7 +2467,81 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _oracle_stratified_sample(),
         "token_budget_docs": _oracle_token_budget(),
         "pack_sequences_docs": _oracle_pack_sequences(),
+        "curate_docs": _oracle_curate(),
     }
+
+
+def _oracle_curate() -> str:
+    norm = _SQL_NORM.format(col="text")
+    u = _sql_unit_hash("CAST(doc_id AS VARCHAR)")
+    tg = (
+        "list_transform(range(1, len(t) - 1), "
+        "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
+        " || ' ' || t[CAST(i AS INT) + 2])"
+    )
+    return f"""
+    WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 40 <> 0),
+    toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM corpus0),
+    ng AS (
+      SELECT doc_id AS id, D.ng FROM toks,
+        LATERAL (SELECT DISTINCT unnest(
+            CASE WHEN len(t) >= 3 THEN {tg}
+                 ELSE CAST([] AS VARCHAR[]) END) AS ng) D
+    ),
+    bng AS (
+      SELECT b.bench_id, D.ng FROM (
+        SELECT doc_id AS bench_id, string_split({norm}, ' ') AS t
+        FROM documents WHERE doc_id % 40 = 0
+      ) b,
+      LATERAL (SELECT DISTINCT unnest(
+          CASE WHEN len(t) >= 3 THEN {tg}
+               ELSE CAST([] AS VARCHAR[]) END) AS ng) D
+    ),
+    cont AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id AS doc_id, bench_id FROM ng JOIN bng USING (ng)
+        GROUP BY id, bench_id HAVING count(*) >= 2
+      )
+    ),
+    q AS (
+      SELECT doc_id,
+        CASE WHEN length({norm}) = 0 THEN 0
+             ELSE len(string_split({norm}, ' ')) END AS n_tokens,
+        length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+        CASE WHEN length({norm}) = 0 THEN 0.0
+             WHEN len(string_split({norm}, ' ')) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(string_split({norm}, ' ')))
+                             AS DOUBLE) / len(string_split({norm}, ' '))
+        END AS repetition_ratio
+      FROM corpus0
+    ),
+    score AS (
+      SELECT doc_id,
+        greatest(1.0 - least(punct_ratio * 2.0, 0.3)
+                     - least(digit_ratio * 2.0, 0.2)
+                     - least(repetition_ratio, 0.3)
+                     - CASE WHEN n_tokens < 5 THEN 0.2 ELSE 0.0 END,
+                 0.0) AS quality_score
+      FROM q
+    ),
+    flags AS (
+      SELECT c.doc_id,
+             c.doc_id <> min(c.doc_id) OVER (PARTITION BY {norm})
+               AS is_exact_dup,
+             c.doc_id IN (SELECT doc_id FROM cont) AS contaminated,
+             s.quality_score < 0.5 AS low_quality
+      FROM corpus0 c JOIN score s USING (doc_id)
+    )
+    SELECT doc_id, is_exact_dup, contaminated, low_quality,
+           NOT (is_exact_dup OR contaminated OR low_quality) AS keep,
+           CASE WHEN {u} < 900000000 THEN 'train'
+                WHEN {u} < 950000000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM flags
+    """
 
 
 def _sql_unit_hash(expr: str, seed: int = 0) -> str:

@@ -1,0 +1,85 @@
+"""Composed curation pipeline: flags, verdicts, report, curated output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators import curate
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "THE quick  brown fox jumps over the lazy dog tonight"),  # exact dup of 0
+        (2, "a completely original training document about spark engines"),
+        (3, "spam spam spam spam spam spam spam spam"),               # low quality
+        (4, "watch the quick brown fox jumps over the lazy dog"),     # contaminated
+        (5, "quantum physics lectures for curious graduate students"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    return spark.createDataFrame(
+        [(100, "see the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+
+class TestCurateFlags:
+    def test_each_reason_fires(self, spark, corpus, bench_set):
+        out = {
+            r["doc_id"]: r
+            for r in curate.curate_flags(
+                corpus, bench_set, quality_min=0.75
+            ).collect()
+        }
+        assert not out[0]["is_exact_dup"] and out[1]["is_exact_dup"]
+        assert out[4]["contaminated"]
+        # doc 0 shares the benchmark 8-gram window too
+        assert out[0]["contaminated"]
+        assert out[3]["low_quality"]
+        assert out[2]["keep"] and out[5]["keep"]
+        assert not out[1]["keep"] and not out[3]["keep"] and not out[4]["keep"]
+
+    def test_drop_ids_listed(self, spark, corpus):
+        blocklist = spark.createDataFrame([(5,)], "doc_id long")
+        out = {
+            r["doc_id"]: r
+            for r in curate.curate_flags(
+                corpus, None, quality_min=None, drop_ids=blocklist
+            ).collect()
+        }
+        assert out[5]["is_listed"] and not out[5]["keep"]
+        assert not out[2]["is_listed"] and out[2]["keep"]
+
+
+class TestCurate:
+    def test_output_is_kept_redacted_split(self, spark, corpus, bench_set):
+        docs = corpus.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 2,
+                F.concat(F.col("text"), F.lit(" mail bob@example.com")),
+            ).otherwise(F.col("text")),
+        )
+        out = {r["doc_id"]: r for r in
+               curate.curate(docs, bench_set, quality_min=0.75).collect()}
+        assert set(out) == {2, 5}
+        assert "<EMAIL>" in out[2]["text"]
+        assert all(r["split"] in ("train", "val", "test")
+                   for r in out.values())
+
+    def test_report_counts(self, spark, corpus, bench_set):
+        flagged = curate.curate_flags(corpus, bench_set, quality_min=0.75)
+        rep = curate.curation_report(flagged).first()
+        assert rep["n_docs"] == 6
+        assert rep["n_exact_dup"] == 1
+        # docs 0, 4 and the exact-dup 1 all share the benchmark window
+        assert rep["n_contaminated"] == 3
+        assert rep["n_low_quality"] >= 1
+        assert rep["n_kept"] == 2
+        assert rep["kept_frac"] == pytest.approx(2 / 6)
