@@ -292,6 +292,68 @@ def cmd_exp(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed curation pipeline from a JSON config::
+
+        {
+          "source": "/data/documents.parquet",
+          "text_col": "text", "id_col": "doc_id",
+          "benchmark": "/data/eval_set.parquet",   // optional
+          "quality_min": 0.5,                       // optional
+          "ngram": 3, "min_overlap": 2,
+          "drop_ids": "/data/blocklist.parquet",    // optional
+          "split": {"train": 0.9, "val": 0.05, "test": 0.05},
+          "redact": true,
+          "output": {"curated": "/out/curated",     // split-partitioned
+                      "report": "/out/report"}
+        }
+    """
+    from jsonschema_spark.operators import curate as cur
+    from jsonschema_spark.sources.tables import read_table, write_output
+
+    cfg = json.load(open(args.config))
+    spark = (
+        SparkSession.builder.appName("jsonschema_spark-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    docs = read_table(spark, cfg["source"], where=cfg.get("where"))
+    bench = (
+        read_table(spark, cfg["benchmark"], where=cfg.get("benchmark_where"))
+        if cfg.get("benchmark")
+        else None
+    )
+    drop = read_table(spark, cfg["drop_ids"]) if cfg.get("drop_ids") else None
+    kw = dict(
+        quality_min=cfg.get("quality_min", 0.5),
+        ngram=int(cfg.get("ngram", 3)),
+        min_overlap=int(cfg.get("min_overlap", 2)),
+        drop_ids=drop,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+    flagged = cur.curate_flags(docs, bench, **kw).persist()
+    report = cur.curation_report(flagged).first().asDict()
+    curated = cur.curate(
+        docs, bench, split_weights=cfg.get("split"),
+        redact=bool(cfg.get("redact", True)), flagged=flagged, **kw,
+    )
+    out = cfg.get("output", {})
+    if out.get("curated"):
+        # split-partitioned layout: training readers prune to their
+        # split at the scan, no full-table filter
+        curated.write.mode("overwrite").partitionBy("split").parquet(
+            out["curated"]
+        )
+    if out.get("report"):
+        write_output(
+            spark.createDataFrame([report]).select(*sorted(report)),
+            out["report"],
+        )
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jsonschema_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -300,6 +362,12 @@ def main(argv=None) -> int:
     r.add_argument("config")
     r.add_argument("--fail-on-violation", action="store_true")
     r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser(
+        "curate", help="run the corpus-curation pipeline from a JSON config"
+    )
+    c.add_argument("config")
+    c.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("validate", help="ad-hoc schema validation of a table")
     v.add_argument("schema")

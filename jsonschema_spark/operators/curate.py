@@ -133,15 +133,19 @@ def curate(
     redact: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """The curated corpus: kept documents only, PII redacted, split
     assigned.  Columns: the input columns (text redacted in place when
-    ``redact``) + ``quality_score`` + ``split``."""
-    flagged = curate_flags(
-        docs, benchmark, quality_min=quality_min, ngram=ngram,
-        min_overlap=min_overlap, drop_ids=drop_ids,
-        text_col=text_col, id_col=id_col,
-    )
+    ``redact``) + ``quality_score`` + ``split``.  Pass a precomputed
+    ``flagged`` (from ``curate_flags``) to share one flag pass between
+    the report and the curated output."""
+    if flagged is None:
+        flagged = curate_flags(
+            docs, benchmark, quality_min=quality_min, ngram=ngram,
+            min_overlap=min_overlap, drop_ids=drop_ids,
+            text_col=text_col, id_col=id_col,
+        )
     kept = flagged.filter("keep").select(
         *docs.columns, F.round("quality_score", 6).alias("quality_score")
     )

@@ -83,3 +83,41 @@ class TestCurate:
         assert rep["n_low_quality"] >= 1
         assert rep["n_kept"] == 2
         assert rep["kept_frac"] == pytest.approx(2 / 6)
+
+
+class TestCurateCLI:
+    def test_cmd_curate_end_to_end(self, spark, tmp_path):
+        import duckdb
+        import json as _json
+        from jsonschema_spark.cli import main
+
+        out = tmp_path / "out"
+        cfg = {
+            "source": "/root/testdata/sf0.001/documents.parquet",
+            "where": "doc_id % 40 <> 0",
+            "benchmark": "/root/testdata/sf0.001/documents.parquet",
+            "benchmark_where": "doc_id % 40 = 0",
+            "quality_min": 0.3,
+            "split": {"train": 0.8, "val": 0.1, "test": 0.1},
+            "output": {"curated": str(out / "curated"),
+                        "report": str(out / "report")},
+        }
+        cfg_path = tmp_path / "curate.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        assert main(["curate", str(cfg_path)]) == 0
+
+        rep = duckdb.sql(
+            f"SELECT * FROM parquet_scan('{out}/report/*.parquet')"
+        ).df().iloc[0]
+        assert rep["n_docs"] == 487
+        assert 0 < rep["n_contaminated"] < 487
+        assert rep["n_kept"] > 0
+        assert rep["n_kept"] == int(duckdb.sql(
+            f"SELECT count(*) FROM parquet_scan('{out}/curated/*/*.parquet', hive_partitioning=1)"
+        ).fetchone()[0])
+        splits = {
+            s for (s,) in duckdb.sql(
+                f"SELECT DISTINCT split FROM parquet_scan('{out}/curated/*/*.parquet', hive_partitioning=1)"
+            ).fetchall()
+        }
+        assert splits <= {"train", "val", "test"} and "train" in splits
