@@ -100,6 +100,13 @@ HEADLINE = [
     # (broadcast n-gram probe) and PII scan/redaction (map-only regex)
     "decontaminate_docs",
     "pii_scan_docs",
+    # round 3 (late): repetition scan, tool-call pairing FSM, incremental
+    # minhash ingest, and the composed curation pipeline
+    "text_repetition",
+    "transcript_tool_pairing",
+    "dedup_minhash_incremental",
+    "pack_sequences_docs",
+    "curate_docs",
 ]
 
 
