@@ -98,6 +98,22 @@ def _is_break_stmt(node) -> bool:
     return isinstance(node, Var) and node.name == "break"
 
 
+def _var_names(node, out: set) -> set:
+    """All Var names an expression AST references (free variables)."""
+    if isinstance(node, list):
+        for n in node:
+            _var_names(n, out)
+        return out
+    if isinstance(node, Var):
+        out.add(node.name)
+    for attr in ("left", "right", "operand", "cond", "then", "other",
+                 "value", "args", "parts", "target", "body"):
+        sub = getattr(node, attr, None)
+        if sub is not None:
+            _var_names(sub, out)
+    return out
+
+
 def _index_break_bound(cond, key_name: str, path: str) -> int:
     """Number of leading elements to iterate when the for body starts
     with ``{"if": cond, "then": ["break"]}`` and cond is a pure bound
@@ -106,7 +122,8 @@ def _index_break_bound(cond, key_name: str, path: str) -> int:
     bound) before the fold — the break-triggering element executes no
     body statement, exactly the reference's errBreak exit
     (script.go:436-484).  Conditions on the VALUE (data-dependent
-    break) have no columnar early exit; SchemaError routes them out."""
+    break) raise here and are routed to the columnar first-hit prefix
+    search in _exec_for instead."""
     import math
 
     def num(x):
@@ -253,8 +270,12 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             arrays bind k=index/v=element, maps k=key/v=value; body
             statements update accumulator variables sequentially (later
             statements see earlier updates, same as the reference's
-            Context.Set).  Per-element document mutation and `break`
-            are out of the columnar subset — route those to `foreach`.
+            Context.Set).  Per-element document mutation is out of the
+            columnar subset — route it to `foreach`.  `break` as the
+            first body statement compiles to a prefix slice: constant
+            for index bounds, first-hit search for element-value
+            conditions (accumulator-reading conditions are rejected —
+            order-dependent exits are not columnar).
             Accumulators are typed numeric-or-string from a nil-typed
             compile probe (the reference folds dynamic values).  Known
             narrowing: the accumulator keeps its coerced string/double
@@ -267,10 +288,14 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             env = fresh_env()
             tgt = compile_expr(st["target"], env)
             body = st["body"]
-            # index-bounded break (script.go:436-446 errBreak): a
-            # leading {"if": "<index bound>", "then": ["break"]} slices
-            # the iterated prefix before the fold
-            bound = None
+            # break (script.go:436-446 errBreak): a leading
+            # {"if": cond, "then": ["break"]} slices the iterated
+            # prefix before the fold — a literal index bound slices a
+            # constant prefix; any other cond that is a pure function
+            # of (index, element) compiles to a columnar first-hit
+            # search (the break-triggering element and everything after
+            # never run the body, exactly the reference's exit)
+            break_cond = None
             if (
                 body
                 and isinstance(body[0], dict)
@@ -279,7 +304,7 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 and _is_break_stmt(body[0]["then"][0])
                 and not body[0]["else"]
             ):
-                bound = _index_break_bound(body[0]["cond"], st["key"], path)
+                break_cond = body[0]["cond"]
                 body = body[1:]
             for b in body:
                 if _is_break_stmt(b) or (
@@ -289,7 +314,7 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 ):
                     raise SchemaError(
                         "script 'for' supports break only as the FIRST body "
-                        "statement {'if': '<index bound>', 'then': ['break']}"
+                        "statement {'if': cond, 'then': ['break']}"
                         f", path:{path}"
                     )
                 if not (isinstance(b, Assign) and isinstance(b.target, Var)):
@@ -306,7 +331,7 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     names.append(b.target.name)
 
             if isinstance(tgt.dtype, T.MapType):
-                if bound is not None:
+                if break_cond is not None:
                     raise SchemaError(
                         "script 'for' break over a map is non-deterministic "
                         "(Go map iteration order is random, script.go:456-467)"
@@ -319,11 +344,65 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     return CVal(x["key"], k_dt), CVal(x["value"], v_dt)
             elif isinstance(tgt.dtype, T.ArrayType):
                 entries = tgt.col
-                if bound is not None:
-                    # the sliced prefix IS the loop: the triggering
-                    # element and everything after never run the body
-                    entries = F.slice(entries, 1, bound)
                 v_dt = tgt.dtype.elementType
+                if break_cond is not None:
+                    try:
+                        # literal index bound: constant prefix
+                        entries = F.slice(
+                            entries, 1,
+                            _index_break_bound(break_cond, st["key"], path),
+                        )
+                    except SchemaError:
+                        # value-dependent break: the prefix ends at the
+                        # FIRST element whose cond holds.  Only legal
+                        # when cond is pure in (index, element) —
+                        # reading a loop accumulator makes the exit
+                        # order-dependent, which no columnar prefix
+                        # search can express
+                        acc_reads = _var_names(break_cond, set()) & {
+                            b.target.name
+                            for b in body
+                            if isinstance(b, Assign)
+                            and isinstance(b.target, Var)
+                        }
+                        if acc_reads:
+                            raise SchemaError(
+                                "script 'for' break condition reads loop "
+                                f"accumulator(s) {sorted(acc_reads)} — "
+                                "order-dependent exits are not columnar; "
+                                "bound the loop by index or element value "
+                                f"instead, path:{path}"
+                            )
+
+                        def hit(x, i):
+                            benv = Env(
+                                env.root,
+                                {**state["env_vars"],
+                                 st["key"]: CVal(
+                                     (i - 1).cast("double"), T.DoubleType()
+                                 ),
+                                 st["val"]: CVal(x, v_dt)},
+                            )
+                            c = compile_expr(break_cond, benv).cond_()
+                            return F.coalesce(c, F.lit(False))
+
+                        pairs = F.zip_with(
+                            entries,
+                            F.sequence(F.lit(1), F.size(entries)),
+                            lambda x, i: F.struct(
+                                hit(x, i).alias("hit"), i.alias("i")
+                            ),
+                        )
+                        first = F.try_element_at(
+                            F.filter(pairs, lambda s: s["hit"]), F.lit(1)
+                        )["i"]
+                        # no hit -> whole array (size()>=1 here: the
+                        # size-0 case pads zip_with with null elements
+                        # whose slice is empty either way)
+                        entries = F.slice(
+                            entries, 1,
+                            F.coalesce(first - 1, F.size(entries)),
+                        )
 
                 def kv(acc, x):
                     return CVal(acc["__i"].cast("double"), T.DoubleType()), CVal(x, v_dt)

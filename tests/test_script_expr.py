@@ -459,10 +459,11 @@ def test_interp_missing_field_yields_nil(spark, docs):
 
 
 class TestForBreak:
-    """Index-bounded `break` (reference errBreak, expr/script.go:
-    432-446; statement parse script.go:793-814): a leading
-    {"if": "<index bound>", "then": ["break"]} compiles to F.slice of
-    the iterated prefix before the fold."""
+    """`break` (reference errBreak, expr/script.go:432-446; statement
+    parse script.go:793-814): a leading {"if": cond, "then": ["break"]}
+    compiles to F.slice of the iterated prefix before the fold — a
+    constant slice for index bounds, a columnar first-hit search for
+    element-value conditions."""
 
     def _sum_first(self, spark, cond, xs):
         df = spark.createDataFrame([(1, xs)], "id int, xs array<double>")
@@ -492,16 +493,46 @@ class TestForBreak:
     def test_break_at_zero(self, spark):
         assert self._sum_first(spark, "i >= 0", [1.0, 2.0]) == 0.0
 
-    def test_value_dependent_break_rejected(self, spark):
+    def test_value_break(self, spark):
+        # the loop stops BEFORE the first element matching the cond:
+        # that element and everything after never run the body
+        assert self._sum_first(spark, "v > 25", [10.0, 20.0, 30.0, 40.0]) == 30.0
+
+    def test_value_break_no_hit(self, spark):
+        assert self._sum_first(spark, "v > 99", [1.0, 2.0, 3.0]) == 6.0
+
+    def test_value_break_first_element(self, spark):
+        assert self._sum_first(spark, "v >= 10", [10.0, 2.0]) == 0.0
+
+    def test_value_break_empty_array(self, spark):
+        assert self._sum_first(spark, "v > 1", []) == 0.0
+
+    def test_value_break_mixed_index_value(self, spark):
+        # a cond mixing index and value routes to the first-hit search
+        assert self._sum_first(spark, "i >= 2 or v > 15", [10.0, 20.0, 30.0]) == 10.0
+
+    def test_value_break_outer_binding(self, spark):
+        # pre-loop let bindings are loop constants — legal in the cond
+        df = spark.createDataFrame([(1, [5.0, 6.0, 7.0])], "id int, xs array<double>")
+        plan = js.compile_schema({"script": [
+            "lim = 6",
+            "n = 0",
+            {"for": "i,v in $.xs",
+             "do": [{"if": "v >= lim", "then": ["break"]}, "n = n + v"]},
+            "$.n_out = n",
+        ]})
+        assert plan.transform(df).collect()[0]["n_out"] == 5.0
+
+    def test_accumulator_break_rejected(self, spark):
         from jsonschema_spark.plans.compiler import SchemaError
 
         df = spark.createDataFrame([(1, [1.0])], "id int, xs array<double>")
         plan = js.compile_schema({"script": [
             "n = 0",
             {"for": "i,v in $.xs",
-             "do": [{"if": "v > 5", "then": ["break"]}, "n = n + v"]},
+             "do": [{"if": "n > 5", "then": ["break"]}, "n = n + v"]},
         ]})
-        with pytest.raises(SchemaError, match="index"):
+        with pytest.raises(SchemaError, match="accumulator"):
             plan.transform(df).collect()
 
     def test_break_not_first_rejected(self, spark):
