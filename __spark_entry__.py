@@ -702,6 +702,56 @@ def q_script_fold_docs(spark, sf_dir):
     return plan.transform(base).select("doc_id", "n_long_out", "first3_out")
 
 
+def q_script_rewrite_docs(spark, sf_dir):
+    """Per-element mutation in script `for` bodies (reference idiom
+    ``v.status = v.data.status``, expr/script_test.go:440; forRange
+    expr/script.go:436-484): writes through the loop value var compile
+    to ONE F.transform over the array, written back to the document.
+    Two sequential loops — the first rewrites/adds fields while an
+    accumulator folds, the second does a type-preserving write under a
+    value-dependent break (rewritten prefix, untouched suffix)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    items = F.transform(
+        F.slice(toks, 1, 8),
+        lambda t: F.struct(
+            t.alias("w"), F.length(t).cast("double").alias("l")
+        ),
+    )
+    base = docs.select("doc_id", items.alias("items"))
+    plan = js.compile_schema(
+        {
+            "script": [
+                "n = 0",
+                {"for": "i,v in $.items", "do": [
+                    "v.w = to_upper(v.w)",
+                    "v.tag = ternary(v.l >= 6, 'long', 'short')",
+                    "n = n + v.l",
+                ]},
+                {"for": "i,v in $.items", "do": [
+                    {"if": "v.l >= 9", "then": ["break"]},
+                    "v.l = v.l * 2",
+                ]},
+                "$.n_out = n",
+            ]
+        }
+    )
+    out = plan.transform(base)
+    rewritten = F.array_join(
+        F.transform(
+            "items",
+            lambda x: F.concat(
+                x["w"], F.lit(":"), x["tag"], F.lit(":"),
+                x["l"].cast("string"),
+            ),
+        ),
+        "|",
+    )
+    return out.select("doc_id", rewritten.alias("rewritten"), "n_out")
+
+
 def _json_events_payload_col():
     """Deterministic JSON payload Column from events (event_id,
     user_id, props) — shared by the batch json queries AND the
@@ -1329,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_customer_combinators": q_validate_customer_combinators,
         "validate_json_events": q_validate_json_events,
         "script_fold_docs": q_script_fold_docs,
+        "script_rewrite_docs": q_script_rewrite_docs,
         "verdict_counts_json": q_verdict_counts_json,
         "validate_json_typed": q_validate_json_typed,
         "verdict_counts_json_typed": q_verdict_counts_json_typed,
@@ -2073,6 +2124,46 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(array_to_string(list_transform(toks[1:3], t -> t || ';'), ''), '')
                        AS first3_out
             FROM d
+        """,
+        "script_rewrite_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:8],
+                       t -> struct_pack(w := t, l := CAST(strlen(t) AS DOUBLE))
+                     ) AS items
+              FROM documents
+            ),
+            r1 AS (
+              SELECT doc_id,
+                     list_transform(items, x -> struct_pack(
+                       w := upper(x.w), l := x.l,
+                       tag := CASE WHEN x.l >= 6 THEN 'long' ELSE 'short' END
+                     )) AS items,
+                     COALESCE(list_sum(list_transform(items, x -> x.l)), 0) AS n_out
+              FROM d
+            ),
+            r2 AS (
+              SELECT doc_id, n_out, items,
+                     COALESCE(
+                       NULLIF(list_position(list_transform(items, x -> x.l >= 9), true), 0) - 1,
+                       len(items)
+                     ) AS nk
+              FROM r1
+            ),
+            r3 AS (
+              SELECT doc_id, n_out,
+                     list_transform(items, (x, i) -> CASE
+                       WHEN i <= nk THEN struct_pack(w := x.w, l := x.l * 2, tag := x.tag)
+                       ELSE x END) AS items
+              FROM r2
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(
+                     list_transform(items, x -> x.w || ':' || x.tag || ':' || CAST(x.l AS VARCHAR)),
+                     '|'), '') AS rewritten,
+                   CAST(n_out AS DOUBLE) AS n_out
+            FROM r3
         """,
         "validate_json_events": """
             WITH base AS (

@@ -89,6 +89,8 @@ HEADLINE = [
     # round 3: runtime-type-dispatch (VariantType) JSON validation
     "validate_json_typed",
     "verdict_counts_json_typed",
+    # round 3 (late): per-element mutation in script for bodies
+    "script_rewrite_docs",
     # round 3 (late): conversation-transcript sequence operators and
     # pair->cluster resolution
     "transcript_integrity",

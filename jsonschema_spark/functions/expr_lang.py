@@ -153,6 +153,37 @@ class Lambda:  # {x} => body   (reference lambda.go:10-56)
     body: object
 
 
+def _assignable(e) -> bool:
+    """Legal '='/'+=' target: $.path, identifier, or a field chain
+    through a variable (``v.status = ...`` — the reference mutates map
+    elements bound to loop vars this way, expr/script_test.go:440)."""
+    while (
+        isinstance(e, Call)
+        and e.fn == "__field__"
+        and len(e.args) == 2
+        and isinstance(e.args[1], Lit)
+    ):
+        e = e.args[0]
+    return isinstance(e, (Ref, Var))
+
+
+def field_chain(e):
+    """Decompose ``v.a.b`` into ('v', ['a', 'b']); None if `e` is not a
+    Var-rooted field chain."""
+    fields: list[str] = []
+    while (
+        isinstance(e, Call)
+        and e.fn == "__field__"
+        and len(e.args) == 2
+        and isinstance(e.args[1], Lit)
+    ):
+        fields.append(str(e.args[1].value))
+        e = e.args[0]
+    if isinstance(e, Var) and fields:
+        return e.name, fields[::-1]
+    return None
+
+
 class Parser:
     """Pratt parser over the token stream."""
 
@@ -200,14 +231,18 @@ class Parser:
         e = self.parse_expr(0)
         if self.peek().text == "=":
             self.next()
-            if not isinstance(e, (Ref, Var)):
-                raise ExprError("left side of '=' must be $.path or identifier")
+            if not _assignable(e):
+                raise ExprError(
+                    "left side of '=' must be $.path, identifier, or var.field"
+                )
             return Assign(e, self.parse_expr(0))
         if self.peek().text == "+=":
             # a += x  ==  a = a + x  (reference lexer.go:526-541)
             self.next()
-            if not isinstance(e, (Ref, Var)):
-                raise ExprError("left side of '+=' must be $.path or identifier")
+            if not _assignable(e):
+                raise ExprError(
+                    "left side of '+=' must be $.path, identifier, or var.field"
+                )
             return Assign(e, Bin("+", e, self.parse_expr(0)))
         return e
 

@@ -39,6 +39,7 @@ from ..functions.expr_lang import (
     Return,
     Var,
     compile_expr,
+    field_chain,
     parse_statements,
 )
 from .compiler import FnRule, Rule, SchemaError, TransformOp, register_keyword
@@ -112,6 +113,42 @@ def _var_names(node, out: set) -> set:
         if sub is not None:
             _var_names(sub, out)
     return out
+
+
+def _with_field_dtype(dt, fields: list, new_dt, path: str):
+    """Element dtype after ``elem.withField('a.b', col)``: replace (or
+    append, last segment only) the named field's type.  Intermediate
+    segments must be existing struct fields — Spark's withField has the
+    same constraint."""
+    from pyspark.sql import types as T
+
+    if not isinstance(dt, T.StructType):
+        raise SchemaError(
+            "script 'for' element write needs struct-typed elements "
+            f"(got {dt.simpleString() if dt else 'nil'}); use the "
+            f"foreach keyword for dynamic shapes, path:{path}"
+        )
+    out, found = [], False
+    for f_ in dt.fields:
+        if f_.name == fields[0]:
+            found = True
+            nd = (
+                new_dt
+                if len(fields) == 1
+                else _with_field_dtype(f_.dataType, fields[1:], new_dt, path)
+            )
+            out.append(T.StructField(f_.name, nd, True))
+        else:
+            out.append(f_)
+    if not found:
+        if len(fields) > 1:
+            raise SchemaError(
+                f"script 'for' element write {'.'.join(fields)}: "
+                f"intermediate field {fields[0]!r} does not exist on the "
+                f"element, path:{path}"
+            )
+        out.append(T.StructField(fields[0], new_dt, True))
+    return T.StructType(out)
 
 
 def _index_break_bound(cond, key_name: str, path: str) -> int:
@@ -270,12 +307,16 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             arrays bind k=index/v=element, maps k=key/v=value; body
             statements update accumulator variables sequentially (later
             statements see earlier updates, same as the reference's
-            Context.Set).  Per-element document mutation is out of the
-            columnar subset — route it to `foreach`.  `break` as the
-            first body statement compiles to a prefix slice: constant
-            for index bounds, first-hit search for element-value
-            conditions (accumulator-reading conditions are rejected —
-            order-dependent exits are not columnar).
+            Context.Set).  Per-element writes through the loop value
+            var (``v.field = expr``, the reference's mutation idiom —
+            expr/script_test.go:440) compile to ONE F.transform /
+            F.transform_values over the target, written back to the
+            document path; write RHSes reading accumulators are
+            rejected (cross-iteration order dependence).  `break` as
+            the first body statement compiles to a prefix slice:
+            constant for index bounds, first-hit search for
+            element-value conditions (accumulator-reading conditions
+            are rejected — order-dependent exits are not columnar).
             Accumulators are typed numeric-or-string from a nil-typed
             compile probe (the reference folds dynamic values).  Known
             narrowing: the accumulator keeps its coerced string/double
@@ -306,6 +347,12 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             ):
                 break_cond = body[0]["cond"]
                 body = body[1:]
+            # classify the body: accumulator assigns (name = expr) fold;
+            # element writes THROUGH the loop value var (v.field = expr
+            # — the reference mutates elements exactly this way,
+            # expr/script_test.go:440 "v.status=v.data.status") compile
+            # to ONE F.transform/F.transform_values over the target
+            seq: list[tuple] = []  # ("acc", Assign) | ("write", fields, ast)
             for b in body:
                 if _is_break_stmt(b) or (
                     isinstance(b, dict)
@@ -317,18 +364,58 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                         "statement {'if': cond, 'then': ['break']}"
                         f", path:{path}"
                     )
-                if not (isinstance(b, Assign) and isinstance(b.target, Var)):
+                if isinstance(b, Assign) and isinstance(b.target, Var):
+                    seq.append(("acc", b))
+                    continue
+                fc = field_chain(b.target) if isinstance(b, Assign) else None
+                if fc and fc[0] == st["val"]:
+                    seq.append(("write", fc[1], b.value))
+                    continue
+                if fc:
                     raise SchemaError(
-                        "script 'for' compiles to a columnar fold: the body "
-                        "may only accumulate variables (name = expr); use "
-                        f"the foreach keyword for per-element mutation, path:{path}"
+                        "script 'for' element writes must go through the "
+                        f"loop value variable {st['val']!r} (got "
+                        f"{fc[0]!r}.{'.'.join(fc[1])}), path:{path}"
                     )
+                raise SchemaError(
+                    "script 'for' compiles to a columnar fold: the body "
+                    "may only accumulate variables (name = expr) or write "
+                    f"element fields ({st['val']}.field = expr); use "
+                    f"the foreach keyword beyond that, path:{path}"
+                )
             if not body:
                 return
             names: list[str] = []
             for b in body:
-                if b.target.name not in names:
+                if (
+                    isinstance(b, Assign)
+                    and isinstance(b.target, Var)
+                    and b.target.name not in names
+                ):
                     names.append(b.target.name)
+            writes = [s for s in seq if s[0] == "write"]
+            if writes:
+                # cross-iteration order dependence: an accumulator
+                # carries state between iterations, so a write RHS
+                # reading one would make element i's new value depend
+                # on elements 0..i-1 — not expressible in one transform
+                for _, fields, val_ast in writes:
+                    reads = _var_names(val_ast, set()) & set(names)
+                    if reads:
+                        raise SchemaError(
+                            "script 'for' element write RHS reads loop "
+                            f"accumulator(s) {sorted(reads)} — "
+                            "order-dependent writes are not columnar; "
+                            f"use the foreach keyword, path:{path}"
+                        )
+                if not isinstance(st["target"], Ref) or any(
+                    c in st["target"].path for c in ".["
+                ):
+                    raise SchemaError(
+                        "script 'for' element writes need the loop target "
+                        "to be a top-level document path ($.name) so the "
+                        f"rewritten value has a place to land, path:{path}"
+                    )
 
             if isinstance(tgt.dtype, T.MapType):
                 if break_cond is not None:
@@ -343,14 +430,14 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 def kv(acc, x):
                     return CVal(x["key"], k_dt), CVal(x["value"], v_dt)
             elif isinstance(tgt.dtype, T.ArrayType):
-                entries = tgt.col
+                arr = tgt.col
                 v_dt = tgt.dtype.elementType
+                n_keep = None  # Column: iterated-prefix length under break
                 if break_cond is not None:
                     try:
                         # literal index bound: constant prefix
-                        entries = F.slice(
-                            entries, 1,
-                            _index_break_bound(break_cond, st["key"], path),
+                        n_keep = F.lit(
+                            _index_break_bound(break_cond, st["key"], path)
                         )
                     except SchemaError:
                         # value-dependent break: the prefix ends at the
@@ -359,12 +446,7 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                         # reading a loop accumulator makes the exit
                         # order-dependent, which no columnar prefix
                         # search can express
-                        acc_reads = _var_names(break_cond, set()) & {
-                            b.target.name
-                            for b in body
-                            if isinstance(b, Assign)
-                            and isinstance(b.target, Var)
-                        }
+                        acc_reads = _var_names(break_cond, set()) & set(names)
                         if acc_reads:
                             raise SchemaError(
                                 "script 'for' break condition reads loop "
@@ -387,8 +469,8 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                             return F.coalesce(c, F.lit(False))
 
                         pairs = F.zip_with(
-                            entries,
-                            F.sequence(F.lit(1), F.size(entries)),
+                            arr,
+                            F.sequence(F.lit(1), F.size(arr)),
                             lambda x, i: F.struct(
                                 hit(x, i).alias("hit"), i.alias("i")
                             ),
@@ -399,10 +481,8 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                         # no hit -> whole array (size()>=1 here: the
                         # size-0 case pads zip_with with null elements
                         # whose slice is empty either way)
-                        entries = F.slice(
-                            entries, 1,
-                            F.coalesce(first - 1, F.size(entries)),
-                        )
+                        n_keep = F.coalesce(first - 1, F.size(arr))
+                entries = arr if n_keep is None else F.slice(arr, 1, n_keep)
 
                 def kv(acc, x):
                     return CVal(acc["__i"].cast("double"), T.DoubleType()), CVal(x, v_dt)
@@ -411,71 +491,154 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     f"script 'for' target must be an array or map value, path:{path}"
                 )
 
+            def apply_write(vcv: CVal, fields, val_cv: CVal) -> CVal:
+                new_dt = _with_field_dtype(
+                    vcv.dtype, fields, val_cv.dtype or T.NullType(), path
+                )
+                return CVal(
+                    vcv.col.withField(".".join(fields), val_cv.col), new_dt
+                )
+
             # driver-side TYPE PROBE: compile each body template once
             # against nil-typed loop vars and the accumulator's INITIAL
             # dtype (the pre-loop binding's type, or nil when unbound —
             # the reference's first iteration sees exactly that), so
             # type-dispatching expressions (`+`: numeric add unless a
             # side is a string) pick the reference's branch even for
-            # unseeded accumulators
+            # unseeded accumulators.  Element writes evolve the element
+            # DTYPE through the walk (sequential mutation view).
             if isinstance(tgt.dtype, T.MapType):
                 kcv0 = CVal(F.lit(None), tgt.dtype.keyType)
-                vcv0 = CVal(F.lit(None), tgt.dtype.valueType)
             else:
                 kcv0 = CVal(F.lit(None), T.DoubleType())
-                vcv0 = CVal(F.lit(None), v_dt)
             probe_cur: dict[str, CVal] = {}
             for n in names:
                 cur0 = state["env_vars"].get(n)
                 probe_cur[n] = CVal(F.lit(None), cur0.dtype if cur0 else None)
-            for b in body:
+            probe_elem_dt = v_dt
+            for item in seq:
                 benv = Env(
                     env.root,
                     {**state["env_vars"], **probe_cur,
-                     st["key"]: kcv0, st["val"]: vcv0},
+                     st["key"]: kcv0,
+                     st["val"]: CVal(F.lit(None), probe_elem_dt)},
                 )
-                probe_cur[b.target.name] = compile_expr(b.value, benv)
-
-            inits: dict[str, CVal] = {}
-            for n in names:
-                cur = state["env_vars"].get(n) or CVal(F.lit(None), None)
-                if isinstance(probe_cur[n].dtype, T.NumericType):
-                    inits[n] = CVal(cur.num(), T.DoubleType())
+                if item[0] == "acc":
+                    b = item[1]
+                    probe_cur[b.target.name] = compile_expr(b.value, benv)
                 else:
-                    inits[n] = CVal(cur.str_(), T.StringType())
-            init_struct = F.struct(
-                *[inits[n].col.alias(n) for n in names],
-                F.lit(0).cast("long").alias("__i"),
-            )
-
-            def step(acc, x):
-                kcv, vcv = kv(acc, x)
-                cur = {n: CVal(acc[n], inits[n].dtype) for n in names}
-                for b in body:
-                    benv = Env(
-                        env.root,
-                        {**state["env_vars"], **cur,
-                         st["key"]: kcv, st["val"]: vcv},
+                    _, wfields, wast = item
+                    wv = compile_expr(wast, benv)
+                    probe_elem_dt = _with_field_dtype(
+                        probe_elem_dt, wfields, wv.dtype or T.NullType(), path
                     )
-                    cur[b.target.name] = compile_expr(b.value, benv)
-                fields = []
+            elem_final_dt = probe_elem_dt
+
+            if names:
+                inits: dict[str, CVal] = {}
                 for n in names:
-                    if isinstance(inits[n].dtype, T.NumericType):
-                        fields.append(cur[n].num().alias(n))
+                    cur = state["env_vars"].get(n) or CVal(F.lit(None), None)
+                    if isinstance(probe_cur[n].dtype, T.NumericType):
+                        inits[n] = CVal(cur.num(), T.DoubleType())
                     else:
-                        fields.append(cur[n].str_().alias(n))
-                fields.append((acc["__i"] + 1).alias("__i"))
-                return F.struct(*fields)
+                        inits[n] = CVal(cur.str_(), T.StringType())
+                init_struct = F.struct(
+                    *[inits[n].col.alias(n) for n in names],
+                    F.lit(0).cast("long").alias("__i"),
+                )
 
-            folded = F.aggregate(entries, init_struct, step)
+                def step(acc, x):
+                    kcv, vcv = kv(acc, x)
+                    cur = {n: CVal(acc[n], inits[n].dtype) for n in names}
+                    for item in seq:
+                        benv = Env(
+                            env.root,
+                            {**state["env_vars"], **cur,
+                             st["key"]: kcv, st["val"]: vcv},
+                        )
+                        if item[0] == "acc":
+                            b = item[1]
+                            cur[b.target.name] = compile_expr(b.value, benv)
+                        else:
+                            # element write: later statements in THIS
+                            # iteration read the written value (the
+                            # reference's sequential Context semantics)
+                            _, wfields, wast = item
+                            vcv = apply_write(
+                                vcv, wfields, compile_expr(wast, benv)
+                            )
+                    fields = []
+                    for n in names:
+                        if isinstance(inits[n].dtype, T.NumericType):
+                            fields.append(cur[n].num().alias(n))
+                        else:
+                            fields.append(cur[n].str_().alias(n))
+                    fields.append((acc["__i"] + 1).alias("__i"))
+                    return F.struct(*fields)
 
-            for n in names:
-                # nil target -> loop body never ran (forRange returns
-                # nil): keep the pre-loop value
-                final = F.when(entries.isNotNull(), folded[n]).otherwise(inits[n].col)
-                if guard is not None:
-                    final = F.when(guard, final).otherwise(inits[n].col)
-                state["env_vars"][n] = CVal(final, inits[n].dtype)
+                folded = F.aggregate(entries, init_struct, step)
+
+                for n in names:
+                    # nil target -> loop body never ran (forRange returns
+                    # nil): keep the pre-loop value
+                    final = F.when(entries.isNotNull(), folded[n]).otherwise(inits[n].col)
+                    if guard is not None:
+                        final = F.when(guard, final).otherwise(inits[n].col)
+                    state["env_vars"][n] = CVal(final, inits[n].dtype)
+
+            if writes:
+                # ONE JVM-side rewrite of the whole target — the loop's
+                # element writes ARE a projection per element, exactly
+                # F.transform / F.transform_values (VERDICT r2 item 6;
+                # reference semantics expr/script.go:436-484 with
+                # c.Set-bound loop vars)
+                def new_elem(kcv: CVal, vcv: CVal) -> CVal:
+                    for item in seq:
+                        if item[0] != "write":
+                            continue
+                        _, wfields, wast = item
+                        benv = Env(
+                            env.root,
+                            {**state["env_vars"],
+                             st["key"]: kcv, st["val"]: vcv},
+                        )
+                        vcv = apply_write(
+                            vcv, wfields, compile_expr(wast, benv)
+                        )
+                    return vcv
+
+                if isinstance(tgt.dtype, T.ArrayType):
+                    def tx(x, i):
+                        return new_elem(
+                            CVal(i.cast("double"), T.DoubleType()),
+                            CVal(x, v_dt),
+                        ).col
+
+                    if n_keep is None:
+                        new_col = F.transform(arr, tx)
+                        new_dt = T.ArrayType(elem_final_dt)
+                    elif elem_final_dt.simpleString() == v_dt.simpleString():
+                        nk = n_keep
+                        new_col = F.transform(
+                            arr,
+                            lambda x, i: F.when(i < nk, tx(x, i)).otherwise(x),
+                        )
+                        new_dt = tgt.dtype
+                    else:
+                        raise SchemaError(
+                            "script 'for' break + a type-changing element "
+                            "write would mix element types in one array "
+                            f"(rewritten prefix vs original suffix), path:{path}"
+                        )
+                else:
+                    new_col = F.transform_values(
+                        tgt.col,
+                        lambda k, v: new_elem(
+                            CVal(k, k_dt), CVal(v, tgt.dtype.valueType)
+                        ).col,
+                    )
+                    new_dt = T.MapType(k_dt, elem_final_dt)
+                emit_assign(st["target"].path, CVal(new_col, new_dt), guard)
 
         def walk(nodes, guard):
             for st in nodes:
@@ -501,8 +664,14 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     if isinstance(st.target, Var):
                         # let-bindings are pure: no guard needed
                         state["env_vars"][st.target.name] = val
-                    else:
+                    elif isinstance(st.target, Ref):
                         emit_assign(st.target.path, val, guard)
+                    else:
+                        raise SchemaError(
+                            "field writes through a variable (v.field = "
+                            "expr) are only supported inside a 'for' body "
+                            f"(per-element mutation), path:{path}"
+                        )
                 elif isinstance(st, Return):
                     emit_return(st.args, guard, env)
                 elif isinstance(st, Call) and st.fn == "if":
@@ -540,6 +709,16 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
             from functools import reduce
 
             cond = reduce(lambda a, b: a & b, [g(root) for g in guards])
+        # apply ALL assigns in one withColumns: sequential-read semantics
+        # are already inlined at compile time (every later statement read
+        # the assigned value through the override shadow, embedding the
+        # earlier EXPRESSION, not the column name).  Sequential
+        # withColumn calls would instead let a later expression's by-name
+        # F.col(p) resolve against an earlier assign's output — e.g. a
+        # for-loop fold over $.xs re-reading the loop's own element
+        # rewrite (double application).  Last assign per path wins; it
+        # embeds the prior ones.
+        out: dict[str, Column] = {}
         for p, cv in assigns:
             col = cv.col
             if "." in p or "[" in p:
@@ -550,8 +729,8 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 col = F.when(cond, col).otherwise(old)
             if p in df.columns:
                 col = col.cast(df.schema[p].dataType) if cv.dtype is None else col
-            df = df.withColumn(p, col)
-        return df
+            out[p] = col
+        return df.withColumns(out) if out else df
 
     ctx.transforms.append(TransformOp(apply_transforms, "script"))
 

@@ -546,3 +546,125 @@ class TestForBreak:
         ]})
         with pytest.raises(SchemaError, match="FIRST"):
             plan.transform(df).collect()
+
+
+class TestForElementWrite:
+    """Per-element mutation through the loop value var (reference idiom
+    ``v.status = v.data.status``, expr/script_test.go:440; forRange
+    Exec semantics expr/script.go:436-484): compiles to ONE
+    F.transform / F.transform_values over the target, written back to
+    the document path."""
+
+    def _plan(self, body, extra=()):
+        return js.compile_schema({"script": [
+            *extra,
+            {"for": "i,v in $.xs", "do": body},
+        ]})
+
+    def _items(self, spark):
+        return spark.createDataFrame(
+            [(1, [{"q": 2.0, "tag": "a"}, {"q": 5.0, "tag": "b"}])],
+            "id int, xs array<struct<q double, tag string>>",
+        )
+
+    def test_write_field(self, spark):
+        out = self._plan(["v.q = v.q * 2"]).transform(self._items(spark))
+        assert [r["q"] for r in out.collect()[0]["xs"]] == [4.0, 10.0]
+
+    def test_write_reads_index(self, spark):
+        out = self._plan(["v.q = v.q + i"]).transform(self._items(spark))
+        assert [r["q"] for r in out.collect()[0]["xs"]] == [2.0, 6.0]
+
+    def test_write_adds_field(self, spark):
+        out = self._plan(["v.big = v.q > 3"]).transform(self._items(spark))
+        rows = out.collect()[0]["xs"]
+        assert [r["big"] for r in rows] == [False, True]
+        assert [r["tag"] for r in rows] == ["a", "b"]  # untouched fields kept
+
+    def test_write_sequential_same_iteration(self, spark):
+        # the second write reads the FIRST write's value (Context.Set
+        # sequential semantics)
+        out = self._plan(["v.q = v.q * 2", "v.q = v.q + 1"]).transform(
+            self._items(spark))
+        assert [r["q"] for r in out.collect()[0]["xs"]] == [5.0, 11.0]
+
+    def test_accumulator_sees_post_write_value(self, spark):
+        plan = js.compile_schema({"script": [
+            "n = 0",
+            {"for": "i,v in $.xs", "do": ["v.q = v.q * 2", "n = n + v.q"]},
+            "$.n_out = n",
+        ]})
+        row = plan.transform(self._items(spark)).collect()[0]
+        assert row["n_out"] == 14.0            # post-write 4 + 10
+        assert [r["q"] for r in row["xs"]] == [4.0, 10.0]
+
+    def test_accumulator_before_write_sees_pre_write_value(self, spark):
+        plan = js.compile_schema({"script": [
+            "n = 0",
+            {"for": "i,v in $.xs", "do": ["n = n + v.q", "v.q = 0"]},
+            "$.n_out = n",
+        ]})
+        row = plan.transform(self._items(spark)).collect()[0]
+        assert row["n_out"] == 7.0             # pre-write 2 + 5
+        assert [r["q"] for r in row["xs"]] == [0.0, 0.0]
+
+    def test_write_with_break_prefix_only(self, spark):
+        # the break-triggering element and everything after stay as-is
+        plan = js.compile_schema({"script": [{
+            "for": "i,v in $.xs",
+            "do": [{"if": "v.q >= 5", "then": ["break"]}, "v.q = v.q * 10"],
+        }]})
+        out = plan.transform(self._items(spark))
+        assert [r["q"] for r in out.collect()[0]["xs"]] == [20.0, 5.0]
+
+    def test_write_rhs_reads_accumulator_rejected(self, spark):
+        from jsonschema_spark.plans.compiler import SchemaError
+
+        plan = js.compile_schema({"script": [
+            "n = 0",
+            {"for": "i,v in $.xs", "do": ["n = n + 1", "v.q = n"]},
+        ]})
+        with pytest.raises(SchemaError, match="accumulator"):
+            plan.transform(self._items(spark)).collect()
+
+    def test_write_through_other_var_rejected(self, spark):
+        from jsonschema_spark.plans.compiler import SchemaError
+
+        plan = js.compile_schema({"script": [
+            "w = 1",
+            {"for": "i,v in $.xs", "do": ["w.q = 1"]},
+        ]})
+        with pytest.raises(SchemaError, match="loop value variable"):
+            plan.transform(self._items(spark)).collect()
+
+    def test_write_outside_for_rejected(self, spark):
+        from jsonschema_spark.plans.compiler import SchemaError
+
+        plan = js.compile_schema({"script": ["w = 1", "w.q = 2"]})
+        with pytest.raises(SchemaError, match="only supported inside"):
+            plan.transform(self._items(spark)).collect()
+
+    def test_map_value_write(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"a": {"q": 1.0}, "b": {"q": 3.0}})],
+            "id int, xs map<string, struct<q double>>",
+        )
+        plan = js.compile_schema({"script": [
+            {"for": "k,v in $.xs", "do": ["v.q = v.q + 1"]},
+        ]})
+        out = plan.transform(df).collect()[0]["xs"]
+        assert out["a"]["q"] == 2.0 and out["b"]["q"] == 4.0
+
+    def test_guarded_write(self, spark):
+        # a for nested under an object-if only rewrites matching rows
+        df = spark.createDataFrame(
+            [(1, [{"q": 1.0}]), (2, [{"q": 1.0}])],
+            "id int, xs array<struct<q double>>",
+        )
+        plan = js.compile_schema({"script": [{
+            "if": "$.id == 1",
+            "then": [{"for": "i,v in $.xs", "do": ["v.q = 9"]}],
+        }]})
+        rows = {r["id"]: r["xs"] for r in plan.transform(df).collect()}
+        assert rows[1][0]["q"] == 9.0
+        assert rows[2][0]["q"] == 1.0
