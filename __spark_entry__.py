@@ -1297,6 +1297,31 @@ def q_transcript_tool_pairing(spark, sf_dir):
     return transcripts.tool_call_pairing(tdf, order_by=("turn_idx", "seq"))
 
 
+def q_transcript_merge_runs(spark, sf_dir):
+    """Transcript repair (operators/transcripts.merge_consecutive_turns):
+    runs of consecutive same-role turns (chunked streaming output /
+    retried tool writes) merged into one turn per run via the
+    gaps-and-islands window segmenter; the run id IS the new turn
+    index, so the whole repair is one conv_id window + one grouped
+    aggregation — no self-join, no re-index pass."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.merge_consecutive_turns(tdf, order_by=("turn_idx", "seq"))
+
+
+def q_context_windows(spark, sf_dir):
+    """Token-budgeted SFT example assembly
+    (operators/transcripts.context_windows): for every assistant turn,
+    the longest affordable suffix of prior turns under a 24-token
+    budget.  ONE shuffle on conv_id (ordered array collect); prefix
+    sums + per-target suffix selection are higher-order array
+    functions in codegen — the relational equivalent is a quadratic
+    per-conversation self-join (the oracle does exactly that)."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.context_windows(
+        tdf, budget=24, target_role="assistant", order_by=("turn_idx", "seq")
+    )
+
+
 def q_hash_split_docs(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     per-row md5-derived label, map-only, stable under corpus growth —
@@ -1434,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_docs": q_pii_scan_docs,
         "text_repetition": q_text_repetition,
         "transcript_tool_pairing": q_transcript_tool_pairing,
+        "transcript_merge_runs": q_transcript_merge_runs,
+        "context_windows": q_context_windows,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "token_budget_docs": q_token_budget_docs,
@@ -2554,6 +2581,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_docs": _oracle_pii_scan(),
         "text_repetition": _oracle_text_repetition(),
         "transcript_tool_pairing": _oracle_tool_pairing(),
+        "transcript_merge_runs": _oracle_transcript_merge_runs(),
+        "context_windows": _oracle_context_windows(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "token_budget_docs": _oracle_token_budget(),
@@ -2816,6 +2845,73 @@ def _oracle_text_repetition() -> str:
                         'max') / CAST(len(bg) AS DOUBLE)
                  ELSE 0.0 END, 6) AS top_bigram_frac
     FROM g
+    """
+
+
+def _oracle_transcript_merge_runs() -> str:
+    # gaps-and-islands re-derivation: run id = cumulative role-change
+    # count - 1 (the merged turn index), then one grouped aggregation
+    # with in-order folds (string_agg / first / filtered list).
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    p AS (
+      SELECT conv_id, turn_idx, seq, role, text, tool, ts,
+             lag(role) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx, seq) AS prev_role
+      FROM t
+    ),
+    s AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN prev_role IS NULL OR prev_role <> role
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx, seq
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg
+      FROM p
+    )
+    SELECT conv_id,
+           seg AS turn_idx,
+           first(role ORDER BY turn_idx, seq) AS role,
+           string_agg(text, chr(10) ORDER BY turn_idx, seq) AS text,
+           (list(tool ORDER BY turn_idx, seq)
+              FILTER (WHERE tool IS NOT NULL))[1] AS tool,
+           first(ts ORDER BY turn_idx, seq) AS ts,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM s GROUP BY conv_id, seg
+    """
+
+
+def _oracle_context_windows(budget: int = 24) -> str:
+    # relational formulation of the suffix-under-budget selection: a
+    # per-conversation self-join (quadratic — oracle-only; the engine
+    # keeps the quadratic term inside a task as array ops).
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    tok AS (
+      SELECT conv_id, turn_idx, seq, role, text,
+             CAST(CASE WHEN length({norm}) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS BIGINT) AS tok
+      FROM t
+    ),
+    c AS (
+      SELECT *,
+             SUM(tok) OVER w AS cum,
+             row_number() OVER w AS pos
+      FROM tok
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, seq)
+    )
+    SELECT tr.conv_id,
+           CAST(tr.turn_idx AS INTEGER) AS turn_idx,
+           CAST(count(h.pos) AS INTEGER) AS n_ctx_turns,
+           CAST(coalesce(SUM(h.tok), 0) AS BIGINT) AS ctx_tokens,
+           coalesce(string_agg(h.role || ': ' || h.text, chr(10)
+                               ORDER BY h.pos), '') AS context,
+           tr.text AS target_text
+    FROM c tr LEFT JOIN c h
+      ON h.conv_id = tr.conv_id AND h.pos < tr.pos
+     AND (tr.cum - tr.tok) - (h.cum - h.tok) <= {budget}
+    WHERE tr.role = 'assistant'
+    GROUP BY tr.conv_id, tr.turn_idx, tr.text, tr.pos
     """
 
 

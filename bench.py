@@ -109,6 +109,11 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "pack_sequences_docs",
     "curate_docs",
+    # round 3 (late): transcript repair + token-budgeted SFT example
+    # assembly (the quadratic suffix selection stays in-task as array
+    # HOFs — one conv_id shuffle)
+    "transcript_merge_runs",
+    "context_windows",
 ]
 
 

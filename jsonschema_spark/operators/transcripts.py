@@ -29,6 +29,12 @@ provides those conversation-level operators as first-class checks:
   CONVERSATION pairs (dedup.minhash_lsh_pairs over the ordered
   concatenation): dedup at the granularity a training pipeline
   actually drops — whole conversations, not single turns.
+* ``merge_consecutive_turns`` — transcript repair: same-role runs
+  merged to one turn per run (gaps-and-islands segmenter; run id IS
+  the new turn index).
+* ``context_windows`` — token-budgeted (history, target) SFT example
+  assembly; the quadratic suffix selection stays inside a task as
+  array higher-order functions.
 
 Scale notes (100 TB): every operator here shuffles exactly once on
 ``conv_id`` (the window / the dedup groupBy); conversations are
@@ -466,4 +472,219 @@ def tool_call_pairing(
         )
         .select("conv_id", "turn_idx", F.explode("__v").alias("v"))
         .select("conv_id", "turn_idx", "v.check", "v.info")
+    )
+
+
+def merge_consecutive_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str | None = "tool",
+    ts_col: str | None = "ts",
+    order_by: Sequence[str] | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Transcript repair: merge runs of consecutive SAME-ROLE turns into
+    one turn per run and re-index turns 0..n-1.
+
+    Raw agent logs routinely emit several physical rows for one logical
+    turn (chunked streaming output, retried tool writes); training
+    pipelines normalise those to one turn per role change before
+    packing.  Chat-template renderers (and the role-transition FSM in
+    ``conversation_integrity``) reject same-role repeats, so this is
+    the repair stage upstream of both.
+
+    Plan shape (100 TB): window over ``conv_col`` assigns each row a
+    run id (``SUM`` over a role-change flag — the classic gaps-and-
+    islands segmenter) which IS the merged turn index, so no third pass
+    re-indexes; then ONE groupBy on (conv, run) with map-side partial
+    aggregation folds each run.  Two hash shuffles total, both on keys
+    derived from the conversation id; no self-join, no Python.
+
+    Output: one row per merged turn — ``(conv_id, turn_idx, role,
+    text, tool, ts, n_merged)`` where ``text`` is the run's texts
+    joined by ``sep`` in order, ``tool`` the run's first non-null tool,
+    ``ts`` the run's first timestamp, ``n_merged`` the run length.
+    """
+    order_cols = list(order_by) if order_by else [turn_col] + (
+        [ts_col] if ts_col else []
+    )
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    role = F.col(role_col)
+    changed = F.when(
+        F.lag(role).over(w).isNull() | (F.lag(role).over(w) != role), 1
+    ).otherwise(0)
+    # run id == merged turn index (0-based): cumulative count of role
+    # changes up to and including this row, minus one.
+    seg = (F.sum(changed).over(w) - 1).alias("__seg")
+
+    item = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(text_col).alias("v"),
+        *(
+            [F.col(tool_col).alias("tool")]
+            if tool_col is not None
+            else []
+        ),
+        *([F.col(ts_col).alias("ts")] if ts_col is not None else []),
+    )
+    base = df.select(
+        F.col(conv_col).alias("conv_id"),
+        seg,
+        role.alias("role"),
+        item.alias("__item"),
+    )
+    aggs = [
+        F.first("role").alias("role"),
+        F.array_sort(F.collect_list("__item")).alias("__items"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ]
+    out = base.groupBy("conv_id", "__seg").agg(*aggs)
+    text = F.array_join(
+        F.transform(F.col("__items"), lambda s: s["v"]), sep
+    ).alias("text")
+    cols = [
+        F.col("conv_id"),
+        F.col("__seg").alias("turn_idx"),
+        F.col("role"),
+        text,
+    ]
+    if tool_col is not None:
+        # first non-null tool in run order (F.filter then element 1)
+        cols.append(
+            F.try_element_at(
+                F.filter(
+                    F.transform(F.col("__items"), lambda s: s["tool"]),
+                    lambda t: t.isNotNull(),
+                ),
+                F.lit(1),
+            ).alias("tool")
+        )
+    if ts_col is not None:
+        # first timestamp in run order (items are sorted by order_cols)
+        cols.append(F.element_at(F.col("__items"), 1)["ts"].alias("ts"))
+    cols.append(F.col("n_merged"))
+    return out.select(*cols)
+
+
+def context_windows(
+    df: DataFrame,
+    budget: int = 256,
+    target_role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_by: Sequence[str] | None = None,
+    token_col: str | None = None,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Token-budgeted training-example assembly: for every turn whose
+    role is ``target_role``, emit (history-within-budget, target) —
+    the row shape an SFT pipeline feeds a tokenizer.
+
+    History = the longest suffix of the turns STRICTLY BEFORE the
+    target whose summed token counts fit ``budget`` (truncate from the
+    oldest side, never mid-turn).  Token counts default to the engine's
+    whitespace ``text.token_count``; pass ``token_col`` to use
+    pre-computed counts instead.
+
+    Plan shape (100 TB): per-turn token counts are a plain projection;
+    ONE hash shuffle on ``conv_col`` collects each conversation into an
+    ordered array (conversations are bounded-length — same contract as
+    ``conversation_text``); prefix sums + per-target suffix selection
+    are higher-order array functions (pure codegen, no Python); targets
+    come back out through one ``posexplode``.  The naive relational
+    formulation is a per-conversation self-join (quadratic rows through
+    the shuffle); here the quadratic term stays inside a task as
+    column ops on an in-memory array, and output volume is bounded by
+    ``budget`` per target rather than by conversation length.
+
+    Output: ``(conv_id, turn_idx, n_ctx_turns, ctx_tokens, context,
+    target_text)`` — ``context`` is "role: text" lines joined by
+    ``line_sep``, oldest first; targets with no affordable history
+    (budget smaller than the previous turn) emit an empty context.
+    """
+    from .text import token_count
+
+    order_cols = list(order_by) if order_by else [turn_col]
+    tok = (
+        F.col(token_col)
+        if token_col is not None
+        else token_count(F.col(text_col))
+    ).cast("long")
+    item = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(turn_col).alias("turn"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("v"),
+        tok.alias("tok"),
+    )
+    per_conv = (
+        df.select(F.col(conv_col).alias("conv_id"), item.alias("__item"))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("__item")).alias("arr"))
+    )
+    arr = F.col("arr")
+    # prefix sums of token counts: cums[i] = sum(tok[0..i]) — built with
+    # one fold (array-of-longs accumulator; cheap int append per step).
+    cums = F.aggregate(
+        arr,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(
+                    F.try_element_at(acc, F.lit(-1)),
+                    F.lit(0).cast("long"),
+                )
+                + x["tok"]
+            ),
+        ),
+    )
+    with_cums = per_conv.select("conv_id", "arr", cums.alias("cums"))
+    # per-target history: elements i (1-based) with i < p and
+    # cums[p-1] - (cums[i] - tok[i]) <= budget  — i.e. tokens of the
+    # suffix i..p-1 fit the budget.  cums is monotone so the filter
+    # selects exactly a suffix.
+    tgt = F.col("t")  # posexplode'd target struct
+    p = F.col("p")  # 0-based target position
+    exploded = (
+        with_cums.select(
+            "conv_id",
+            "arr",
+            "cums",
+            F.posexplode("arr").alias("p", "t"),
+        )
+        .where(tgt["role"] == F.lit(target_role))
+    )
+    # tokens up to and including position p-1 (1-based element_at):
+    before = F.coalesce(
+        F.try_element_at(F.col("cums"), F.nullif(p, F.lit(0))),
+        F.lit(0).cast("long"),
+    )
+    hist = F.filter(
+        F.slice(F.col("arr"), 1, p),
+        lambda x, i: (
+            before
+            - (F.try_element_at(F.col("cums"), i + 1) - x["tok"])
+        )
+        <= F.lit(budget),
+    )
+    ctx_tokens = F.aggregate(
+        hist, F.lit(0).cast("long"), lambda a, x: a + x["tok"]
+    )
+    context = F.array_join(
+        F.transform(hist, lambda x: F.concat_ws(": ", x["role"], x["v"])),
+        line_sep,
+    )
+    return exploded.select(
+        F.col("conv_id"),
+        tgt["turn"].alias("turn_idx"),
+        F.size(hist).alias("n_ctx_turns"),
+        ctx_tokens.alias("ctx_tokens"),
+        context.alias("context"),
+        tgt["v"].alias("target_text"),
     )

@@ -149,3 +149,102 @@ def test_conversation_dedup_finds_near_dup_conversations(spark):
 def test_default_transitions_frozen():
     assert ("user", "assistant") in transcripts.DEFAULT_TRANSITIONS
     assert ("user", "user") not in transcripts.DEFAULT_TRANSITIONS
+
+
+def _runs_corpus(spark):
+    # c1: user,user,assistant,assistant,assistant,tool,assistant —
+    # chunked same-role runs with a tool call in the middle.
+    data = [
+        ("c1", 0, "user", "hi", None, _ts(0)),
+        ("c1", 1, "user", "are you there", None, _ts(1)),
+        ("c1", 2, "assistant", "yes", None, _ts(2)),
+        ("c1", 3, "assistant", "how can I help", None, _ts(3)),
+        ("c1", 4, "assistant", "today", None, _ts(4)),
+        ("c1", 5, "tool", "result 42", "calc", _ts(5)),
+        ("c1", 6, "assistant", "answer is 42", None, _ts(6)),
+        ("c2", 0, "user", "lonely", None, _ts(0)),
+    ]
+    return spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_merge_consecutive_turns(spark):
+    out = transcripts.merge_consecutive_turns(_runs_corpus(spark))
+    got = rows(out, "conv_id", "turn_idx")
+    assert got == [
+        ("c1", 0, "user", "hi\nare you there", None, _ts(0), 2),
+        ("c1", 1, "assistant", "yes\nhow can I help\ntoday", None, _ts(2), 3),
+        ("c1", 2, "tool", "result 42", "calc", _ts(5), 1),
+        ("c1", 3, "assistant", "answer is 42", None, _ts(6), 1),
+        ("c2", 0, "user", "lonely", None, _ts(0), 1),
+    ]
+    # merged output is FSM-clean: no same-role transitions remain
+    viol = conversation_integrity(
+        out.withColumn("seq", F.col("turn_idx")), order_by=("turn_idx", "seq")
+    )
+    assert (
+        viol.where(F.col("check") == "role_transition")
+        .where(F.col("info").contains("cannot follow"))
+        .count()
+        == 0
+    )
+
+
+def test_merge_consecutive_turns_no_tool_no_ts(spark):
+    out = transcripts.merge_consecutive_turns(
+        _runs_corpus(spark), tool_col=None, ts_col=None, order_by=("turn_idx",)
+    )
+    assert out.columns == ["conv_id", "turn_idx", "role", "text", "n_merged"]
+    assert out.count() == 5
+
+
+def test_context_windows_budget_suffix(spark):
+    out = transcripts.context_windows(
+        _runs_corpus(spark), budget=6, target_role="assistant"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (
+            r.n_ctx_turns, r.ctx_tokens, r.context, r.target_text
+        )
+        for r in out.collect()
+    }
+    # history is the longest affordable suffix of prior turns
+    assert got[("c1", 2)] == (
+        2, 4, "user: hi\nuser: are you there", "yes"
+    )
+    assert got[("c1", 3)] == (
+        3, 5, "user: hi\nuser: are you there\nassistant: yes",
+        "how can I help",
+    )
+    # budget 6 cannot afford "how can I help" (4 tokens) plus older
+    assert got[("c1", 4)] == (
+        2, 5, "assistant: yes\nassistant: how can I help", "today"
+    )
+    assert got[("c1", 6)] == (
+        2, 3, "assistant: today\ntool: result 42", "answer is 42"
+    )
+    # no user/tool targets, and no zero-history first-turn targets here
+    assert set(got) == {("c1", 2), ("c1", 3), ("c1", 4), ("c1", 6)}
+
+
+def test_context_windows_zero_budget_and_first_turn(spark):
+    data = [
+        ("c3", 0, "assistant", "opening", None, _ts(0)),
+        ("c3", 1, "user", "q", None, _ts(1)),
+        ("c3", 2, "assistant", "a b c", None, _ts(2)),
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = transcripts.context_windows(df, budget=0, target_role="assistant")
+    got = {
+        (r.conv_id, r.turn_idx): (r.n_ctx_turns, r.ctx_tokens, r.context)
+        for r in out.collect()
+    }
+    # first-turn target exists with empty history; zero budget affords
+    # no history anywhere
+    assert got[("c3", 0)] == (0, 0, "")
+    assert got[("c3", 2)] == (0, 0, "")
