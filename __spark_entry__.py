@@ -1050,6 +1050,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_cluster_embeddings(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the embedding column
+    (operators/similarity.kmeans_embeddings) — topic clustering for
+    diversity-aware curation.  Vectors are fixed-point-quantized so
+    centroid sums are EXACT integers (order-independent under Spark's
+    partial aggregation); every derived double uses a fixed fold order,
+    so the DuckDB oracle replays the full iteration history (init →
+    assign → mean → assign → ...) bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_embeddings(emb, n_clusters=8, iters=2)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup (scale path; bucket-local join).
     dims=64 pins the md5-derived hyperplane matrix driver-side
@@ -1444,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "cluster_embeddings": q_cluster_embeddings,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1783,6 +1796,81 @@ def _oracle_ann_ivf() -> str:
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
+    """
+
+
+def _oracle_kmeans(n_clusters: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Full Lloyd's replay: fixed-point quantization, md5-ordered init,
+    then per iteration the SAME argmin score chain (c_d^2 - 2 v_d c_d,
+    left-assoc in dim order) and exact-integer mean update the engine
+    computes — centroid sums are LONG sums, so the two engines cannot
+    drift; ties break to the lowest cluster index on both sides."""
+    h = _sql_md5_long("CAST(vec_id AS VARCHAR)", seed=42)
+
+    def score(v: str, c: str) -> str:
+        terms = " + ".join(
+            f"({c}[{i}] * {c}[{i}] - 2.0 * {c}[{i}] * CAST({v}[{i}] AS DOUBLE))"
+            for i in range(1, dims + 1)
+        )
+        return f"(0.0 + {terms})"
+
+    def dist2(v: str, c: str) -> str:
+        terms = " + ".join(
+            f"((CAST({v}[{i}] AS DOUBLE) - {c}[{i}])"
+            f" * (CAST({v}[{i}] AS DOUBLE) - {c}[{i}]))"
+            for i in range(1, dims + 1)
+        )
+        return f"(0.0 + {terms})"
+
+    ctes = [
+        f"""vecs AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS vq,
+             {h} AS hh
+      FROM embeddings
+    )""",
+        f"""cents0 AS (
+      SELECT row_number() OVER (ORDER BY hh) - 1 AS cluster,
+             list_transform(vq, x -> CAST(x AS DOUBLE)) AS cent
+      FROM vecs QUALIFY row_number() OVER (ORDER BY hh) <= {n_clusters}
+    )""",
+    ]
+    for k in range(iters):
+        ctes.append(f"""a{k} AS (
+      SELECT id, vq, cluster FROM (
+        SELECT v.id, v.vq, c.cluster,
+               row_number() OVER (PARTITION BY v.id
+                   ORDER BY {score('v.vq', 'c.cent')} ASC, c.cluster ASC) AS rn
+        FROM vecs v CROSS JOIN cents{k} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""s{k} AS (
+      SELECT cluster, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM (SELECT cluster, generate_subscripts(vq, 1) AS pos,
+                   unnest(vq) AS x FROM a{k})
+      GROUP BY cluster, pos
+    )""")
+        ctes.append(f"""m{k} AS (
+      SELECT cluster, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           ORDER BY pos) AS cent
+      FROM s{k} GROUP BY cluster
+    )""")
+        ctes.append(f"""cents{k + 1} AS (
+      SELECT o.cluster, COALESCE(nn.cent, o.cent) AS cent
+      FROM cents{k} o LEFT JOIN m{k} nn ON nn.cluster = o.cluster
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+           round(sqrt({dist2('vq', 'cent')}) / 1000000.0, 6) AS dist
+    FROM (
+      SELECT v.id, v.vq, c.cluster, c.cent,
+             row_number() OVER (PARTITION BY v.id
+                 ORDER BY {score('v.vq', 'c.cent')} ASC, c.cluster ASC) AS rn
+      FROM vecs v CROSS JOIN cents{iters} c
+    ) WHERE rn = 1
     """
 
 
@@ -2561,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _oracle_embedding_lsh(),
         "ann_topk": _oracle_ann_topk(),
         "ann_ivf_topk": _oracle_ann_ivf(),
+        "cluster_embeddings": _oracle_kmeans(),
         "text_tokens": f"""
             SELECT doc_id,
                    CASE WHEN length({norm}) = 0 THEN 0

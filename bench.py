@@ -114,6 +114,8 @@ HEADLINE = [
     # HOFs — one conv_id shuffle)
     "transcript_merge_runs",
     "context_windows",
+    # round 3 (late): deterministic k-means topic clustering
+    "cluster_embeddings",
 ]
 
 

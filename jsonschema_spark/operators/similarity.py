@@ -147,3 +147,157 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic Lloyd's k-means over the embedding column — topic
+# clustering for diversity-aware curation (cluster-stratified sampling,
+# IVF centroid refinement).  No reference analog (SURVEY.md §2.9).
+# ---------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000  # fixed-point quantum: 1e-6 per unit
+
+
+def _km_quantize(v: Column) -> Column:
+    """Element-wise fixed-point quantization to scaled longs.
+
+    The whole reason this k-means is oracle-comparable: centroid
+    updates sum LONGS, and integer sums are exact and order-independent
+    — Spark's partial-aggregation order can never perturb a centroid
+    the way a floating-point sum would.  Everything downstream (scores,
+    means, distances) is derived from those exact integers with a fixed
+    evaluation order, so any engine replaying the recipe lands on
+    bit-identical centroids and assignments.
+    """
+    return F.transform(
+        v, lambda x: F.round(x.cast("double") * _KM_SCALE, 0).cast("long")
+    )
+
+
+def _km_score(vq: Column, cent: list[float]) -> Column:
+    """argmin-equivalent score of a quantized vector against one
+    centroid (scaled-double space): ||v-c||^2 - ||v||^2 = sum_d
+    (c_d^2 - 2 v_d c_d), folded left-to-right in dim order — the same
+    textual chain the DuckDB oracle evaluates, so bit-identical."""
+    score = F.lit(0.0)
+    for d, c in enumerate(cent):
+        cd = float(c)
+        score = score + (
+            F.lit(cd * cd)
+            - F.lit(2.0 * cd) * F.element_at(vq, d + 1).cast("double")
+        )
+    return score
+
+
+def kmeans_embeddings(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: ``(vec_id, cluster, dist)``.
+
+    * **Init** — the ``n_clusters`` corpus vectors with the smallest
+      md5-derived hash of their id (same seeded-sample recipe as
+      ``ivf_topk``; one tiny collect).
+    * **Assign** — nearest centroid by squared L2; since ||v||^2 is
+      constant per row the score is sum_d (c_d^2 - 2 v_d c_d), a pure
+      codegen fold; ties break to the lowest cluster index.
+    * **Update** — element-wise mean of assigned vectors via
+      ``posexplode`` + groupBy(cluster, dim): map-side partial
+      aggregation reduces the shuffle to (#partitions x clusters x
+      dims) long rows — metadata-sized at any corpus scale; the
+      (clusters x dims) result is a driver-small collect.  Empty
+      clusters keep their previous centroid.
+
+    Scale (100 TB): each iteration is one corpus scan (inherent to
+    Lloyd's — persist the projected input upstream if iterating many
+    times) with a metadata-sized shuffle; centroids ride into the next
+    iteration as codegen literals, never a join.  Output ``dist`` is
+    the true L2 distance in original (unscaled) units, rounded to 6
+    decimals.
+
+    Determinism contract: vectors are fixed-point-quantized
+    (``_km_quantize``) so centroid sums are EXACT integers regardless
+    of partition order; every derived double is computed with a fixed
+    fold order.  Two runs — or two engines — produce identical
+    clusters, which is what makes the DuckDB oracle able to replay the
+    full iteration history.
+    """
+    from .dedup import md5_long
+
+    vq_corpus = corpus.select(
+        F.col(id_col).alias("vid"), _km_quantize(F.col(vec_col)).alias("vq")
+    )
+    sample = (
+        vq_corpus.select(
+            "vid", "vq", md5_long(F.col("vid"), seed).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids: list[list[float]] = [
+        [float(x) for x in r["vq"]] for r in sample
+    ]
+
+    def assign(cents: list[list[float]]) -> Column:
+        scores = F.array(*[_km_score(F.col("vq"), c) for c in cents])
+        return (
+            F.array_position(scores, F.array_min(scores)).cast("int") - 1
+        )
+
+    for _ in range(iters):
+        assigned = vq_corpus.select(
+            assign(centroids).alias("cluster"), F.posexplode("vq")
+        )
+        sums = (
+            assigned.groupBy("cluster", "pos")
+            .agg(
+                F.sum("col").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
+                r["s"], r["n"],
+            )
+        centroids = [
+            [
+                float(by_cluster[j][d][0]) / float(by_cluster[j][d][1])
+                for d in sorted(by_cluster[j])
+            ]
+            if j in by_cluster
+            else centroids[j]  # empty cluster keeps its centroid
+            for j in range(n_clusters)
+        ]
+
+    final_cluster = assign(centroids)
+    # true L2 in unscaled units: sqrt(sum_d (v_d - c_d)^2) / SCALE,
+    # same left-assoc chain per cluster as the score fold
+    dists = []
+    for c in centroids:
+        d2 = F.lit(0.0)
+        for d, cd in enumerate(c):
+            diff = F.element_at(F.col("vq"), d + 1).cast("double") - F.lit(
+                float(cd)
+            )
+            d2 = d2 + diff * diff
+        dists.append(d2)
+    dist = F.round(
+        F.sqrt(F.element_at(F.array(*dists), F.col("cluster") + 1))
+        / F.lit(float(_KM_SCALE)),
+        6,
+    )
+    return (
+        vq_corpus.select(
+            F.col("vid").alias(id_col),
+            final_cluster.alias("cluster"),
+            F.col("vq"),
+        )
+        .select(id_col, "cluster", dist.alias("dist"))
+    )

@@ -291,3 +291,57 @@ def test_duplicate_clusters_string_ids(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # three well-separated blobs in 4-d so k-means has an obvious
+    # answer; ids chosen arbitrarily (init is md5-ordered, not id-ordered)
+    # ids 1..12: the three md5-smallest ids (7, 12, 11 — seed order of
+    # kmeans init) fall in three DIFFERENT blobs, so Lloyd's converges
+    # to the ground truth instead of a two-seeds-in-one-blob local
+    # minimum (which is valid k-means behavior but untestable)
+    rows = []
+    for i in range(1, 13):
+        blob = i % 3
+        base = {0: [1.0, 0.0, 0.0, 0.0],
+                1: [0.0, 1.0, 0.0, 0.0],
+                2: [0.0, 0.0, 1.0, 1.0]}[blob]
+        jitter = [((i * 7 + d * 13) % 5 - 2) * 0.01 for d in range(4)]
+        rows.append((i, [float(b + j) for b, j in zip(base, jitter)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_blobs(spark, vecs):
+    out = similarity.kmeans_embeddings(
+        vecs, n_clusters=3, iters=3, vec_col="embedding"
+    ).collect()
+    assert len(out) == 12  # ids 1..12
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+        assert r["dist"] >= 0.0
+    # each ground-truth blob lands in exactly one cluster, and the
+    # three blobs get three different clusters
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+    # converged: every point sits near its centroid
+    assert max(r["dist"] for r in out) < 0.1
+
+
+def test_kmeans_deterministic(spark, vecs):
+    a = sorted(map(tuple, similarity.kmeans_embeddings(
+        vecs, n_clusters=3, iters=2).collect()))
+    b = sorted(map(tuple, similarity.kmeans_embeddings(
+        vecs.repartition(7), n_clusters=3, iters=2).collect()))
+    # bit-identical across runs AND across physical partitionings —
+    # the exact-integer centroid-sum contract
+    assert a == b
+
+
+def test_kmeans_plan_no_python_no_cartesian(spark, vecs):
+    df = similarity.kmeans_embeddings(vecs, n_clusters=3, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
