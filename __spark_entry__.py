@@ -249,6 +249,46 @@ def q_drift_psi(spark, sf_dir):
     )
 
 
+def q_drift_incremental(spark, sf_dir):
+    """Incremental drift (operators/incremental.py hist path): each
+    half of events arrives as two independently-scanned batches; the
+    half's histogram is the MERGE of batch partials (counts add — no
+    history rescan), and PSI compares the merged current half against
+    the merged baseline half.  Bin arithmetic (count of edges <= x via
+    one F.aggregate) is exactly replayed by the oracle."""
+    from jsonschema_spark.operators.incremental import (
+        hist_partials,
+        merge_hists,
+        psi_between,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = [float(x) for x in range(50, 500, 50)]  # 10 bins
+
+    def merged_hist(half: int):
+        h = ev.filter(F.pmod(F.col("event_id"), 2) == half)
+        a = h.filter(F.pmod(F.col("event_id"), 4) <= 1)
+        b = h.filter(F.pmod(F.col("event_id"), 4) >= 2)
+        return merge_hists(
+            hist_partials(a, "value", edges).unionByName(
+                hist_partials(b, "value", edges)
+            )
+        )
+
+    hb, hc = merged_hist(0), merged_hist(1)
+    psi = psi_between(hb, hc, len(edges) + 1).select(
+        F.round("psi", 6).alias("psi")
+    )
+    j = (
+        hb.select("bin", F.col("n").alias("n_base"))
+        .join(hc.select("bin", F.col("n").alias("n_cur")), "bin", "full_outer")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    return j.crossJoin(F.broadcast(psi)).select(
+        "bin", "n_base", "n_cur", "psi"
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: hash aggregation with exact scaled-integer sums
     (map-side partial agg; one shuffle on the 6-value group key)."""
@@ -1438,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "drift_quantiles": q_drift_quantiles,
         "drift_psi": q_drift_psi,
+        "drift_incremental": q_drift_incremental,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_unshipped": q_q3_top_unshipped,
         "q5_nation_revenue": q_q5_nation_revenue,
@@ -2491,6 +2532,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(SUM(((n0 + 0.5) / (t0 + 5.0) - (n1 + 0.5) / (t1 + 5.0))
                              * ln(((n0 + 0.5) / (t0 + 5.0)) / ((n1 + 0.5) / (t1 + 5.0)))), 6) AS psi
             FROM hist, tot
+        """,
+        "drift_incremental": """
+            WITH b AS (
+              SELECT LEAST(GREATEST(CAST(floor(value / 50) AS INT), 0), 9) AS bin,
+                     CAST(event_id % 2 AS INT) AS half
+              FROM events WHERE value IS NOT NULL
+            ),
+            hist AS (
+              SELECT bin,
+                     SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_base,
+                     SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+              FROM b GROUP BY bin
+            ),
+            tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM hist),
+            psi AS (
+              SELECT round(SUM(((n_cur + 0.5) / (tc + 5.0) - (n_base + 0.5) / (tb + 5.0))
+                       * ln(((n_cur + 0.5) / (tc + 5.0)) / ((n_base + 0.5) / (tb + 5.0)))), 6) AS psi
+              FROM hist, tot
+            )
+            SELECT CAST(bin AS INT) AS bin,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   psi
+            FROM hist, psi
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -138,6 +138,141 @@ def merge_partials(partials: DataFrame) -> DataFrame:
     )
 
 
+def hist_partials(
+    df: DataFrame,
+    column: str,
+    edges: list[float],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Per-partition fixed-edge histogram partials — the mergeable
+    carrier for incremental distribution drift.
+
+    ``edges`` are the interior cut points (sorted ascending); a value
+    lands in bin = number of edges <= value, i.e. bin 0 is
+    (-inf, edges[0]) and bin len(edges) is [edges[-1], +inf).  The bin
+    arithmetic is ONE ``F.aggregate`` over a literal array — columnar,
+    codegen, and bit-for-bit reproducible in ANSI SQL (the oracle
+    replays the same comparison count), unlike quantile sketches whose
+    summaries are estimator-specific.  Nulls are excluded (drift is
+    over observed values; null-rate drift is already covered by the
+    stats partials' n_nulls).
+
+    Merging partials = adding counts, so a new batch costs one batch
+    scan; corpus-wide drift never rescans history.
+    """
+    if sorted(edges) != list(edges):
+        raise ValueError("hist_partials: edges must be sorted ascending")
+    col = F.col(column).cast("double")
+    bin_ = F.aggregate(
+        F.array(*[F.lit(float(e)) for e in edges]),
+        F.lit(0),
+        lambda acc, e: acc + (col >= e).cast("int"),
+    )
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(
+            _partition_id(partition_by).alias("partition_id"),
+            bin_.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "partition_id",
+            F.lit(column).alias("column"),
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+        )
+    )
+
+
+def merge_hists(partials: DataFrame) -> DataFrame:
+    """Fold histogram partials into corpus-wide per-bin counts (counts
+    add; the merge input is partitions x bins rows — metadata-sized)."""
+    return partials.groupBy("column", "bin").agg(F.sum("n").alias("n"))
+
+
+def psi_between(
+    base: DataFrame, cur: DataFrame, n_bins: int
+) -> DataFrame:
+    """PSI of ``cur`` vs ``base`` from two merged histograms (same
+    ``column``/``bin``/``n`` shape), one row per column.
+
+    Laplace smoothing (n + 0.5) / (total + 0.5 * n_bins) keeps bins
+    empty on one side finite — the same convention the drift_psi
+    oracle query pins.  A full outer join on (column, bin) means a bin
+    present on only one side still contributes its term instead of
+    silently dropping.  Everything stays a Column expression: the
+    whole comparison is a join of two metadata-sized tables.
+    """
+    b = base.select("column", "bin", F.col("n").alias("n_base"))
+    c = cur.select("column", "bin", F.col("n").alias("n_cur"))
+    j = b.join(c, ["column", "bin"], "full_outer").fillna(
+        0, subset=["n_base", "n_cur"]
+    )
+    tot = j.groupBy("column").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    j = j.join(F.broadcast(tot), "column")
+    p = (F.col("n_base") + 0.5) / (F.col("t_base") + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)
+    term = (q - p) * F.log(q / p)
+    return (
+        j.select("column", term.alias("term"))
+        .groupBy("column")
+        .agg(F.sum("term").alias("psi"))
+    )
+
+
+@dataclass
+class HistStore:
+    """Append-only histogram-partials store: the drift analog of
+    StatsStore.  Each ingest appends one batch's per-(partition, bin)
+    counts, skipping partitions already present (idempotent re-ingest
+    after a crash between write and acknowledge); ``current`` merges
+    the whole store; ``psi_vs`` compares the merged store against a
+    baseline store/DataFrame without touching any fact table.
+    """
+
+    path: str
+    column: str
+    edges: list[float]
+
+    def ingest(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        spark = df.sparkSession
+        partials = hist_partials(df, self.column, self.edges, partition_by)
+        try:
+            seen = {
+                r["partition_id"]
+                for r in spark.read.parquet(self.path)
+                .select("partition_id")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            seen = set()
+        if seen:
+            partials = partials.filter(
+                ~F.col("partition_id").isin(sorted(seen))
+            )
+        rows = partials.persist()
+        n = rows.count()
+        if n:
+            rows.write.mode("append").parquet(self.path)
+        rows.unpersist()
+        return n
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        return merge_hists(spark.read.parquet(self.path))
+
+    def psi_vs(self, spark: SparkSession, baseline: "HistStore") -> DataFrame:
+        if baseline.edges != self.edges:
+            raise ValueError("psi_vs: baseline edges differ")
+        return psi_between(
+            baseline.current(spark), self.current(spark), len(self.edges) + 1
+        )
+
+
 @dataclass
 class StatsStore:
     """Append-only partial-stats store backing incremental corpus

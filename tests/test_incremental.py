@@ -9,8 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.incremental import (
+    HistStore,
     StatsStore,
+    hist_partials,
+    merge_hists,
     merge_partials,
+    psi_between,
     stats_partials,
 )
 
@@ -82,6 +86,96 @@ def test_store_ingest_idempotent_and_partition_scoped(spark, events, tmp_path):
     for c in COLS:
         assert cur[c]["n_rows"] == single[c]["n_rows"]
         assert cur[c]["min_num"] == single[c]["min_num"]
+
+
+EDGES = [float(x) for x in range(50, 500, 50)]  # 10 bins over value
+
+
+def _hist_map(df):
+    return {r["bin"]: r["n"] for r in df.collect()}
+
+
+def test_hist_merge_of_batches_equals_single_pass(spark, events):
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = _hist_map(
+        merge_hists(
+            hist_partials(a, "value", EDGES).unionByName(
+                hist_partials(b, "value", EDGES)
+            )
+        )
+    )
+    single = _hist_map(merge_hists(hist_partials(events, "value", EDGES)))
+    assert merged == single
+    assert sum(merged.values()) == events.filter(
+        F.col("value").isNotNull()
+    ).count()
+
+
+def test_hist_bin_arithmetic_boundaries(spark):
+    # bin = count of edges <= x: below-first-edge -> 0, exactly-on-edge
+    # joins the right bucket, above-last-edge -> len(edges)
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (49.9,), (50.0,), (449.9,), (450.0,), (9999.0,), (None,)],
+        "value double",
+    )
+    h = _hist_map(merge_hists(hist_partials(df, "value", EDGES)))
+    assert h == {0: 3, 1: 1, 8: 1, 9: 2}  # null excluded
+
+
+def test_psi_zero_against_self_and_positive_on_shift(spark, events):
+    h = merge_hists(hist_partials(events, "value", EDGES))
+    same = psi_between(h, h, len(EDGES) + 1).first()
+    assert abs(same["psi"]) < 1e-12
+    shifted = events.withColumn("value", F.col("value") + 120.0)
+    h2 = merge_hists(hist_partials(shifted, "value", EDGES))
+    moved = psi_between(h, h2, len(EDGES) + 1).first()
+    assert moved["psi"] > 0.2  # conventional drift threshold
+
+
+def test_psi_one_sided_bins_contribute(spark):
+    # a bin present only in cur must still add a term (full_outer path)
+    base = spark.createDataFrame([(10.0,)] * 8, "value double")
+    cur = spark.createDataFrame([(10.0,)] * 4 + [(499.0,)] * 4, "value double")
+    hb = merge_hists(hist_partials(base, "value", EDGES))
+    hc = merge_hists(hist_partials(cur, "value", EDGES))
+    assert hb.count() == 1 and hc.count() == 2
+    psi = psi_between(hb, hc, len(EDGES) + 1).first()["psi"]
+    assert psi > 0.5
+
+
+def test_hist_store_idempotent_ingest_and_psi_vs(spark, events, tmp_path):
+    daily = events.withColumn("day", F.to_date("ts"))
+    base = HistStore(str(tmp_path / "hbase"), "value", EDGES)
+    cur = HistStore(str(tmp_path / "hcur"), "value", EDGES)
+    n1 = base.ingest(daily.filter(F.col("event_id") % 2 == 0), ["day"])
+    assert n1 > 0
+    assert base.ingest(daily.filter(F.col("event_id") % 2 == 0), ["day"]) == 0
+    cur.ingest(daily.filter(F.col("event_id") % 2 == 1), ["day"])
+    psi = cur.psi_vs(spark, base).first()["psi"]
+    # two random halves of the same distribution: near-zero drift
+    assert abs(psi) < 0.05
+    # merged store equals a single-pass histogram of its half
+    got = _hist_map(
+        base.current(spark).select("bin", "n")
+    )
+    want = _hist_map(
+        merge_hists(
+            hist_partials(
+                events.filter(F.col("event_id") % 2 == 0), "value", EDGES
+            )
+        )
+    )
+    assert got == want
+
+
+def test_hist_store_edge_mismatch_rejected(spark, events, tmp_path):
+    a = HistStore(str(tmp_path / "ha"), "value", EDGES)
+    b = HistStore(str(tmp_path / "hb"), "value", EDGES[:-1])
+    with pytest.raises(ValueError, match="edges differ"):
+        a.psi_vs(spark, b)
+    with pytest.raises(ValueError, match="sorted"):
+        hist_partials(events, "value", [100.0, 50.0])
 
 
 def test_store_new_partition_appends_only_batch_partials(spark, events, tmp_path):
