@@ -547,6 +547,21 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_topk_int8(spark, sf_dir):
+    """Two-stage quantized ANN (similarity.ann_topk_int8): coarse scan
+    over the per-vector symmetric int8 table (exact integer dot
+    products; 1/4 the float32 footprint at 100 TB), then exact-cosine
+    re-rank of the k*rerank survivors via an equality join back to the
+    full-precision corpus.  The oracle replays the identical
+    quantize -> coarse-rank -> re-rank recipe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ann_topk_int8(emb, q, k=10, rerank=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_text_tokens(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex pre-tokens."""
     docs = _docs(spark, sf_dir)
@@ -1497,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_topk_int8": q_ann_topk_int8,
         "cluster_embeddings": q_cluster_embeddings,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_metadata": q_multimodal_metadata,
@@ -1756,6 +1772,75 @@ def _oracle_ann_topk() -> str:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+def _oracle_ann_int8() -> str:
+    """Replay of similarity.ann_topk_int8: symmetric int8 quantization
+    (scale = max|x|/127 per vector, round half-away-from-zero — both
+    engines' round()), coarse rank by quantized cosine (EXACT integer
+    dot products, so no float-fold concerns), exact-cosine re-rank of
+    the top k*rerank candidates."""
+    dims = 64
+    gm = "GREATEST(" + ", ".join(
+        f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dims + 1)
+    ) + ")"
+    qterms = ", ".join(
+        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) / scale) AS BIGINT)"
+        for i in range(1, dims + 1)
+    )
+
+    # numerator dot(q, c); denominator sqrt(dot(q,q)) * sqrt(dot(c,c))
+    num = "(" + " + ".join(
+        f"q.qv[{i}] * c.qv[{i}]" for i in range(1, dims + 1)
+    ) + ")"
+    dq = "(" + " + ".join(
+        f"q.qv[{i}] * q.qv[{i}]" for i in range(1, dims + 1)
+    ) + ")"
+    dc = "(" + " + ".join(
+        f"c.qv[{i}] * c.qv[{i}]" for i in range(1, dims + 1)
+    ) + ")"
+    qcos = (
+        f"(CAST({num} AS DOUBLE) / "
+        f"(sqrt(CAST({dq} AS DOUBLE)) * sqrt(CAST({dc} AS DOUBLE))))"
+    )
+    cos = _sql_cosine("qq.embedding", "cc.embedding")
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {gm} > 0 THEN {gm} / 127.0 ELSE 1.0 END AS scale
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, [{qterms}] AS qv FROM s
+    ),
+    q AS (SELECT * FROM qz WHERE vec_id < 5),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {qcos} AS qcos
+      FROM qz c CROSS JOIN q
+      WHERE q.vec_id <> c.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS crank
+        FROM coarse
+      ) WHERE crank <= 40
+    ),
+    exact AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+      FROM cand
+      JOIN embeddings cc ON cc.vec_id = cand.neighbor_id
+      JOIN embeddings qq ON qq.vec_id = cand.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM exact
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
     """
@@ -2714,6 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _oracle_embedding_lsh(),
         "ann_topk": _oracle_ann_topk(),
         "ann_ivf_topk": _oracle_ann_ivf(),
+        "ann_topk_int8": _oracle_ann_int8(),
         "cluster_embeddings": _oracle_kmeans(),
         "text_tokens": f"""
             SELECT doc_id,

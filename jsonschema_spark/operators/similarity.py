@@ -150,6 +150,129 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------
+# int8 symmetric quantization — the memory-scale path for ANN.  At
+# 100 TB of float32 embeddings the quantized table is 4x smaller (and
+# the coarse-scan dot products are exact integer arithmetic); the
+# full-precision vectors are touched only for the per-query candidate
+# re-rank, an equality join on a set of k*rerank ids per query.
+# No reference analog (SURVEY.md §2.9).
+# ---------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """``(id, scale, qv array<tinyint>)`` — per-vector symmetric int8.
+
+    scale = max|x| / 127 (per vector, so every vector uses the full
+    int8 range); qv_d = round(x_d / scale) in [-127, 127].  Rounding is
+    half-away-from-zero on both Spark and DuckDB, and every input is
+    the same IEEE double on both — the quantized table is therefore
+    bit-identical across engines, which keeps the ANN path under the
+    value-hash oracle.  Pure Column expressions; one narrow projection.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
+    with_scale = df.select(
+        F.col(id_col), v.alias("__v"), scale.alias("scale")
+    )
+    qv = F.transform(
+        F.col("__v"),
+        lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast(
+            "tinyint"
+        ),
+    )
+    return with_scale.select(id_col, "scale", qv.alias("qv"))
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 arrays (fits long at any
+    realistic dim count: 127*127*dims)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """Cosine over int8 vectors.  The per-vector scale cancels in
+    cosine (direction is preserved up to rounding), so no float state
+    rides with the quantized table at all."""
+    return _dot_int(a, b).cast("double") / (
+        F.sqrt(_dot_int(a, a).cast("double"))
+        * F.sqrt(_dot_int(b, b).cast("double"))
+    )
+
+
+def ann_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: coarse scan over the int8 table, exact re-rank of
+    the survivors — the standard memory-bounded production shape.
+
+    Stage 1 streams ONLY (id, qv) — 1/4 the float32 footprint — against
+    the broadcast quantized queries and keeps the top k*rerank
+    neighbors per query by quantized cosine (exact integer dots, one
+    double division; deterministic ties on neighbor_id).
+    Stage 2 joins that candidate set (k*rerank rows per query —
+    driver-tiny) back to the full-precision corpus by id and re-ranks
+    by exact cosine.  The full-precision table is never scanned beyond
+    the candidate equality join.
+    """
+    qz_c = quantize_embeddings(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("cqv")
+    )
+    qz_q = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qqv")
+    )
+    coarse = qz_c.crossJoin(F.broadcast(qz_q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        quantized_cosine(F.col("qqv"), F.col("cqv")).alias("qcos"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvv")
+    )
+    exact = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------
 # Deterministic Lloyd's k-means over the embedding column — topic
 # clustering for diversity-aware curation (cluster-stratified sampling,
 # IVF centroid refinement).  No reference analog (SURVEY.md §2.9).

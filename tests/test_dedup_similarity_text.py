@@ -121,6 +121,42 @@ def test_ivf_topk_recall(spark, vectors):
     assert e == a
 
 
+def test_quantize_embeddings_bounds_and_direction(spark, vectors):
+    qz = similarity.quantize_embeddings(vectors)
+    rows = {r["vec_id"]: r for r in qz.collect()}
+    orig = {r["vec_id"]: list(r["embedding"]) for r in vectors.collect()}
+    for vid, r in rows.items():
+        qv = list(r["qv"])
+        assert all(-127 <= x <= 127 for x in qv)
+        # the max-|x| element always quantizes to +/-127 (full range used)
+        assert max(abs(x) for x in qv) == 127
+        # dequantized vector approximates the original within half a step
+        for x, qx in zip(orig[vid], qv):
+            assert abs(x - qx * r["scale"]) <= r["scale"] / 2 + 1e-9
+
+
+def test_ann_topk_int8_matches_exact_on_separated_corpus(spark, vectors):
+    # with rerank*k covering enough candidates the int8 path returns
+    # the exact top-k (re-rank is full precision; coarse only prunes)
+    q = vectors.filter(F.col("vec_id") < 2)
+    exact = similarity.brute_force_topk(vectors, q, k=3)
+    quant = similarity.ann_topk_int8(vectors, q, k=3, rerank=8)
+    e = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect())
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in quant.collect())
+    assert e == a
+    # exact cosines, not quantized ones, are reported
+    ec = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in quant.collect():
+        assert abs(r["cosine"] - ec[(r["query_id"], r["neighbor_id"])]) < 1e-12
+
+
+def test_ann_topk_int8_coarse_stage_stays_jvm(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 2)
+    plan = similarity.ann_topk_int8(vectors, q, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_text_token_counts(spark):
     df = spark.createDataFrame(
         [(0, "Hello, world! 42 times"), (1, ""), (2, "   "), (3, "one")],
