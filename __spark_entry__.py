@@ -1117,6 +1117,19 @@ def q_cluster_embeddings(spark, sf_dir):
     return similarity.kmeans_embeddings(emb, n_clusters=8, iters=2)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    k-means topic assignment → WITHIN-CLUSTER cosine pairs (equality
+    join on cluster, never all-pairs) → connected components → keep
+    the minimum reachable id.  Oracle replays the k-means iteration
+    history, the same within-cluster pair predicate, and a recursive
+    label closure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.4, n_clusters=8, iters=2
+    )
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup (scale path; bucket-local join).
     dims=64 pins the md5-derived hyperplane matrix driver-side
@@ -1514,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_topk_int8": q_ann_topk_int8,
         "cluster_embeddings": q_cluster_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1843,6 +1857,43 @@ def _oracle_ann_int8() -> str:
       FROM exact
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+def _oracle_semantic_dedup(threshold: float = 0.4) -> str:
+    """Replay of similarity.semantic_dedup: k-means assignment (the
+    full _oracle_kmeans iteration replay), within-cluster cosine pairs
+    with the identical threshold predicate on identical doubles, then
+    a recursive min-label closure (same shape as
+    _oracle_dedup_clusters)."""
+    km = _oracle_kmeans()
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH RECURSIVE asg AS MATERIALIZED (
+      SELECT vec_id, cluster FROM ({km}) t
+    ),
+    wc AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, a.cluster
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM wc a JOIN wc b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold}
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r AS (
+      SELECT u AS id, u AS lab FROM e
+      UNION
+      SELECT e.u AS id, r.lab FROM e JOIN r ON r.id = e.v
+    ),
+    comp AS (SELECT id, min(lab) AS canonical FROM r GROUP BY id)
+    SELECT v.vec_id,
+           COALESCE(c.canonical, v.vec_id) AS canonical_id,
+           (COALESCE(c.canonical, v.vec_id) <> v.vec_id) AS is_duplicate
+    FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
     """
 
 
@@ -2801,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_topk_int8": _oracle_ann_int8(),
         "cluster_embeddings": _oracle_kmeans(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "text_tokens": f"""
             SELECT doc_id,
                    CASE WHEN length({norm}) = 0 THEN 0

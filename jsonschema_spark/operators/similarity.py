@@ -278,6 +278,67 @@ def ann_topk_int8(
 # IVF centroid refinement).  No reference analog (SURVEY.md §2.9).
 # ---------------------------------------------------------------------
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding column:
+    ``(id, canonical_id, is_duplicate)``.
+
+    Pipeline: deterministic k-means topic assignment
+    (``kmeans_embeddings``) → WITHIN-CLUSTER cosine pairs (the
+    candidate join is an EQUALITY join on the cluster id, never
+    all-pairs: at 100 TB the quadratic term is bounded by the largest
+    topic cluster, and n_clusters is the knob that caps it) →
+    connected components over the pair graph
+    (``dedup.duplicate_clusters``: min-label propagation + pointer
+    jumping, every round an equality join) → canonical = minimum
+    reachable id; rows outside any pair keep themselves.
+
+    Everything is deterministic (quantized k-means, fixed fold-order
+    cosine, min-label canon), so the full pipeline sits under the
+    value-hash oracle.
+    """
+    from .dedup import duplicate_clusters
+
+    assign = kmeans_embeddings(
+        corpus, n_clusters, iters, vec_col, id_col, seed
+    ).select(F.col(id_col), F.col("cluster"))
+    withc = corpus.select(id_col, vec_col).join(assign, id_col)
+    a = withc.select(
+        F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("va")
+    )
+    b = withc.select(
+        F.col(id_col).alias("id_b"), "cluster", F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(pairs)
+    out = corpus.select(F.col(id_col)).join(
+        comp.select(F.col("id").alias(id_col), "cluster_id"),
+        id_col,
+        "left",
+    )
+    canonical = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.select(
+        id_col,
+        canonical.alias("canonical_id"),
+        (canonical != F.col(id_col)).alias("is_duplicate"),
+    )
+
+
 _KM_SCALE = 1_000_000  # fixed-point quantum: 1e-6 per unit
 
 

@@ -157,6 +157,26 @@ def test_ann_topk_int8_coarse_stage_stays_jvm(spark, vectors):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semantic_dedup_collapses_near_identical(spark, vectors):
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        vectors, threshold=0.999, n_clusters=4, iters=1
+    ).collect()}
+    assert len(out) == vectors.count()
+    # the exact dup (0, 100) collapses to canonical min id 0
+    assert out[100]["canonical_id"] == 0 and out[100]["is_duplicate"]
+    assert out[0]["canonical_id"] == 0 and not out[0]["is_duplicate"]
+    # canonical ids are themselves kept rows (never duplicates)
+    for r in out.values():
+        assert not out[r["canonical_id"]]["is_duplicate"]
+
+
+def test_semantic_dedup_no_cartesian_product(spark, vectors):
+    plan = similarity.semantic_dedup(
+        vectors, threshold=0.9, n_clusters=4, iters=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_text_token_counts(spark):
     df = spark.createDataFrame(
         [(0, "Hello, world! 42 times"), (1, ""), (2, "   "), (3, "one")],
