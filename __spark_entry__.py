@@ -572,6 +572,18 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_lm_score_docs(spark, sf_dir):
+    """Unigram-LM pseudo-perplexity quality scoring (text.lm_counts +
+    text.lm_score): train token counts over the corpus, score each
+    document by mean add-alpha token log-probability.  Per-token
+    log-probs snap to scaled longs BEFORE the per-doc sum, so the
+    aggregation is order-independent and the oracle lands on identical
+    values."""
+    docs = _docs(spark, sf_dir)
+    counts = text.lm_counts(docs)
+    return text.lm_score(docs, counts)
+
+
 def q_text_langid(spark, sf_dir):
     """Heuristic stopword language-ID vs the labeled lang column."""
     docs = _docs(spark, sf_dir)
@@ -1534,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_samples": q_multimodal_frame_samples,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
+        "lm_score_docs": q_lm_score_docs,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "transcript_integrity": q_transcript_integrity,
@@ -1857,6 +1870,42 @@ def _oracle_ann_int8() -> str:
       FROM exact
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+def _oracle_lm_score(alpha: float = 0.5) -> str:
+    """Replay of text.lm_counts + lm_score: identical tokenization
+    (normalized whitespace split, empties dropped), identical add-alpha
+    probability rationals, per-token log-prob snapped to a scaled
+    BIGINT before the (exact, order-free) per-doc integer sum."""
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY token),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS v FROM counts),
+    scored AS (
+      SELECT tk.doc_id,
+             CAST(round(ln((CAST(c.n AS DOUBLE) + {alpha})
+                    / (CAST(tot.t AS DOUBLE) + {alpha} * (CAST(tot.v AS DOUBLE) + 1.0)))
+                  * 1000000000.0) AS BIGINT) AS lp9
+      FROM tk JOIN counts c USING (token), tot
+    ),
+    agg AS (
+      SELECT doc_id, SUM(lp9) AS s9, COUNT(*) AS n_tokens
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           round(CAST(a.s9 AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) / 1000000000.0, 6)
+             AS avg_logp,
+           round(exp(-(CAST(a.s9 AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) / 1000000000.0)), 6)
+             AS ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
 
@@ -2862,6 +2911,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_langid": _oracle_langid(),
+        "lm_score_docs": _oracle_lm_score(),
         "text_quality": _oracle_text_quality(),
         "doc_fingerprint": _oracle_fingerprint(),
         "transcript_integrity": _oracle_transcript_integrity(),

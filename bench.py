@@ -78,6 +78,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
+    "ann_topk_int8",
+    "semantic_dedup",
+    "drift_incremental",
+    "lm_score_docs",
     "text_tokens",
     "text_langid",
     "doc_fingerprint",

@@ -260,3 +260,82 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("top_bigram_frac", top_frac)
         .drop("__toks", "__bi")
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM pseudo-perplexity quality scoring (the CCNet-style
+# "score documents by a corpus LM" pipeline stage, with an honest
+# dependency-free unigram model instead of KenLM).  No reference
+# analog (SURVEY.md §2.9).
+# ---------------------------------------------------------------------
+
+
+def lm_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram counts ``(token, n)`` over whitespace tokens of the
+    normalized text — the trained "LM".  One explode + one
+    hash-partitioned aggregation; map-side partial counting makes the
+    shuffle one row per distinct token per partition."""
+    return (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document add-alpha unigram LM score:
+    ``(id, n_tokens, avg_logp, ppl)`` where
+    p(tok) = (n_tok + alpha) / (T + alpha * (V + 1)), avg_logp is the
+    mean token log-probability and ppl = exp(-avg_logp) (higher =
+    further from the training distribution — the quality-filter knob).
+
+    Determinism contract: each token's log-probability is snapped to a
+    scaled long (round(ln(p) * 1e9)) BEFORE the per-document sum, so
+    the aggregation sums exact integers — Spark's partial-aggregation
+    order can never perturb a score, and the DuckDB oracle lands on
+    identical values.  Unseen tokens (scoring corpus != training
+    corpus) take the alpha mass via the left join.
+
+    Scale: the token-to-count join shuffles on `token` (the counts
+    table is vocab-sized — too big to assume broadcastable at 100 TB;
+    Catalyst/AQE will broadcast it when it is small); the totals ride
+    in as ONE broadcast row.  Everything else is codegen arithmetic.
+    """
+    tot = counts.agg(
+        F.sum("n").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    exploded = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    scored = exploded.join(counts, "token", "left").crossJoin(
+        F.broadcast(tot)
+    )
+    p = (F.coalesce(F.col("n"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("__T").cast("double")
+        + F.lit(alpha) * (F.col("__V").cast("double") + 1.0)
+    )
+    logp9 = F.round(F.log(p) * 1e9, 0).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        F.sum(logp9).alias("__s9"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    avg = F.col("__s9").cast("double") / F.col("n_tokens").cast("double") / 1e9
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.round(avg, 6).alias("avg_logp"),
+            F.round(F.exp(-avg), 6).alias("ppl"),
+        )
+    )

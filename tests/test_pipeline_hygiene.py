@@ -155,3 +155,48 @@ class TestToolPairing:
         assert out[("c3", 1, "tool_pairing")] == "tool result follows role user"
         assert out[("c4", 0, "tool_pairing")] == "tool result follows role <none>"
         assert len(out) == 4
+
+
+class TestLMScore:
+    def test_counts_and_totals(self, spark, corpus):
+        counts = {r["token"]: r["n"] for r in text.lm_counts(corpus).collect()}
+        assert counts["the"] == 2  # both in doc 0
+        assert counts["spark"] == 1
+        assert "" not in counts
+
+    def test_score_prefers_in_distribution_docs(self, spark, corpus):
+        counts = text.lm_counts(corpus)
+        out = {r["doc_id"]: r for r in text.lm_score(corpus, counts).collect()}
+        assert set(out) == {0, 1, 2, 3}
+        # every doc scored over its real token count
+        assert out[2]["n_tokens"] == 2
+        # ppl = exp(-avg_logp) for every scored doc (relative tolerance:
+        # avg_logp is independently rounded to 6 dp, which perturbs
+        # exp(-avg_logp) by up to ~5e-7 * ppl)
+        import math
+        for r in out.values():
+            assert abs(r["ppl"] - math.exp(-r["avg_logp"])) < r["ppl"] * 2e-6 + 1e-6
+
+    def test_unseen_tokens_take_alpha_mass(self, spark, corpus):
+        counts = text.lm_counts(corpus)
+        new = spark.createDataFrame(
+            [(9, "zebra zebra zebra")], "doc_id long, text string"
+        )
+        seen = spark.createDataFrame(
+            [(8, "the the the")], "doc_id long, text string"
+        )
+        s_new = text.lm_score(new, counts).first()
+        s_seen = text.lm_score(seen, counts).first()
+        # out-of-distribution doc scores strictly worse (higher ppl)
+        assert s_new["ppl"] > s_seen["ppl"]
+        assert s_new["n_tokens"] == 3 and s_new["avg_logp"] < 0
+
+    def test_empty_doc_scores_null(self, spark, corpus):
+        counts = text.lm_counts(corpus)
+        empty = spark.createDataFrame(
+            [(7, ""), (6, "   ")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in text.lm_score(empty, counts).collect()}
+        for r in out.values():
+            assert r["n_tokens"] == 0
+            assert r["avg_logp"] is None and r["ppl"] is None
