@@ -25,6 +25,7 @@ from jsonschema_spark.operators import (
     dedup,
     sampling,
     similarity,
+    temporal,
     text,
     transcripts,
 )
@@ -665,6 +666,73 @@ def q_window_gaps(spark, sf_dir):
     return (
         ev.select("user_id", "event_id", (secs - prev).alias("gap_sec"))
         .filter(F.col("gap_sec").isNotNull())
+    )
+
+
+def q_asof_purchase_attribution(spark, sf_dir):
+    """Backward as-of join (temporal.asof_join): attribute every
+    purchase event to the same user's most recent click at-or-before
+    the purchase (ties broken by max click event_id).  Scale shape:
+    union-tag + ONE window carry-forward — a single hash shuffle on
+    user_id for both inputs, no candidate-pair blow-up on hot users."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.asof_join(
+        purchases, clicks, on="user_id",
+        right_cols=["event_id"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def q_range_join_error_windows(spark, sf_dir):
+    """Keyed range join (temporal.range_join): each error event opens
+    a 48-hour window; count + sum the same user's non-error events
+    inside it (half-open [start, end)), keeping empty windows.  Scale
+    shape: intervals explode into day buckets (fan-out ≤ 3), probe
+    rows compute ONE bucket, and the join is a hash equi-join on
+    (user_id, bucket) with the range check residual — never a
+    nested-loop/inequality join.  Value sums snap to scaled longs
+    before aggregation so the result is exact."""
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 48 HOURS")).alias("w_end"),
+    )
+    others = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = temporal.range_join(
+        others, windows, left_ts="ts", start_col="w_start",
+        end_col="w_end", on=["user_id"], bucket_sec=86400, how="right",
+    )
+    v6 = F.round(F.col("value") * 1e6, 0).cast("long")
+    return (
+        joined.groupBy("window_id", "user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.coalesce(F.sum(v6), F.lit(0)).alias("__s6"),
+        )
+        .select(
+            "window_id",
+            "user_id",
+            "n_events",
+            F.round(F.col("__s6").cast("double") / 1e6, 6).alias("sum_value"),
+        )
     )
 
 
@@ -1507,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "stats_by_event_type": q_stats_by_event_type,
         "window_gaps": q_window_gaps,
+        "asof_purchase_attribution": q_asof_purchase_attribution,
+        "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
         "transform_events": q_transform_events,
@@ -2643,6 +2713,52 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
               FROM events
             ) WHERE gap_sec IS NOT NULL
+        """,
+        "asof_purchase_attribution": """
+            WITH c AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            j AS (
+              SELECT p.event_id, p.user_id,
+                     c.event_id AS click_event_id,
+                     epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC
+                     ) AS rn
+              FROM p LEFT JOIN c
+                ON c.user_id = p.user_id AND c.ts <= p.ts
+            )
+            SELECT event_id, user_id, click_event_id, gap_us
+            FROM j WHERE rn = 1
+        """,
+        "range_join_error_windows": """
+            WITH w AS (
+              SELECT event_id AS window_id, user_id,
+                     ts AS w_start, ts + INTERVAL 48 HOUR AS w_end
+              FROM events WHERE event_type = 'error'
+            ),
+            o AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 1000000.0) AS BIGINT) AS v6
+              FROM events WHERE event_type <> 'error'
+            ),
+            j AS (
+              SELECT w.window_id, w.user_id, o.event_id, o.v6
+              FROM w LEFT JOIN o
+                ON o.user_id = w.user_id
+               AND o.ts >= w.w_start AND o.ts < w.w_end
+            )
+            SELECT window_id, user_id,
+                   COUNT(event_id) AS n_events,
+                   round(CAST(COALESCE(SUM(v6), 0) AS DOUBLE) / 1000000.0, 6)
+                     AS sum_value
+            FROM j GROUP BY window_id, user_id
         """,
 
         "transform_events": """
