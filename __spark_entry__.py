@@ -533,16 +533,16 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute-force mode for the
     oracle; LSH-bucketed variant benchmarked separately)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.4, planes=0).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
-    )
+    return dedup.embedding_neardup_pairs(
+        emb, threshold=0.4, planes=0, dims=64
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k (k=10) for query vectors vec_id<5."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    out = similarity.brute_force_topk(emb, q, k=10)
+    out = similarity.brute_force_topk(emb, q, k=10, dims=64)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -1206,7 +1206,7 @@ def q_semantic_dedup(spark, sf_dir):
     label closure."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, threshold=0.4, n_clusters=8, iters=2
+        emb, threshold=0.4, n_clusters=8, iters=2, dims=64
     )
 
 

@@ -120,6 +120,10 @@ HEADLINE = [
     "context_windows",
     # round 3 (late): deterministic k-means topic clustering
     "cluster_embeddings",
+    # round 3 (late): temporal joins — as-of (union-tag + window
+    # carry-forward) and keyed range join (bucket equi-join)
+    "asof_purchase_attribution",
+    "range_join_error_windows",
 ]
 
 

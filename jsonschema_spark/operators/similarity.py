@@ -30,6 +30,7 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
 
@@ -37,7 +38,8 @@ def brute_force_topk(
     the small side by construction) → per-query window top-k.  The
     window partitions by query_id (bounded cardinality ⇒ no skew
     concern) and orders by (cosine desc, neighbor_id) for deterministic
-    tie-breaks.
+    tie-breaks.  ``dims`` switches the per-pair cosine to the
+    bit-identical unrolled codegen fold (dedup.dot_unrolled).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -45,12 +47,21 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    if dims is not None:
+        from .dedup import dot_unrolled
+
+        cos = dot_unrolled(F.col("qv"), F.col("cv"), dims) / (
+            F.sqrt(dot_unrolled(F.col("qv"), F.col("qv"), dims))
+            * F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dims))
+        )
+    else:
+        cos = cosine(F.col("qv"), F.col("cv"))
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        cos.alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -286,6 +297,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embedding column:
     ``(id, canonical_id, is_duplicate)``.
@@ -303,24 +315,48 @@ def semantic_dedup(
     Everything is deterministic (quantized k-means, fixed fold-order
     cosine, min-label canon), so the full pipeline sits under the
     value-hash oracle.
-    """
-    from .dedup import duplicate_clusters
 
+    ``dims`` (the embedding width — statically known in any real
+    pipeline) swaps the interpreted zip_with/aggregate dot product for
+    ``dedup.dot_unrolled``: the same left-associated IEEE fold as a
+    flat codegen expression, bit-identical values, ~10× cheaper inside
+    the pair join.  Self-norms are hoisted to ONE sqrt(dot(v,v)) per
+    ROW before the join (pure common-subexpression motion — identical
+    input bits give identical norm bits, so the pair predicate is
+    unchanged), leaving each candidate pair exactly one dot product
+    instead of three.
+    """
+    from .dedup import dot_double, dot_unrolled, duplicate_clusters
+
+    dot = (
+        (lambda x, y: dot_unrolled(x, y, dims))
+        if dims is not None
+        else dot_double
+    )
     assign = kmeans_embeddings(
         corpus, n_clusters, iters, vec_col, id_col, seed
     ).select(F.col(id_col), F.col("cluster"))
-    withc = corpus.select(id_col, vec_col).join(assign, id_col)
+    withc = (
+        corpus.select(id_col, vec_col)
+        .join(assign, id_col)
+        .withColumn("__norm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    )
     a = withc.select(
-        F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"), "cluster",
+        F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
     )
     b = withc.select(
-        F.col(id_col).alias("id_b"), "cluster", F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"), "cluster",
+        F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
     )
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b")

@@ -177,6 +177,29 @@ def test_semantic_dedup_no_cartesian_product(spark, vectors):
     assert "CartesianProduct" not in plan
 
 
+def test_dot_unrolled_bit_identical_to_hof(spark, vectors):
+    # the codegen fast path must reproduce the HOF fold EXACTLY —
+    # threshold comparisons sit on raw (unrounded) cosines
+    pairs = vectors.alias("x").crossJoin(vectors.alias("y")).select(
+        dedup.dot_double(F.col("x.embedding"), F.col("y.embedding"))
+        .alias("hof"),
+        dedup.dot_unrolled(F.col("x.embedding"), F.col("y.embedding"), 8)
+        .alias("unrolled"),
+    )
+    assert pairs.filter(F.col("hof") != F.col("unrolled")).count() == 0
+
+
+def test_semantic_dedup_dims_fast_path_identical(spark, vectors):
+    slow = similarity.semantic_dedup(
+        vectors, threshold=0.9, n_clusters=4, iters=1
+    ).collect()
+    fast = similarity.semantic_dedup(
+        vectors, threshold=0.9, n_clusters=4, iters=1, dims=8
+    ).collect()
+    key = lambda r: (r["vec_id"], r["canonical_id"], r["is_duplicate"])
+    assert sorted(map(key, slow)) == sorted(map(key, fast))
+
+
 def test_text_token_counts(spark):
     df = spark.createDataFrame(
         [(0, "Hello, world! 42 times"), (1, ""), (2, "   "), (3, "one")],
