@@ -50,9 +50,18 @@ def brute_force_topk(
     if dims is not None:
         from .dedup import dot_unrolled
 
+        # hoist self-norms to one per-row sqrt(dot(v,v)) on each side
+        # (identical input bits -> identical norm bits, so bit-equal to
+        # the 3-dot form); keeps the join-side codegen method small —
+        # three inlined 64-term dots overflow Janino's 64 KB limit
+        q = q.withColumn(
+            "__nq", F.sqrt(dot_unrolled(F.col("qv"), F.col("qv"), dims))
+        )
+        c = c.withColumn(
+            "__nc", F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dims))
+        )
         cos = dot_unrolled(F.col("qv"), F.col("cv"), dims) / (
-            F.sqrt(dot_unrolled(F.col("qv"), F.col("qv"), dims))
-            * F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dims))
+            F.col("__nq") * F.col("__nc")
         )
     else:
         cos = cosine(F.col("qv"), F.col("cv"))
