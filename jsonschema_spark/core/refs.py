@@ -443,7 +443,7 @@ def split_path(path: str) -> list[str | int]:
     """Split a jsonpath-lite string ('a.b[0].c', optionally '$.'-rooted)
     into segments; ints are array indices.  Escaped dots ('\\.')
     supported as in easy_jsonpath.go:86-130."""
-    if path.startswith("$"):
+    if path.startswith("$") and not path.startswith("${"):
         path = path[1:]
     if path.startswith("."):
         path = path[1:]
@@ -484,9 +484,12 @@ def resolve(root: ValueRef, path: str) -> ValueRef:
     """Resolve a jsonpath-lite string from the root document ref.
 
     ``${var}`` segments are INDIRECT keys (jsonpath.go:452-481): the key
-    is the runtime value of another document path.  Static structs
-    cannot be indexed dynamically, so indirect segments require the
-    parent to be a MapType column."""
+    is the runtime value of another document path.  Map and Variant
+    parents index natively; a FIXED-STRUCT parent (incl. the root row)
+    is first re-encoded as a Variant object (``to_variant_object``) so
+    the lookup — and everything below it — gets the reference's
+    runtime-kind dispatch (its values are ``interface{}``); only a
+    scalar parent is statically unresolvable (nil in the reference)."""
     ref = root
     for seg in split_path(path):
         if isinstance(seg, int):
@@ -495,26 +498,43 @@ def resolve(root: ValueRef, path: str) -> ValueRef:
         m = _DYN.match(seg)
         if m:
             key_ref = resolve(root, m.group(1))
-            if isinstance(ref.dtype, T.VariantType):
+            key_str = (
+                key_ref.str_of()
+                if isinstance(key_ref.dtype, T.VariantType)
+                else (
+                    F.lit(None).cast("string")
+                    if key_ref.col is None or not key_ref.exists
+                    else key_ref.col.cast("string")
+                )
+            )
+            base = ref
+            if isinstance(base.dtype, T.StructType):
+                # fixed struct (or the root row): one Variant re-encode,
+                # then the ordinary variant walk below
+                struct_col = (
+                    F.struct(*[F.col(f_.name) for f_ in base.dtype.fields])
+                    if base.col is None
+                    else base.col
+                )
+                base = ValueRef(
+                    F.to_variant_object(struct_col), T.VariantType(), base.path
+                )
+            if isinstance(base.dtype, T.VariantType):
                 ref = ValueRef(
-                    F.try_element_at(
-                        ref.v_object(), key_ref.str_of()
-                        if isinstance(key_ref.dtype, T.VariantType)
-                        else key_ref.col.cast("string")
-                    ),
+                    F.try_element_at(base.v_object(), key_str),
                     T.VariantType(),
                     f"{ref.path}.${{{m.group(1)}}}",
                 )
-            elif isinstance(ref.dtype, T.MapType):
+            elif isinstance(base.dtype, T.MapType):
                 ref = ValueRef(
                     F.try_element_at(
-                        ref.col, key_ref.col.cast(ref.dtype.keyType)
+                        base.col, key_ref.col.cast(base.dtype.keyType)
                     ),
-                    ref.dtype.valueType,
+                    base.dtype.valueType,
                     f"{ref.path}.${{{m.group(1)}}}",
                 )
             else:
-                # dynamic key on a fixed struct: statically unresolvable
+                # dynamic key on a scalar parent: statically unresolvable
                 ref = ValueRef(
                     F.lit(None), None, f"{ref.path}.${{{m.group(1)}}}", exists=False
                 )

@@ -94,13 +94,51 @@ def test_indirect_jsonpath_key(spark):
     assert [(r["user"], r["path"]) for r in v] == [("u2", "$.attrs.${want}")]
 
 
-def test_indirect_key_on_struct_is_missing(spark):
+def test_indirect_key_on_scalar_is_missing(spark):
     df = spark.createDataFrame([("u1", "x")], "user string, want string")
-    # dynamic key on a fixed struct: value is statically missing; eq
+    # dynamic key on a SCALAR parent: nil in the reference too; eq
     # compares StringOf(nil)="" vs "red" and FAILS, like the reference
     # (keyMatch coercing equal, validator_logic.go:257-335)
     plan = js.compile_schema({"eq": {"user.${want}": "red"}})
     assert plan.validate(df, keys=["user"]).violations.count() == 1
+
+
+def test_indirect_key_on_fixed_struct(spark):
+    """${var} indirect key on a fixed-STRUCT parent: the struct is
+    re-encoded as a Variant object (to_variant_object) so the lookup
+    gets the reference's interface{} runtime dispatch
+    (jsonpath.go:452-481 indexes any map value)."""
+    df = spark.createDataFrame(
+        [("u1", "color", ("red", "L")), ("u2", "size", ("blue", "XL"))],
+        "user string, want string, attrs struct<color:string, size:string>",
+    )
+    plan = js.compile_schema({"eq": {"attrs.${want}": "red"}})
+    v = plan.validate(df, keys=["user"]).violations.collect()
+    assert [(r["user"], r["path"]) for r in v] == [("u2", "$.attrs.${want}")]
+
+
+def test_indirect_key_on_root_row(spark):
+    """${var} as a top-level segment indexes the ROOT row's fixed
+    columns (the reference's document root is map[string]interface{})."""
+    df = spark.createDataFrame(
+        [("u1", "color", "red", "L"), ("u2", "size", "blue", "XL")],
+        "user string, want string, color string, size string",
+    )
+    plan = js.compile_schema({"eq": {"${want}": "red"}})
+    v = plan.validate(df, keys=["user"]).violations.collect()
+    assert [(r["user"], r["path"]) for r in v] == [("u2", "$.${want}")]
+
+
+def test_indirect_key_numeric_runtime_kind(spark):
+    """A numeric struct field fetched through the Variant re-encode
+    keeps its runtime kind: gt compares numerically, not as string."""
+    df = spark.createDataFrame(
+        [("u1", "n", (5, "x")), ("u2", "n", (11, "y"))],
+        "user string, want string, attrs struct<n:int, s:string>",
+    )
+    plan = js.compile_schema({"gt": {"attrs.${want}": 10}})
+    v = plan.validate(df, keys=["user"]).violations.collect()
+    assert [r["user"] for r in v] == ["u1"]
 
 
 def test_foreach_set_accumulation_nested(spark):
