@@ -616,6 +616,25 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_span_dup_stats(spark, sf_dir):
+    """Cross-document duplicated-SPAN profile (substring-level dedup,
+    Lee et al. 2022 shape): winnow-selected 8-token window hashes,
+    per-doc duplicated fraction.  operators/dedup.py span_dup_stats."""
+    docs = _docs(spark, sf_dir)
+    return dedup.span_dup_stats(docs, width=8, winnow=4)
+
+
+BM25_QUERY = ["spark", "window", "hash", "join"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 retrieval over documents — zero-shuffle two-scan
+    design (codegen tf via string arithmetic + one broadcast stats
+    row).  operators/text.py bm25_topk."""
+    docs = _docs(spark, sf_dir)
+    return text.bm25_topk(docs, BM25_QUERY, k=20)
+
+
 def q_validate_part(spark, sf_dir):
     """multipleOf + bounds + enum over part (SURVEY §2.1)."""
     part = _t(spark, sf_dir, "part")
@@ -1619,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": q_lm_score_docs,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "span_dup_docs": q_span_dup_stats,
+        "bm25_topk_docs": q_bm25_topk,
         "transcript_integrity": q_transcript_integrity,
         "transcript_rollup": q_transcript_rollup,
         "dedup_conversations": q_dedup_conversations,
@@ -1796,6 +1817,83 @@ def _oracle_fingerprint() -> str:
              range(1, greatest(len(toks) - 7, 1) + 1),
              i -> {_sql_md5_long(gram)})) AS fingerprint
     FROM d
+    """
+
+
+def _oracle_span_dup_stats(width: int = 8, winnow: int = 4) -> str:
+    norm = _SQL_NORM.format(col="text")
+    gram = (
+        f"array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+{width - 1}], ' ')"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(toks) - {width - 1}, 1) + 1),
+                   i -> {_sql_md5_long(gram)}) AS hs
+          FROM d),
+    s0 AS (SELECT doc_id, hs, unnest(range(1, len(hs) + 1)) AS p FROM w),
+    s AS (SELECT doc_id, hs[CAST(p AS INT)] AS h
+          FROM s0
+          WHERE hs[CAST(p AS INT)]
+                = list_min(hs[CAST(p AS INT):CAST(p AS INT)+{winnow - 1}])),
+    hot AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    per AS (SELECT s.doc_id,
+                   count(*) AS n_selected,
+                   CAST(sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM s LEFT JOIN hot ON s.h = hot.h
+            GROUP BY s.doc_id)
+    SELECT doc_id, n_selected, n_dup,
+           round(CAST(n_dup AS DOUBLE) / CAST(n_selected AS DOUBLE), 6)
+             AS dup_frac
+    FROM per
+    """
+
+
+def _oracle_bm25_topk(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    norm = _SQL_NORM.format(col="text")
+    terms = list(dict.fromkeys(BM25_QUERY))
+    tf_cols = ", ".join(
+        "CAST(floor((length(sp) - length(replace(sp, ' {t} ', '')))"
+        " / {L}) AS BIGINT) AS tf_{i}".format(t=t, L=len(t) + 2, i=i)
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    # mirror the Spark expression tree exactly: same literals, same
+    # associativity, per-term snap to round(c*1e9) BIGINT before summing
+    contribs = " + ".join(
+        f"""(CASE WHEN tf_{i} > 0 THEN CAST(round(
+            ln(1.0 + (CAST(N AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)
+                      / (CAST(df_{i} AS DOUBLE) + 0.5))
+            * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0))
+            / (CAST(tf_{i} AS DOUBLE)
+               + {k1} * ((1.0 - {b}) + {b} * CAST(dl AS DOUBLE)
+                         / (CAST(L AS DOUBLE) / CAST(N AS DOUBLE))))
+            * 1e9, 0) AS BIGINT) ELSE 0 END)"""
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {norm} AS nrm FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN length(nrm) = 0 THEN 0
+                  ELSE len(string_split(nrm, ' ')) END AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, nrm,
+                   ' ' || replace(nrm, ' ', '  ') || ' ' AS sp FROM base)),
+    stats AS (
+      SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS L, {df_cols} FROM feat),
+    scored AS (
+      SELECT doc_id, CAST(({contribs}) AS DOUBLE) / 1e9 AS s
+      FROM feat, stats)
+    SELECT doc_id, round(s, 6) AS score
+    FROM scored WHERE s > 0
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
 
@@ -3030,6 +3128,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score_docs": _oracle_lm_score(),
         "text_quality": _oracle_text_quality(),
         "doc_fingerprint": _oracle_fingerprint(),
+        "span_dup_docs": _oracle_span_dup_stats(),
+        "bm25_topk_docs": _oracle_bm25_topk(),
         "transcript_integrity": _oracle_transcript_integrity(),
         "transcript_rollup": _oracle_transcript_rollup(),
         "dedup_conversations": _oracle_minhash(docs_sql=_SQL_CONV_DOCS),

@@ -124,6 +124,10 @@ HEADLINE = [
     # carry-forward) and keyed range join (bucket equi-join)
     "asof_purchase_attribution",
     "range_join_error_windows",
+    # round 3 (late): substring-level dedup (winnowed duplicated spans)
+    # and BM25 retrieval (zero-shuffle two-scan scoring)
+    "span_dup_docs",
+    "bm25_topk_docs",
 ]
 
 

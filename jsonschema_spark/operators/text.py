@@ -339,3 +339,109 @@ def lm_score(
             F.round(F.exp(-avg), 6).alias("ppl"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# BM25 retrieval scoring
+# --------------------------------------------------------------------
+
+def _term_tf(norm: Column, term: str) -> Column:
+    """Occurrence count of a word in normalized text, pure codegen.
+    Spaces are doubled first so adjacent occurrences never share a
+    delimiter (' a a ' counts 2, not 1 — the non-overlapping-replace
+    pitfall _stopword_hits tolerates is not acceptable for tf)."""
+    spread = F.concat(
+        F.lit(" "), F.replace(norm, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    token = f" {term} "
+    return F.floor(
+        (F.length(spread) - F.length(F.replace(spread, F.lit(token), F.lit(""))))
+        / F.lit(len(token))
+    ).cast("long")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25(Okapi) score of every document against a bag-of-words
+    query: (id, score) for documents matching at least one term.
+
+    Spark-first shape — NO explode, NO token join:
+    * per-term tf and doclen are pure string/length arithmetic on the
+      normalized text (whole-stage codegen, one scan);
+    * corpus stats (N, total length, per-term document frequencies)
+      are ONE map-side-partial aggregation producing a single row,
+      broadcast back (the classic two-scan pattern; at 100 TB the
+      stats pass shuffles one row per partition);
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson/Sparck
+      Jones, the Lucene variant — strictly positive).
+
+    Determinism contract: each term's contribution is snapped to a
+    scaled long (round(x * 1e9)) before the cross-term sum, the same
+    convention as lm_score, so the DuckDB oracle lands on identical
+    values."""
+    if not query:
+        raise ValueError("bm25_scores: empty query")
+    norm = normalize_text(F.col(text_col))
+    terms = list(dict.fromkeys(query))  # dedupe, keep order
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("__dl"),
+        *[_term_tf(norm, t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("__dl").alias("__L"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__L").cast("double") / F.col("__N").cast("double")
+    contrib9 = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfq = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N").cast("double") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        c = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl)
+        )
+        contrib9.append(
+            F.when(F.col(f"__tf_{i}") > 0, F.round(c * 1e9, 0).cast("long")).otherwise(F.lit(0))
+        )
+    total9 = contrib9[0]
+    for c9 in contrib9[1:]:
+        total9 = total9 + c9
+    return (
+        scored.select(
+            F.col(id_col), (total9.cast("double") / 1e9).alias("__s")
+        )
+        .filter(F.col("__s") > 0)
+        .select(F.col(id_col), F.round("__s", 6).alias("score"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits, deterministic tie-break on id ascending.
+    orderBy+limit compiles to TakeOrderedAndProject: each partition
+    keeps its local top-k, the driver merges k rows per partition —
+    no global sort at any scale."""
+    scored = bm25_scores(df, query, text_col, id_col, k1, b)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
