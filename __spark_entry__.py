@@ -635,6 +635,37 @@ def q_bm25_topk(spark, sf_dir):
     return text.bm25_topk(docs, BM25_QUERY, k=20)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming ingest dedup: first occurrence of each distinct
+    normalized text passes, later duplicates are dropped in-stream
+    (streaming/dedup.py; dropDuplicates state = one row per distinct
+    doc).  Drained with availableNow; the emitted (hash, norm) SET is
+    deterministic and the oracle is a plain SELECT DISTINCT."""
+    from jsonschema_spark.streaming.dedup import stream_exact_dedup
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream_exact_dedup(stream, text_col="text").select(
+        F.col("__h").alias("content_hash"), F.col("__norm").alias("norm_text")
+    )
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    name = f"stream_dedup_sink_{_STREAM_SINK_N}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def q_validate_part(spark, sf_dir):
     """multipleOf + bounds + enum over part (SURVEY §2.1)."""
     part = _t(spark, sf_dir, "part")
@@ -1597,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_attribution": q_asof_purchase_attribution,
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
+        "stream_dedup_docs": q_stream_dedup,
         "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
         "transform_events": q_transform_events,
         "stats_lineitem": q_stats_lineitem,
@@ -2740,6 +2772,12 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY event_type
+        """,
+        "stream_dedup_docs": f"""
+        SELECT DISTINCT
+          {_sql_md5_long(_SQL_NORM.format(col='text'))} AS content_hash,
+          {_SQL_NORM.format(col='text')} AS norm_text
+        FROM documents
         """,
         "stream_windowed_verdicts": """
             WITH v AS (

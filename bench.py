@@ -128,6 +128,8 @@ HEADLINE = [
     # and BM25 retrieval (zero-shuffle two-scan scoring)
     "span_dup_docs",
     "bm25_topk_docs",
+    # round 3 (late): streaming ingest dedup (availableNow drain)
+    "stream_dedup_docs",
 ]
 
 
