@@ -635,6 +635,16 @@ def q_bm25_topk(spark, sf_dir):
     return text.bm25_topk(docs, BM25_QUERY, k=20)
 
 
+def q_mixture(spark, sf_dir):
+    """Temperature-based mixture resampling (tau=2 upweights small
+    sources): per-doc repetition counts whose expectation hits the
+    p^(1/tau) targets exactly.  operators/sampling.temperature_mixture."""
+    docs = _docs(spark, sf_dir)
+    return sampling.temperature_mixture(
+        docs, group_col="source", id_col="doc_id", tau=2.0
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup: first occurrence of each distinct
     normalized text passes, later duplicates are dropped in-stream
@@ -1629,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
+        "mixture_docs": q_mixture,
         "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
         "transform_events": q_transform_events,
         "stats_lineitem": q_stats_lineitem,
@@ -2772,6 +2783,27 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS max_value,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY event_type
+        """,
+        "mixture_docs": f"""
+        WITH counts AS (
+          SELECT source, count(*) AS gn FROM documents GROUP BY source),
+        powed AS (
+          SELECT source, gn, pow(CAST(gn AS DOUBLE), 1.0 / 2.0) AS w
+          FROM counts),
+        norm AS (
+          SELECT sum(w) AS z, CAST(sum(gn) AS BIGINT) AS nt FROM powed),
+        factors AS (
+          SELECT source,
+                 least(CAST(nt AS DOUBLE) * (w / z) / CAST(gn AS DOUBLE),
+                       16.0) AS r
+          FROM powed, norm)
+        SELECT d.doc_id, d.source,
+               CAST(floor(r) AS INT)
+               + (CASE WHEN ({_sql_md5_long('CAST(doc_id AS VARCHAR)', seed=7)}
+                            % 1000000000)
+                       < CAST(round((r - floor(r)) * 1000000000, 0) AS BIGINT)
+                  THEN 1 ELSE 0 END) AS n_reps
+        FROM documents d JOIN factors USING (source)
         """,
         "stream_dedup_docs": f"""
         SELECT DISTINCT

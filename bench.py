@@ -130,6 +130,8 @@ HEADLINE = [
     "bm25_topk_docs",
     # round 3 (late): streaming ingest dedup (availableNow drain)
     "stream_dedup_docs",
+    # round 3 (late): temperature mixture resampling
+    "mixture_docs",
 ]
 
 

@@ -231,3 +231,67 @@ def pack_sequences(
         (start % seq_len).cast("long").alias("begin_offset"),
         F.floor((F.col("__cum") - 1) / seq_len).cast("long").alias("end_seq"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tau: float = 2.0,
+    total: int | None = None,
+    seed: int = 7,
+    max_reps: int = 16,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual /
+    data-mixing recipe: sample source i proportionally to
+    p_i^(1/tau), tau>1 upweights small sources).
+
+    Returns (id, group, n_reps): how many times each document appears
+    in the resampled corpus.  Per-group repeat factor
+    r_g = total * q_g / n_g where q_g = n_g^(1/tau) / sum_h n_h^(1/tau);
+    each document gets floor(r_g) copies plus one more iff its unit
+    hash falls under frac(r_g) — a pure function of the row, so the
+    expected group sizes hit the targets exactly and the decision
+    replays identically at any parallelism (and in the oracle).
+    ``max_reps`` caps pathological upweighting of tiny sources (the
+    standard repetition-harm guard).
+
+    Scale: ONE tiny groupBy(group) count (map-side partial, rows =
+    distinct groups) broadcast back; the per-row decision is codegen.
+    Emitting physical copies is the consumer's explode — kept OUT of
+    this operator so the heavy row-multiplication happens exactly
+    where the pipeline wants it."""
+    if tau <= 0:
+        raise ValueError("temperature_mixture: tau must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    # q_g numerators and the normalizer, all driver-free: one more
+    # tiny agg over the counts table, crossed back in
+    powed = counts.select(
+        F.col(group_col),
+        F.col("__gn"),
+        F.pow(F.col("__gn").cast("double"), F.lit(1.0 / tau)).alias("__w"),
+    )
+    norm = powed.agg(
+        F.sum("__w").alias("__Z"), F.sum("__gn").alias("__NT")
+    )
+    factors = powed.crossJoin(F.broadcast(norm)).select(
+        F.col(group_col),
+        F.least(
+            (
+                F.coalesce(F.lit(total).cast("double"), F.col("__NT").cast("double"))
+                * (F.col("__w") / F.col("__Z"))
+                / F.col("__gn").cast("double")
+            ),
+            F.lit(float(max_reps)),
+        ).alias("__r"),
+    )
+    out = df.join(F.broadcast(factors), group_col)
+    frac9 = F.round((F.col("__r") - F.floor(F.col("__r"))) * _RES, 0).cast("long")
+    extra = (
+        _unit_hash(F.col(id_col).cast("string"), seed=seed) < frac9
+    ).cast("int")
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        (F.floor(F.col("__r")).cast("int") + extra).alias("n_reps"),
+    )
