@@ -349,6 +349,15 @@ def semantic_dedup(
         corpus.select(id_col, vec_col)
         .join(assign, id_col)
         .withColumn("__norm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+        # materialize ONCE and truncate lineage: the self-join below
+        # consumes this twice, and without the cut each branch carries
+        # the full k-means plan — Catalyst re-analyzes two copies of
+        # that tree per downstream action (measured 65s of driver time
+        # to count 317 pairs).  At cluster scale this is the same
+        # persist-the-projected-input step SemDeDup needs anyway;
+        # localCheckpoint is local-mode's stand-in for a reliable
+        # checkpoint dir.
+        .localCheckpoint(eager=True)
     )
     a = withc.select(
         F.col(id_col).alias("id_a"), "cluster",
@@ -403,19 +412,56 @@ def _km_quantize(v: Column) -> Column:
     )
 
 
-def _km_score(vq: Column, cent: list[float]) -> Column:
-    """argmin-equivalent score of a quantized vector against one
-    centroid (scaled-double space): ||v-c||^2 - ||v||^2 = sum_d
-    (c_d^2 - 2 v_d c_d), folded left-to-right in dim order — the same
-    textual chain the DuckDB oracle evaluates, so bit-identical."""
-    score = F.lit(0.0)
-    for d, c in enumerate(cent):
-        cd = float(c)
-        score = score + (
-            F.lit(cd * cd)
-            - F.lit(2.0 * cd) * F.element_at(vq, d + 1).cast("double")
+def _dlit(x: float) -> str:
+    """Exact double literal for SQL: repr() is Python's shortest
+    round-trip form and CAST(string AS DOUBLE) parses it back to the
+    identical bits, so the JVM sees the same doubles the driver
+    computed (constant-folded at plan time)."""
+    return f"cast('{float(x)!r}' as double)"
+
+
+def _km_scores_arr(vq_name: str, cents: list[list[float]]) -> Column:
+    """array<double>: the _km_score fold against every centroid, the
+    UNROLLED codegen chain built as ONE SQL string.
+
+    Why this form (both alternatives were measured and rejected):
+    * building it as k x dims Python Column objects costs thousands of
+      py4j round-trips and a duplicated ~4000-node tree that Catalyst
+      re-walks for seconds PER ACTION (15.3s driver time vs 2.1s of
+      execution at k=8, dims=64);
+    * compiling it as transform/aggregate higher-order functions keeps
+      the tree small but HOF lambdas are INTERPRETED per element —
+      ~14ms/row (28s for 2,000 rows), a ~100x tax over codegen that
+      would be fatal at corpus scale.
+    One F.expr parse is ~ms on the driver, the flat arithmetic stays
+    in whole-stage codegen (each array element is its own expression,
+    well under Janino's method limit), and the chain is term-for-term
+    identical to the original fold — the DuckDB oracle replays it
+    bit-exactly."""
+    scores = []
+    for cent in cents:
+        terms = " + ".join(
+            f"({_dlit(c * c)} - {_dlit(2.0 * c)} "
+            f"* cast(element_at({vq_name}, {d + 1}) as double))"
+            for d, c in enumerate(float(x) for x in cent)
         )
-    return score
+        scores.append(f"({_dlit(0.0)} + {terms})")
+    return F.expr("array(" + ", ".join(scores) + ")")
+
+
+def _km_d2_arr(vq_name: str, cents: list[list[float]]) -> Column:
+    """array<double>: squared L2 to every centroid (scaled space), same
+    left-assoc fold as _km_scores_arr and the same SQL-string build
+    rationale."""
+    d2s = []
+    for cent in cents:
+        terms = " + ".join(
+            f"((cast(element_at({vq_name}, {d + 1}) as double) - {_dlit(c)}) "
+            f"* (cast(element_at({vq_name}, {d + 1}) as double) - {_dlit(c)}))"
+            for d, c in enumerate(float(x) for x in cent)
+        )
+        d2s.append(f"({_dlit(0.0)} + {terms})")
+    return F.expr("array(" + ", ".join(d2s) + ")")
 
 
 def kmeans_embeddings(
@@ -472,15 +518,23 @@ def kmeans_embeddings(
         [float(x) for x in r["vq"]] for r in sample
     ]
 
-    def assign(cents: list[list[float]]) -> Column:
-        scores = F.array(*[_km_score(F.col("vq"), c) for c in cents])
-        return (
-            F.array_position(scores, F.array_min(scores)).cast("int") - 1
+    def assign_df(cents: list[list[float]]) -> DataFrame:
+        """(vid, vq, cluster): scores materialized as ONE named column
+        so argmin references an attribute, not a re-inlined tree."""
+        return vq_corpus.select(
+            "vid", "vq", _km_scores_arr("vq", cents).alias("__sc")
+        ).select(
+            "vid",
+            "vq",
+            (
+                F.array_position(F.col("__sc"), F.array_min("__sc")).cast("int")
+                - 1
+            ).alias("cluster"),
         )
 
     for _ in range(iters):
-        assigned = vq_corpus.select(
-            assign(centroids).alias("cluster"), F.posexplode("vq")
+        assigned = assign_df(centroids).select(
+            "cluster", F.posexplode("vq")
         )
         sums = (
             assigned.groupBy("cluster", "pos")
@@ -505,28 +559,23 @@ def kmeans_embeddings(
             for j in range(n_clusters)
         ]
 
-    final_cluster = assign(centroids)
     # true L2 in unscaled units: sqrt(sum_d (v_d - c_d)^2) / SCALE,
-    # same left-assoc chain per cluster as the score fold
-    dists = []
-    for c in centroids:
-        d2 = F.lit(0.0)
-        for d, cd in enumerate(c):
-            diff = F.element_at(F.col("vq"), d + 1).cast("double") - F.lit(
-                float(cd)
-            )
-            d2 = d2 + diff * diff
-        dists.append(d2)
-    dist = F.round(
-        F.sqrt(F.element_at(F.array(*dists), F.col("cluster") + 1))
-        / F.lit(float(_KM_SCALE)),
-        6,
-    )
+    # same left-assoc chain per cluster as the score fold; the d2 array
+    # is its own named column for the same tree-duplication reason
     return (
-        vq_corpus.select(
+        assign_df(centroids)
+        .select(
             F.col("vid").alias(id_col),
-            final_cluster.alias("cluster"),
-            F.col("vq"),
+            "cluster",
+            _km_d2_arr("vq", centroids).alias("__d2"),
         )
-        .select(id_col, "cluster", dist.alias("dist"))
+        .select(
+            id_col,
+            "cluster",
+            F.round(
+                F.sqrt(F.element_at(F.col("__d2"), F.col("cluster") + 1))
+                / F.lit(float(_KM_SCALE)),
+                6,
+            ).alias("dist"),
+        )
     )
