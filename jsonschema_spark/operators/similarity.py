@@ -82,14 +82,22 @@ def brute_force_topk(
     )
 
 
-def _assign_cell(v: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid (max dot product; centroids are a
-    compile-time literal array-of-arrays, codegen'd inline)."""
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
-    scores = F.transform(cents, lambda c: dot_double(v, c))
-    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+def _cell_scores_arr(vec_name: str, centroids: list[list[float]]) -> Column:
+    """array<double>: dot product of the vector column against every
+    centroid, as ONE SQL-string unrolled codegen chain (same fold order
+    and per-dim products as dedup.dot_double, so bit-identical values —
+    multiplication operand order is IEEE-commutative).  Same build
+    rationale as _km_scores_arr: py4j Column chains cost seconds of
+    driver time, HOF lambdas evaluate interpreted per element."""
+    scores = []
+    for cent in centroids:
+        terms = " + ".join(
+            f"(cast(element_at({vec_name}, {d + 1}) as double) * "
+            f"cast('{float(c)!r}' as double))"
+            for d, c in enumerate(cent)
+        )
+        scores.append(f"(cast('0.0' as double) + {terms})")
+    return F.expr("array(" + ", ".join(scores) + ")")
 
 
 def ivf_topk(
@@ -128,7 +136,14 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _assign_cell(F.col(vec_col), centroids).alias("cell"),
+        _cell_scores_arr(vec_col, centroids).alias("__cs"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        (
+            F.array_position(F.col("__cs"), F.array_max("__cs")).cast("int")
+            - 1
+        ).alias("cell"),
     )
     cents = F.array(*[
         F.array(*[F.lit(float(x)) for x in cc]) for cc in centroids
