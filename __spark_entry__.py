@@ -1604,10 +1604,12 @@ def q_curate_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 40 == 0)
     corpus = docs.filter(F.col("doc_id") % 40 != 0)
-    flagged = curate.curate_flags(corpus, bench, quality_min=0.5)
+    flagged = curate.curate_flags(
+        corpus, bench, quality_min=0.5, span_dup_max=0.95
+    )
     return sampling.hash_split(flagged).select(
-        "doc_id", "is_exact_dup", "contaminated", "low_quality", "keep",
-        "split",
+        "doc_id", "is_exact_dup", "contaminated", "low_quality",
+        "boilerplate", "keep", "split",
     )
 
 
@@ -3222,6 +3224,9 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_curate() -> str:
     norm = _SQL_NORM.format(col="text")
     u = _sql_unit_hash("CAST(doc_id AS VARCHAR)")
+    mdl = _sql_md5_long(
+        "array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ')"
+    )
     tg = (
         "list_transform(range(1, len(t) - 1), "
         "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
@@ -3275,16 +3280,36 @@ def _oracle_curate() -> str:
                  0.0) AS quality_score
       FROM q
     ),
+    w AS (SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(t) - 7, 1) + 1),
+                   i -> {mdl}) AS hs
+          FROM toks),
+    s0 AS (SELECT doc_id, hs, unnest(range(1, len(hs) + 1)) AS p FROM w),
+    sel AS (SELECT doc_id, hs[CAST(p AS INT)] AS h
+            FROM s0
+            WHERE hs[CAST(p AS INT)]
+                  = list_min(hs[CAST(p AS INT):CAST(p AS INT)+3])),
+    hot AS (SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    bp AS (SELECT sel.doc_id,
+                  round(CAST(CAST(sum(CASE WHEN hot.h IS NOT NULL THEN 1
+                                      ELSE 0 END) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) > 0.95 AS boilerplate
+           FROM sel LEFT JOIN hot ON sel.h = hot.h
+           GROUP BY sel.doc_id),
     flags AS (
       SELECT c.doc_id,
              c.doc_id <> min(c.doc_id) OVER (PARTITION BY {norm})
                AS is_exact_dup,
              c.doc_id IN (SELECT doc_id FROM cont) AS contaminated,
-             s.quality_score < 0.5 AS low_quality
+             s.quality_score < 0.5 AS low_quality,
+             coalesce(bp.boilerplate, FALSE) AS boilerplate
       FROM corpus0 c JOIN score s USING (doc_id)
+      LEFT JOIN bp USING (doc_id)
     )
-    SELECT doc_id, is_exact_dup, contaminated, low_quality,
-           NOT (is_exact_dup OR contaminated OR low_quality) AS keep,
+    SELECT doc_id, is_exact_dup, contaminated, low_quality, boilerplate,
+           NOT (is_exact_dup OR contaminated OR low_quality OR boilerplate)
+             AS keep,
            CASE WHEN {u} < 900000000 THEN 'train'
                 WHEN {u} < 950000000 THEN 'val'
                 ELSE 'test' END AS split

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .decontam import contaminated_ids, decontaminate
-from .dedup import normalize_text
+from .dedup import normalize_text, span_dup_stats
 from .text import pii_redact, quality_score
 from .sampling import hash_split
 
@@ -42,6 +42,9 @@ def curate_flags(
     ngram: int = 3,
     min_overlap: int = 2,
     drop_ids: DataFrame | None = None,
+    span_dup_max: float | None = None,
+    span_width: int = 8,
+    span_winnow: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -51,7 +54,10 @@ def curate_flags(
     normalized text), ``contaminated`` (shares ≥ ``min_overlap`` word
     n-grams with a benchmark document), ``low_quality``
     (quality_score < ``quality_min``), ``is_listed`` (appears in
-    ``drop_ids``), ``keep`` (none of the above).
+    ``drop_ids``), ``boilerplate`` (``span_dup_max`` set and the
+    document's winnowed duplicated-span fraction exceeds it —
+    substring-level shared boilerplate, dedup.span_dup_stats), and
+    ``keep`` (none of the above).
     """
     scored = quality_score(docs, text_col)
 
@@ -110,6 +116,24 @@ def curate_flags(
     else:
         flagged = flagged.withColumn("is_listed", F.lit(False))
 
+    if span_dup_max is not None:
+        spans = span_dup_stats(
+            docs, text_col=text_col, id_col=id_col,
+            width=span_width, winnow=span_winnow,
+        ).select(
+            F.col(id_col).alias("__span_id"),
+            (F.col("dup_frac") > span_dup_max).alias("__bp"),
+        )
+        flagged = (
+            flagged.join(
+                spans, flagged[id_col] == spans["__span_id"], "left"
+            )
+            .withColumn("boilerplate", F.coalesce(F.col("__bp"), F.lit(False)))
+            .drop("__span_id", "__bp")
+        )
+    else:
+        flagged = flagged.withColumn("boilerplate", F.lit(False))
+
     return flagged.withColumn(
         "keep",
         ~(
@@ -117,6 +141,7 @@ def curate_flags(
             | F.col("contaminated")
             | F.col("low_quality")
             | F.col("is_listed")
+            | F.col("boilerplate")
         ),
     )
 
@@ -129,6 +154,7 @@ def curate(
     ngram: int = 3,
     min_overlap: int = 2,
     drop_ids: DataFrame | None = None,
+    span_dup_max: float | None = None,
     split_weights: dict[str, float] | None = None,
     redact: bool = True,
     text_col: str = "text",
@@ -144,7 +170,7 @@ def curate(
         flagged = curate_flags(
             docs, benchmark, quality_min=quality_min, ngram=ngram,
             min_overlap=min_overlap, drop_ids=drop_ids,
-            text_col=text_col, id_col=id_col,
+            span_dup_max=span_dup_max, text_col=text_col, id_col=id_col,
         )
     kept = flagged.filter("keep").select(
         *docs.columns, F.round("quality_score", 6).alias("quality_score")
@@ -165,6 +191,7 @@ def curation_report(flagged: DataFrame) -> DataFrame:
         b("contaminated").alias("n_contaminated"),
         b("low_quality").alias("n_low_quality"),
         b("is_listed").alias("n_listed"),
+        b("boilerplate").alias("n_boilerplate"),
         b("keep").alias("n_kept"),
         (b("keep") / F.count(F.lit(1))).alias("kept_frac"),
     )

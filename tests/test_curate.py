@@ -121,3 +121,36 @@ class TestCurateCLI:
             ).fetchall()
         }
         assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_boilerplate_flag(spark):
+    from jsonschema_spark.operators import curate as C
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared),                            # all windows shared with 2
+        (2, shared),
+        (3, "completely unique words that nobody else ever typed here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = C.curate_flags(
+        df, quality_min=None, span_dup_max=0.5,
+        span_width=4, span_winnow=2,
+    )
+    got = {r["doc_id"]: (r["boilerplate"], r["keep"]) for r in flagged.collect()}
+    assert got[3] == (False, True)
+    # doc 1 keeps (min-id exact-dup keeper) but is boilerplate-flagged;
+    # doc 2 is both an exact dup and boilerplate
+    assert got[1][0] is True and got[1][1] is False
+    assert got[2] == (True, False)
+    rep = C.curation_report(flagged).collect()[0]
+    assert rep["n_boilerplate"] == 2 and rep["n_kept"] == 1
+
+
+def test_boilerplate_off_by_default(spark):
+    from jsonschema_spark.operators import curate as C
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")],
+                               "doc_id long, text string")
+    flagged = C.curate_flags(df, quality_min=None)
+    assert flagged.filter("boilerplate").count() == 0
