@@ -141,3 +141,69 @@ def test_script_for_fold_stays_codegen(spark):
     p = plan_of(plan.transform(df))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_span_dedup_no_cartesian_and_single_hash_pass(spark):
+    """duplicated_spans: the hash array must materialize in its own
+    Project (one md5 pass per doc — the O(n^2) re-inlining regression),
+    the hot-list join stays an equality join, nothing cartesian."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    p = plan_of(dedup.duplicated_spans(df, width=4, winnow=2))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the materialized hash-array column appears as an alias exactly
+    # where the two-level projection puts it
+    assert "__hs" in p
+
+
+def test_bm25_topk_take_ordered_no_shuffle_scoring(spark):
+    """bm25_topk: stats ride in via ONE broadcast (single-row agg), the
+    scoring pass is codegen arithmetic, top-k is TakeOrderedAndProject
+    (per-partition top-k, driver merge — no global Sort)."""
+    from jsonschema_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "spark window"), (2, "hash join")], "doc_id long, text string"
+    )
+    p = plan_of(T.bm25_topk(df, ["spark", "join"], k=3))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mixture_single_tiny_agg_broadcast_back(spark):
+    """temperature_mixture: ONE group count (map-side partial), factors
+    broadcast back; the per-row decision adds no extra Exchange."""
+    from jsonschema_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)],
+        "doc_id long, source string",
+    )
+    p = plan_of(temperature_mixture(df))
+    assert "BroadcastExchange" in p  # factors ride in broadcast
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # exactly one shuffle (the group count); AQE may reuse it
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_kmeans_scores_stay_codegen_attribute_shaped(spark):
+    """kmeans_embeddings: the unrolled score array must be codegen (no
+    interpreted HOF lambda in the assignment path) and referenced as a
+    named column."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.kmeans_embeddings(emb, n_clusters=2, iters=1)
+    p = plan_of(out)
+    assert "__sc" in p and "__d2" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the assignment path must not fall back to interpreted transform()
+    # over the score fold: the unrolled chain appears as flat arithmetic
+    assert "aggregate(sequence" not in p.lower()
