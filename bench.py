@@ -449,7 +449,11 @@ def scaling_evidence(path: str) -> dict:
         "those resources; one box does not)"
     )
     if CEILING_PAIR != SCALE_PAIR and os.environ.get("SPARK_GRAFT_CEILING", "1") != "0":
-        ceil = _measure_pair(CEILING_PAIR, path, rounds=1, reps=2)
+        # same median-paired protocol as the headline pair: a single
+        # round left the diagnostic at the mercy of whichever storm
+        # crossed its one sample (observed 0.241 and 0.285 through
+        # storms vs 0.672 calm on identical code)
+        ceil = _measure_pair(CEILING_PAIR, path, rounds=3, reps=2, extend=2)
         ceil["note"] = (
             "diagnostic pair, r3-attributed: r2's 0.52 decomposed into "
             "(a) ParallelGC STW evacuation scaling with live batches x "
