@@ -645,6 +645,20 @@ def q_mixture(spark, sf_dir):
     )
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination (paraphrase leakage
+    the n-gram filter misses): corpus vectors whose cosine against ANY
+    benchmark vector clears the threshold.  Benchmark broadcast,
+    corpus streams; one contamination-sized aggregation.
+    operators/decontam.semantic_decontaminate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 40 == 0)
+    corpus = emb.filter(F.col("vec_id") % 40 != 0)
+    return decontam.semantic_decontaminate(
+        corpus, bench, threshold=0.5, dims=64
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup: first occurrence of each distinct
     normalized text passes, later duplicates are dropped in-stream
@@ -1641,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
+        "semantic_decontam": q_semantic_decontam,
         "mixture_docs": q_mixture,
         "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
         "transform_events": q_transform_events,
@@ -2806,6 +2821,18 @@ def oracle_sql() -> dict[str, str]:
                        < CAST(round((r - floor(r)) * 1000000000, 0) AS BIGINT)
                   THEN 1 ELSE 0 END) AS n_reps
         FROM documents d JOIN factors USING (source)
+        """,
+        "semantic_decontam": f"""
+        WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings
+                   WHERE vec_id % 40 <> 0),
+        b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 40 = 0),
+        p AS (SELECT vec_id,
+                     {_sql_dot('cv', 'bv')}
+                       / (sqrt({_sql_dot('cv', 'cv')})
+                          * sqrt({_sql_dot('bv', 'bv')})) AS cos
+              FROM c, b)
+        SELECT vec_id, round(max(cos), 6) AS max_cosine
+        FROM p WHERE cos >= 0.5 GROUP BY vec_id
         """,
         "stream_dedup_docs": f"""
         SELECT DISTINCT

@@ -132,6 +132,8 @@ HEADLINE = [
     "stream_dedup_docs",
     # round 3 (late): temperature mixture resampling
     "mixture_docs",
+    # round 3 (late): embedding-level benchmark decontamination
+    "semantic_decontam",
 ]
 
 

@@ -136,3 +136,62 @@ def contaminated_ids(pairs: DataFrame) -> DataFrame:
     driver-small (or at worst contamination-sized) id list consumed by
     a left-anti join at the next pipeline stage."""
     return pairs.select("doc_id").distinct()
+
+
+# --------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# --------------------------------------------------------------------
+# The n-gram filter above misses PARAPHRASED benchmark leakage — a
+# training document that restates an eval item in different words.
+# The standard countermeasure is embedding-similarity decontamination:
+# flag any training vector whose cosine against ANY benchmark vector
+# clears a (high) threshold.
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> DataFrame:
+    """(id, max_cosine) of corpus vectors with cosine >= threshold
+    against at least one benchmark vector.
+
+    Scale shape — same as the n-gram path: the benchmark side is tiny
+    relative to the corpus, so it is **broadcast** and the corpus
+    streams through one scan (BroadcastNestedLoopJoin doing
+    |corpus| x |bench| dot products map-side); only matches survive
+    into the ONE aggregation, which is proportional to contamination
+    volume.  Self-norms are hoisted to one sqrt per row per side.
+    ``dims`` swaps the interpreted HOF dot for the unrolled codegen
+    fold (bit-identical; mandatory in any hot path).  max() over
+    doubles is order-free, so the output sits under the value-hash
+    oracle."""
+    from .dedup import cosine, dot_unrolled
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("cv")
+    )
+    b = bench.select(F.col(vec_col).alias("bv"))
+    if dims is not None:
+        c = c.withColumn(
+            "__nc", F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dims))
+        )
+        b = b.withColumn(
+            "__nb", F.sqrt(dot_unrolled(F.col("bv"), F.col("bv"), dims))
+        )
+        cos = dot_unrolled(F.col("cv"), F.col("bv"), dims) / (
+            F.col("__nc") * F.col("__nb")
+        )
+    else:
+        cos = cosine(F.col("cv"), F.col("bv"))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(F.col("__cid"), cos.alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .groupBy("__cid")
+        .agg(F.round(F.max("__cos"), 6).alias("max_cosine"))
+        .select(F.col("__cid").alias(id_col), "max_cosine")
+    )

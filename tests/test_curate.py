@@ -154,3 +154,20 @@ def test_boilerplate_off_by_default(spark):
                                "doc_id long, text string")
     flagged = C.curate_flags(df, quality_min=None)
     assert flagged.filter("boilerplate").count() == 0
+
+
+def test_semantic_decontaminate(spark):
+    from jsonschema_spark.operators.decontam import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["max_cosine"]
+           for r in semantic_decontaminate(corpus, bench, 0.6, dims=2).collect()}
+    # vec 1 identical (cos 1.0); vec 3 at 45 deg (cos ~0.707); vec 2 orthogonal
+    assert set(got) == {1, 3}
+    assert got[1] == 1.0 and abs(got[3] - 0.707107) < 1e-6
