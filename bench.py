@@ -454,8 +454,10 @@ def scaling_evidence(path: str) -> dict:
         # same median-paired protocol as the headline pair: a single
         # round left the diagnostic at the mercy of whichever storm
         # crossed its one sample (observed 0.241 and 0.285 through
-        # storms vs 0.672 calm on identical code)
-        ceil = _measure_pair(CEILING_PAIR, path, rounds=3, reps=2, extend=2)
+        # storms vs 0.672 calm on identical code).  2 rounds + 1
+        # adaptive bounds the diagnostic's wall-clock share of a full
+        # bench run while still taking a median over weather.
+        ceil = _measure_pair(CEILING_PAIR, path, rounds=2, reps=2, extend=1)
         ceil["note"] = (
             "diagnostic pair, r3-attributed: r2's 0.52 decomposed into "
             "(a) ParallelGC STW evacuation scaling with live batches x "
