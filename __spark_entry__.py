@@ -659,6 +659,16 @@ def q_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_top_values(spark, sf_dir):
+    """Per-column top-k categorical value histogram (Deequ-histogram
+    shape): one explode-to-(column,value) pass, one hash aggregation,
+    bounded per-column window.  operators/checks.top_values."""
+    from jsonschema_spark.operators.checks import top_values
+
+    ev = _t(spark, sf_dir, "events")
+    return top_values(ev, ["event_type", "user_id"], k=5)
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup: first occurrence of each distinct
     normalized text passes, later duplicates are dropped in-stream
@@ -1655,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
+        "top_values_events": q_top_values,
         "semantic_decontam": q_semantic_decontam,
         "mixture_docs": q_mixture,
         "stream_windowed_verdicts_json": q_stream_windowed_verdicts_json,
@@ -2833,6 +2844,28 @@ def oracle_sql() -> dict[str, str]:
               FROM c, b)
         SELECT vec_id, round(max(cos), 6) AS max_cosine
         FROM p WHERE cos >= 0.5 GROUP BY vec_id
+        """,
+        "top_values_events": """
+        WITH pairs AS (
+          SELECT 'event_type' AS "column",
+                 coalesce(CAST(event_type AS VARCHAR), '<null>') AS value
+          FROM events
+          UNION ALL
+          SELECT 'user_id' AS "column",
+                 coalesce(CAST(user_id AS VARCHAR), '<null>') AS value
+          FROM events),
+        counts AS (
+          SELECT "column", value, count(*) AS n FROM pairs
+          GROUP BY "column", value),
+        tot AS (SELECT count(*) AS t FROM events),
+        ranked AS (
+          SELECT "column", value, n,
+                 row_number() OVER (PARTITION BY "column"
+                                    ORDER BY n DESC, value ASC) AS rk
+          FROM counts)
+        SELECT "column", value, n,
+               round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS frac
+        FROM ranked, tot WHERE rk <= 5
         """,
         "stream_dedup_docs": f"""
         SELECT DISTINCT

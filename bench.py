@@ -134,6 +134,8 @@ HEADLINE = [
     "mixture_docs",
     # round 3 (late): embedding-level benchmark decontamination
     "semantic_decontam",
+    # round 3 (late): per-column categorical histogram
+    "top_values_events",
 ]
 
 
