@@ -669,6 +669,17 @@ def q_top_values(spark, sf_dir):
     return top_values(ev, ["event_type", "user_id"], k=5)
 
 
+def q_drift_timeline(spark, sf_dir):
+    """Per-day PSI of the events value distribution vs the previous
+    day (operators/incremental.drift_timeline): exact-replayable
+    fixed-edge histograms, dense bucket x bin grid, scaled-long PSI
+    terms."""
+    from jsonschema_spark.operators.incremental import drift_timeline
+
+    ev = _t(spark, sf_dir, "events")
+    return drift_timeline(ev, "value", [10.0, 50.0, 100.0, 200.0])
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup: first occurrence of each distinct
     normalized text passes, later duplicates are dropped in-stream
@@ -1665,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
+        "drift_timeline_events": q_drift_timeline,
         "top_values_events": q_top_values,
         "semantic_decontam": q_semantic_decontam,
         "mixture_docs": q_mixture,
@@ -2866,6 +2878,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT "column", value, n,
                round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS frac
         FROM ranked, tot WHERE rk <= 5
+        """,
+        "drift_timeline_events": """
+        WITH h AS (
+          SELECT date_trunc('day', ts) AS bucket,
+                 (CAST((CAST(value AS DOUBLE) >= 10.0) AS INT) + CAST((CAST(value AS DOUBLE) >= 50.0) AS INT) + CAST((CAST(value AS DOUBLE) >= 100.0) AS INT) + CAST((CAST(value AS DOUBLE) >= 200.0) AS INT)) AS bin,
+                 count(*) AS n
+          FROM events
+          WHERE value IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        b AS (SELECT DISTINCT bucket FROM h),
+        grid AS (SELECT bucket, CAST(g AS INT) AS bin
+                 FROM b, unnest(range(0, 5)) AS t(g)),
+        dense AS (SELECT grid.bucket, grid.bin, coalesce(h.n, 0) AS n
+                  FROM grid LEFT JOIN h USING (bucket, bin)),
+        pm AS (SELECT bucket,
+                      lag(bucket) OVER (ORDER BY bucket) AS prev_bucket
+               FROM b QUALIFY prev_bucket IS NOT NULL),
+        j AS (SELECT c.bucket, c.bin, c.n AS n_cur, p.n AS n_prev
+              FROM dense c JOIN pm USING (bucket)
+              JOIN dense p ON p.bucket = pm.prev_bucket AND p.bin = c.bin),
+        tot AS (SELECT bucket,
+                       CAST(sum(n_cur) AS BIGINT) AS t_cur,
+                       CAST(sum(n_prev) AS BIGINT) AS t_prev
+                FROM j GROUP BY bucket),
+        terms AS (
+          SELECT j.bucket,
+                 CAST(round(
+                   (((n_cur + 0.5) / (t_cur + 0.5 * 5))
+                    - ((n_prev + 0.5) / (t_prev + 0.5 * 5)))
+                   * ln(((n_cur + 0.5) / (t_cur + 0.5 * 5))
+                        / ((n_prev + 0.5) / (t_prev + 0.5 * 5)))
+                   * 1e9, 0) AS BIGINT) AS term9,
+                 t_cur, t_prev
+          FROM j JOIN tot USING (bucket))
+        SELECT bucket,
+               round(CAST(sum(term9) AS DOUBLE) / 1e9, 6) AS psi,
+               max(t_cur) AS n_cur, max(t_prev) AS n_prev
+        FROM terms GROUP BY bucket
         """,
         "stream_dedup_docs": f"""
         SELECT DISTINCT

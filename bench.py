@@ -136,6 +136,8 @@ HEADLINE = [
     "semantic_decontam",
     # round 3 (late): per-column categorical histogram
     "top_values_events",
+    # round 3 (late): day-over-day PSI drift timeline
+    "drift_timeline_events",
 ]
 
 

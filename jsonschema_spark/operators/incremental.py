@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -321,3 +321,76 @@ class StatsStore:
 
     def current(self, spark: SparkSession) -> DataFrame:
         return merge_partials(spark.read.parquet(self.path))
+
+
+def drift_timeline(
+    df: DataFrame,
+    column: str,
+    edges: list[float],
+    ts_col: str = "ts",
+    unit: str = "day",
+) -> DataFrame:
+    """(bucket, psi, n_cur, n_prev): PSI of each time bucket's value
+    distribution against the PREVIOUS bucket — the ops-monitoring
+    timeline ("did yesterday's ingest drift?") built on the same
+    exact-replayable fixed-edge histograms as HistStore.
+
+    One pass: bin per row (the hist_partials fold), ONE hash
+    aggregation on (bucket, bin); the timeline is then pure
+    metadata-size work — a dense bucket x bin grid (so empty bins
+    contribute their smoothed term on both sides), a window lag over
+    the DISTINCT bucket list (bounded by the corpus's time span, never
+    row count — the single-partition window is over that tiny list),
+    and the Laplace-smoothed PSI sum per bucket.  The first bucket has
+    no predecessor and is omitted."""
+    if sorted(edges) != list(edges):
+        raise ValueError("drift_timeline: edges must be sorted ascending")
+    n_bins = len(edges) + 1
+    col = F.col(column).cast("double")
+    bin_ = F.aggregate(
+        F.array(*[F.lit(float(e)) for e in edges]),
+        F.lit(0),
+        lambda acc, e: acc + (col >= e).cast("int"),
+    )
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    hist = (
+        df.filter(col.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(bucket, bin_.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buckets = hist.select("bucket").distinct()
+    grid = buckets.select(
+        "bucket", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    dense = grid.join(hist, ["bucket", "bin"], "left").fillna(0, subset=["n"])
+    w = Window.orderBy("bucket")
+    prev_map = buckets.select(
+        "bucket", F.lag("bucket").over(w).alias("prev_bucket")
+    ).filter(F.col("prev_bucket").isNotNull())
+    cur = dense.select("bucket", "bin", F.col("n").alias("n_cur"))
+    prv = dense.select(
+        F.col("bucket").alias("prev_bucket"), "bin", F.col("n").alias("n_prev")
+    )
+    j = (
+        cur.join(F.broadcast(prev_map), "bucket")
+        .join(prv, ["prev_bucket", "bin"])
+    )
+    tot = j.groupBy("bucket").agg(
+        F.sum("n_cur").alias("t_cur"), F.sum("n_prev").alias("t_prev")
+    )
+    j = j.join(F.broadcast(tot), "bucket")
+    p = (F.col("n_prev") + 0.5) / (F.col("t_prev") + 0.5 * n_bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)
+    term = (q - p) * F.log(q / p)
+    # snap per-bin terms to scaled longs before the per-bucket sum
+    # (the lm_score determinism convention: integer sums are
+    # order-free, so the oracle lands on identical PSI values)
+    term9 = F.round(term * 1e9, 0).cast("long")
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.round(F.sum(term9).cast("double") / 1e9, 6).alias("psi"),
+            F.max("t_cur").alias("n_cur"),
+            F.max("t_prev").alias("n_prev"),
+        )
+    )

@@ -192,3 +192,33 @@ def test_store_new_partition_appends_only_batch_partials(spark, events, tmp_path
     assert all(
         cur[c]["n_rows"] == single[c]["n_rows"] for c in COLS
     )
+
+
+def test_drift_timeline_identical_days_zero_psi(spark):
+    from jsonschema_spark.operators.incremental import drift_timeline
+
+    # two days with IDENTICAL value distributions -> psi == 0
+    rows = []
+    for day in ("2026-01-01", "2026-01-02"):
+        for v in (5.0, 20.0, 70.0, 150.0, 300.0):
+            rows += [(v, f"{day} 10:00:00")] * 4
+    df = spark.createDataFrame(rows, "value double, ts string").selectExpr(
+        "value", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = drift_timeline(df, "value", [10.0, 50.0, 100.0, 200.0]).collect()
+    assert len(out) == 1  # first day has no predecessor
+    assert out[0]["psi"] == 0.0
+    assert out[0]["n_cur"] == 20 and out[0]["n_prev"] == 20
+
+
+def test_drift_timeline_shift_detected(spark):
+    from jsonschema_spark.operators.incremental import drift_timeline
+
+    rows = [(5.0, "2026-01-01 10:00:00")] * 20 + [
+        (300.0, "2026-01-02 10:00:00")
+    ] * 20
+    df = spark.createDataFrame(rows, "value double, ts string").selectExpr(
+        "value", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = drift_timeline(df, "value", [10.0, 50.0, 100.0, 200.0]).collect()
+    assert len(out) == 1 and out[0]["psi"] > 1.0  # total mass shift
