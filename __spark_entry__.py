@@ -680,6 +680,16 @@ def q_drift_timeline(spark, sf_dir):
     return drift_timeline(ev, "value", [10.0, 50.0, 100.0, 200.0])
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase), strict event-time
+    chain: one user-key shuffle + a columnar fold over the sorted
+    per-user step events.  operators/temporal.funnel."""
+    from jsonschema_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup: first occurrence of each distinct
     normalized text passes, later duplicates are dropped in-stream
@@ -1676,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
+        "funnel_events": q_funnel,
         "drift_timeline_events": q_drift_timeline,
         "top_values_events": q_top_values,
         "semantic_decontam": q_semantic_decontam,
@@ -2916,6 +2927,28 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(term9) AS DOUBLE) / 1e9, 6) AS psi,
                max(t_cur) AS n_cur, max(t_prev) AS n_prev
         FROM terms GROUP BY bucket
+        """,
+        "funnel_events": """
+        WITH e AS (SELECT user_id, event_type, ts FROM events
+                   WHERE event_type IN ('view', 'click', 'purchase')),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id),
+        users AS (SELECT DISTINCT user_id FROM e)
+        SELECT user_id,
+               CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS steps_completed
+        FROM users
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
         """,
         "stream_dedup_docs": f"""
         SELECT DISTINCT

@@ -138,6 +138,8 @@ HEADLINE = [
     "top_values_events",
     # round 3 (late): day-over-day PSI drift timeline
     "drift_timeline_events",
+    # round 3 (late): ordered funnel (columnar chain fold)
+    "funnel_events",
 ]
 
 

@@ -185,3 +185,58 @@ def range_join(
         unmatched.select(*[F.col(c) for c in unmatched.columns], *null_left),
         allowMissingColumns=False,
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: (user, steps_completed) — how far each
+    user progressed through ``steps`` in order, each step strictly
+    AFTER the previous one in event time (the minimal-timestamp chain:
+    t1 = min ts of step 1, t2 = min ts of step 2 with ts > t1, ...).
+
+    Spark shape: filter to step-relevant event types FIRST (the scan
+    predicate pushes down; everything else sees only funnel events),
+    ONE shuffle on the user key collecting the per-user (ts, type)
+    array, then the chain match is a single columnar ``F.aggregate``
+    fold over the ts-sorted array — no self-joins, no window
+    per step.  The per-user array holds only that user's step-typed
+    events (bounded by user activity, not corpus size; a hot-user cap
+    belongs upstream with the sessionizer's).  Strict ``>`` between
+    steps makes same-timestamp events unable to satisfy two steps, so
+    the fold is order-independent across equal timestamps and the
+    result is deterministic and SQL-replayable."""
+    if not steps:
+        raise ValueError("funnel: empty steps")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    e = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(type_col).alias("et")
+        ).alias("ev"),
+    )
+    per_user = e.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("ev")).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("idx"),
+        F.lit(None).cast("timestamp").alias("last"),
+    )
+    n = len(steps)
+    acc = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda a, ev: F.when(
+            (a["idx"] < n)
+            & (ev["et"] == F.element_at(step_arr, a["idx"] + 1))
+            & (a["last"].isNull() | (ev["ts"] > a["last"])),
+            F.struct((a["idx"] + 1).alias("idx"), ev["ts"].alias("last")),
+        ).otherwise(a),
+    )
+    return per_user.select(
+        F.col(user_col), acc["idx"].alias("steps_completed")
+    )

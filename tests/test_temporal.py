@@ -198,3 +198,43 @@ class TestRangeJoin:
         out = temporal.range_join(pts, iv, on=["uid"], bucket_sec=60)
         assert out.count() == len(range(0, 59, 7))
         assert out.select("pid").distinct().count() == out.count()
+
+
+def test_funnel_partial_progress(spark):
+    from jsonschema_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "view", "2026-01-01 10:00:00"),
+        (1, "click", "2026-01-01 10:01:00"),
+        (1, "purchase", "2026-01-01 10:02:00"),
+        # u2 clicks BEFORE viewing: click can't count, so only step 1
+        (2, "click", "2026-01-01 09:00:00"),
+        (2, "view", "2026-01-01 10:00:00"),
+        # u3 same-timestamp view+click: strict > blocks the click
+        (3, "view", "2026-01-01 10:00:00"),
+        (3, "click", "2026-01-01 10:00:00"),
+        # u4 only irrelevant events -> not in output at all
+        (4, "error", "2026-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {r["user_id"]: r["steps_completed"]
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_funnel_later_click_still_counts(spark):
+    from jsonschema_spark.operators.temporal import funnel
+
+    rows = [
+        (1, "click", "2026-01-01 09:00:00"),   # too early, skipped
+        (1, "view", "2026-01-01 10:00:00"),
+        (1, "click", "2026-01-01 11:00:00"),   # this one matches step 2
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    got = funnel(df, ["view", "click"]).collect()
+    assert got[0]["steps_completed"] == 2
