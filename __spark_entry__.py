@@ -690,6 +690,16 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_outliers(spark, sf_dir):
+    """Per-event-type z-score outlier profile from EXACT fixed-point
+    sums (order-free decimal accumulation).  operators/checks.
+    outlier_stats."""
+    from jsonschema_spark.operators.checks import outlier_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return outlier_stats(ev, "value", by="event_type", z=2.0)
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming ingest dedup: first occurrence of each distinct
     normalized text passes, later duplicates are dropped in-stream
@@ -1686,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_windows": q_range_join_error_windows,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
+        "outliers_events": q_outliers,
         "funnel_events": q_funnel,
         "drift_timeline_events": q_drift_timeline,
         "top_values_events": q_top_values,
@@ -2949,6 +2960,39 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 USING (user_id)
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+        """,
+        "outliers_events": """
+        WITH a AS (
+          SELECT event_type AS grp, count(*) AS n,
+                 sum(CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                          AS HUGEINT)) AS s,
+                 sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS HUGEINT)
+                     * CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                            AS HUGEINT)) AS sq
+          FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        b AS (SELECT grp, n,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_raw,
+                     sqrt(greatest(
+                       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / (100 * 100)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100)
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100),
+                       0.0)) AS std_raw
+              FROM a),
+        c AS (SELECT grp, n, mean_raw, std_raw,
+                     mean_raw - 2.0 * std_raw AS lo_raw,
+                     mean_raw + 2.0 * std_raw AS hi_raw
+              FROM b),
+        r AS (SELECT e.event_type AS grp, count(*) AS n_outliers
+              FROM events e JOIN c ON c.grp = e.event_type
+              WHERE e.value IS NOT NULL
+                AND (CAST(e.value AS DOUBLE) < lo_raw
+                     OR CAST(e.value AS DOUBLE) > hi_raw)
+              GROUP BY e.event_type)
+        SELECT c.grp AS event_type, n,
+               round(mean_raw, 6) AS mean, round(std_raw, 6) AS std,
+               round(lo_raw, 6) AS lo, round(hi_raw, 6) AS hi,
+               coalesce(r.n_outliers, 0) AS n_outliers
+        FROM c LEFT JOIN r USING (grp)
         """,
         "stream_dedup_docs": f"""
         SELECT DISTINCT

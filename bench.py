@@ -140,6 +140,8 @@ HEADLINE = [
     "drift_timeline_events",
     # round 3 (late): ordered funnel (columnar chain fold)
     "funnel_events",
+    # round 3 (late): exact-sum z-score outlier profile
+    "outliers_events",
 ]
 
 

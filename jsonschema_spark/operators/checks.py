@@ -822,3 +822,71 @@ def suggest_schema(
     if required:
         doc["required"] = sorted(required)
     return doc
+
+
+def outlier_stats(
+    df: DataFrame,
+    column: str,
+    by: str | None = None,
+    z: float = 3.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group z-score outlier profile: (group, n, mean, std, lo,
+    hi, n_outliers) — the anomaly-detection member of the checks
+    family (Deequ's anomaly constraint shape).
+
+    Determinism contract: values are fixed-point at ``scale`` decimals
+    (the testdata's value columns are 2-decimal money-like), so
+    sum and sum-of-squares accumulate as EXACT decimals — order-free
+    at any parallelism — and every derived double (mean, variance,
+    bounds) is computed in one fixed expression order the DuckDB
+    oracle mirrors (HUGEINT sums).  ONE map-side-combinable
+    aggregation; the outlier recount joins the metadata-sized bounds
+    back by broadcast."""
+    g = F.col(by) if by else F.lit("__all")
+    m = 10 ** scale
+    vdec = F.round(F.col(column).cast("double") * m, 0).cast("decimal(19,0)")
+    agg = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(g.alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).alias("__s"),
+            F.sum(vdec * vdec).alias("__sq"),
+        )
+    )
+    mean = F.col("__s").cast("double") / F.col("n").cast("double") / m
+    var = F.greatest(
+        F.col("__sq").cast("double") / F.col("n").cast("double") / (m * m)
+        - mean * mean,
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    bounds = agg.select(
+        "grp",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        (mean - F.lit(z) * std).alias("__lo"),
+        (mean + F.lit(z) * std).alias("__hi"),
+    )
+    rec = (
+        df.filter(F.col(column).isNotNull())
+        .select(g.alias("grp"), F.col(column).cast("double").alias("__v"))
+        .join(F.broadcast(bounds.select("grp", "__lo", "__hi")), "grp")
+        .filter((F.col("__v") < F.col("__lo")) | (F.col("__v") > F.col("__hi")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        bounds.join(rec, "grp", "left")
+        .select(
+            F.col("grp").alias(by if by else "group"),
+            "n",
+            "mean",
+            "std",
+            F.round("__lo", 6).alias("lo"),
+            F.round("__hi", 6).alias("hi"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )

@@ -275,3 +275,28 @@ def test_suggest_schema_margin_widen(spark):
     df = spark.createDataFrame([(5,)], "v int")
     doc = suggest_schema(df, numeric_margin=2.0)
     assert doc["properties"]["v"] == {"minimum": 3.0, "maximum": 7.0}
+
+
+def test_outlier_stats_hand_computed(spark):
+    from jsonschema_spark.operators.checks import outlier_stats
+
+    # group g: values 1..9 plus one 100.0 spike
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = outlier_stats(df, "value", by="k", z=2.0).collect()[0]
+    import statistics
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    mean = sum(vals) / len(vals)
+    std = (sum(v * v for v in vals) / len(vals) - mean * mean) ** 0.5
+    assert out["n"] == 10
+    assert abs(out["mean"] - round(mean, 6)) < 1e-9
+    assert abs(out["std"] - round(std, 6)) < 1e-6
+    assert out["n_outliers"] == 1  # only the 100.0 spike
+
+
+def test_outlier_stats_constant_group_no_nan(spark):
+    from jsonschema_spark.operators.checks import outlier_stats
+
+    df = spark.createDataFrame([("g", 5.0)] * 4, "k string, value double")
+    out = outlier_stats(df, "value", by="k").collect()[0]
+    assert out["std"] == 0.0 and out["n_outliers"] == 0
