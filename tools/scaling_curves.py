@@ -86,11 +86,19 @@ CURVE_QUERIES = [
     "validate_json_events",   # from_json static parse path
     "validate_json_typed",    # variant parse + hoisted runtime dispatch
 ]
+CURVE_QUERIES += [
+    "funnel_events",          # user-key shuffle + columnar chain fold
+    "outliers_events",        # exact-decimal agg + broadcast recount
+    "drift_timeline_events",  # (bucket,bin) agg + metadata-sized PSI
+]
 if XFACT == 1:
-    # string-heavy projection over the UNSCALED 5k-doc table: only
+    # string-heavy projections over the UNSCALED 5k-doc table: only
     # meaningful at low core counts (same plan shape as
     # validate_orders otherwise)
     CURVE_QUERIES.insert(6, "text_langid")
+    CURVE_QUERIES += ["span_dup_docs", "bm25_topk_docs"]
+if os.environ.get("SPARK_GRAFT_CURVE_QUERIES"):
+    CURVE_QUERIES = os.environ["SPARK_GRAFT_CURVE_QUERIES"].split(",")
 
 
 def prepare() -> None:
