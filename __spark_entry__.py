@@ -851,6 +851,95 @@ def q_range_join_error_windows(spark, sf_dir):
     )
 
 
+def q_rolling_user_activity(spark, sf_dir):
+    """Per-event rolling 7-day activity (temporal.rolling_window):
+    for every event, the same user's event count and exact
+    cents-scaled value sum over [ts - 7d, ts].  Scale shape: ONE hash
+    shuffle on user_id + one per-key sort; the RANGE frame slides
+    incrementally (each row enters/leaves once) — never the quadratic
+    self-join form.  floor(value*100) makes the sum an integer sum:
+    exact, order-free, oracle-replayable."""
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.rolling_window(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        lookback_sec=7 * 86400,
+        aggs={
+            "n_7d": F.count(F.lit(1)),
+            "cents_7d": F.sum(
+                F.floor(F.col("value") * 100).cast("long")
+            ),
+        },
+    )
+    return out.select("event_id", "user_id", "n_7d", "cents_7d")
+
+
+def q_snapshot_diff_docs(spark, sf_dir):
+    """Corpus snapshot diff (diff.snapshot_diff): classify every
+    doc_id across two snapshot versions as added / removed / changed.
+    The "new" snapshot is derived deterministically from the old one
+    (md5-bucket 0 of 17 removed, bucket 1 text-edited, bucket 2
+    duplicated under a new key) so the whole pipeline sits under the
+    value-hash oracle.  Scale shape: each side reduces to
+    (key, 32-byte digest) BEFORE the full-outer join — shuffle payload
+    is independent of row width, output is proportional to the drift."""
+    from jsonschema_spark.operators import diff as diffmod
+
+    old = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    r = dedup.md5_long(F.col("doc_id")) % 17
+    base = old.withColumn("__r", r)
+    new = (
+        base.filter(F.col("__r") != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("__r") == 1, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text")),
+        )
+        .drop("__r")
+        .unionByName(
+            base.filter(F.col("__r") == 2)
+            .withColumn("doc_id", F.concat(F.lit("added_"), F.col("doc_id")))
+            .drop("__r")
+        )
+    )
+    return diffmod.snapshot_diff(
+        old, new, keys=["doc_id"],
+        compare_cols=["text", "lang", "source", "n_chars"],
+    )
+
+
+def q_purge_audit(spark, sf_dir):
+    """Cascading right-to-be-forgotten purge (diff.purge_cascade):
+    forget a deterministic set of custkeys (md5 bucket 0 of 31) and
+    propagate the delete down the FK chain customer → orders →
+    lineitem, returning the exact per-table audit counts.  Scale
+    shape: the root forget-list is broadcast (zero shuffle on
+    customer/orders); the DERIVED orderkey set joins under AQE (it can
+    outgrow the broadcast threshold at 100 TB); each table is scanned
+    exactly once — the audit row rides the same scan's partial agg."""
+    from jsonschema_spark.operators.diff import PurgeStep, purge_cascade
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    root = cust.filter(
+        dedup.md5_long(F.col("c_custkey").cast("string")) % 31 == 0
+    ).select("c_custkey")
+    audit, _kept = purge_cascade(
+        [
+            PurgeStep("customer", cust, "c_custkey", "c_custkey"),
+            PurgeStep("orders", orders, "o_custkey", "o_orderkey"),
+            PurgeStep("lineitem", li, "l_orderkey", None),
+        ],
+        root,
+    )
+    return audit
+
+
 def q_stream_windowed_verdicts(spark, sf_dir):
     """Structured Streaming coverage: the same compiled plan over a
     readStream source, watermarked 1-hour windowed verdicts, drained
@@ -1694,6 +1783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_gaps": q_window_gaps,
         "asof_purchase_attribution": q_asof_purchase_attribution,
         "range_join_error_windows": q_range_join_error_windows,
+        "rolling_user_activity": q_rolling_user_activity,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
+        "purge_audit": q_purge_audit,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_docs": q_stream_dedup,
         "outliers_events": q_outliers,
@@ -3116,6 +3208,102 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(COALESCE(SUM(v6), 0) AS DOUBLE) / 1000000.0, 6)
                      AS sum_value
             FROM j GROUP BY window_id, user_id
+        """,
+
+        "rolling_user_activity": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_7d,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_7d
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+
+        "snapshot_diff_docs": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     text, lang, source, n_chars,
+                     ({_sql_md5_long('CAST(doc_id AS VARCHAR)')}) % 17 AS r
+              FROM documents
+            ),
+            newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN r = 1 THEN text || ' [v2]' ELSE text END
+                       AS text,
+                     lang, source, n_chars
+              FROM m WHERE r <> 0
+              UNION ALL
+              SELECT 'added_' || doc_id, text, lang, source, n_chars
+              FROM m WHERE r = 2
+            ),
+            o AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     md5(concat_ws(chr(31),
+                       coalesce(CAST(text AS VARCHAR), chr(0) || 'N'),
+                       coalesce(CAST(lang AS VARCHAR), chr(0) || 'N'),
+                       coalesce(CAST(source AS VARCHAR), chr(0) || 'N'),
+                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'N')
+                     )) AS h
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, md5(concat_ws(chr(31),
+                       coalesce(CAST(text AS VARCHAR), chr(0) || 'N'),
+                       coalesce(CAST(lang AS VARCHAR), chr(0) || 'N'),
+                       coalesce(CAST(source AS VARCHAR), chr(0) || 'N'),
+                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'N')
+                     )) AS h
+              FROM newsnap
+            ),
+            j AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.h IS NULL THEN 'added'
+                          WHEN n.h IS NULL THEN 'removed'
+                          WHEN o.h <> n.h THEN 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        """,
+
+        "purge_audit": f"""
+            WITH root AS (
+              SELECT c_custkey FROM customer
+              WHERE ({_sql_md5_long('CAST(c_custkey AS VARCHAR)')}) % 31 = 0
+            ),
+            po AS (
+              SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM root)
+            ),
+            c AS (
+              SELECT count(*) AS b,
+                     CAST(sum(CASE WHEN c_custkey IN
+                       (SELECT c_custkey FROM root) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS p
+              FROM customer
+            ),
+            o AS (
+              SELECT count(*) AS b,
+                     CAST(sum(CASE WHEN o_custkey IN
+                       (SELECT c_custkey FROM root) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS p
+              FROM orders
+            ),
+            l AS (
+              SELECT count(*) AS b,
+                     CAST(sum(CASE WHEN l_orderkey IN
+                       (SELECT o_orderkey FROM po) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS p
+              FROM lineitem
+            )
+            SELECT 'customer' AS "table", b AS rows_before,
+                   p AS rows_purged, b - p AS rows_after FROM c
+            UNION ALL
+            SELECT 'orders', b, p, b - p FROM o
+            UNION ALL
+            SELECT 'lineitem', b, p, b - p FROM l
         """,
 
         "transform_events": """

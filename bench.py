@@ -142,6 +142,10 @@ HEADLINE = [
     "funnel_events",
     # round 3 (late): exact-sum z-score outlier profile
     "outliers_events",
+    # round 3 (late): rolling interval window, snapshot diff, cascade purge
+    "rolling_user_activity",
+    "snapshot_diff_docs",
+    "purge_audit",
 ]
 
 

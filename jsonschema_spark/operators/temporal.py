@@ -240,3 +240,45 @@ def funnel(
     return per_user.select(
         F.col(user_col), acc["idx"].alias("steps_completed")
     )
+
+
+def rolling_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lookback_sec: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Per-key rolling time-interval aggregates: for EVERY event row,
+    aggregate the same key's rows within ``[ts - lookback, ts]`` — the
+    velocity/feature form (rolling 7-day activity counts, rolling spend)
+    that tumbling windows can't express because each row anchors its
+    own frame.
+
+    Spark-first: one RANGE window frame over ``unix_micros(ts)``
+    (``rangeBetween(-lookback_us, 0)``) — ONE hash shuffle on the key,
+    one sort within each key partition, and the sliding frame is
+    maintained incrementally by the window operator (each row enters
+    and leaves the frame once: O(n log n) per key, not O(n·frame)).
+    No self-join: the naive ``e1 JOIN e2 ON key AND ts BETWEEN`` form
+    materializes every in-window pair — quadratic on hot keys — and
+    plans as a range join at best.  Skew is bounded by the per-key
+    sort (same argument as ``asof_join``).
+
+    ``aggs`` maps output name → aggregate Column (e.g.
+    ``F.count(F.lit(1))``, ``F.sum(...)``).  RANGE frames include ALL
+    ts-peers of the current row on both engines, so results on tied
+    timestamps are well-defined; keep float sums exact (scaled-long)
+    if the result must value-hash across engines.
+
+    Returns the input columns plus one column per agg.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-lookback_sec * 1_000_000, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
