@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import jsonschema_spark as js
+from jsonschema_spark.core import session
 from jsonschema_spark.operators import (
     checks,
     curate,
@@ -35,6 +36,7 @@ from jsonschema_spark.operators import (
 # --------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    session.tune(spark)  # runtime confs (JIT-aligned hugeMethodLimit)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2274,13 +2276,15 @@ def _oracle_lm_score(alpha: float = 0.5) -> str:
     """
 
 
-def _oracle_semantic_dedup(threshold: float = 0.4) -> str:
+def _oracle_semantic_dedup(
+    threshold: float = 0.4, n_clusters: int = 8
+) -> str:
     """Replay of similarity.semantic_dedup: k-means assignment (the
     full _oracle_kmeans iteration replay), within-cluster cosine pairs
     with the identical threshold predicate on identical doubles, then
     a recursive min-label closure (same shape as
     _oracle_dedup_clusters)."""
-    km = _oracle_kmeans()
+    km = _oracle_kmeans(n_clusters=n_clusters)
     cos = _sql_cosine("a.embedding", "b.embedding")
     return f"""
     WITH RECURSIVE asg AS MATERIALIZED (
