@@ -516,9 +516,12 @@ def q_stats_incremental(spark, sf_dir):
 
 def q_dedup_clusters(spark, sf_dir):
     """Pair→cluster resolution (dedup.duplicate_clusters): connected
-    components over the MinHash-LSH near-dup pair graph via min-label
-    propagation + pointer jumping — every round an equality join, no
-    driver-side graph state; cluster_id = canonical (minimum) doc id."""
+    components over the MinHash-LSH near-dup pair graph;
+    cluster_id = canonical (minimum) doc id.  Adaptive: a driver-small
+    pair graph (ONE count on the checkpointed edges, AQE-style runtime
+    switch) resolves via union-find; above the documented bound the
+    min-label-propagation + pointer-jumping join loop runs — identical
+    output, no driver-side graph state at scale."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, n=5, k=16, bands=4, threshold=0.5)
     return dedup.duplicate_clusters(pairs)

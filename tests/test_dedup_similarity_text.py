@@ -372,6 +372,40 @@ def test_duplicate_clusters_string_ids(spark):
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
 
 
+def test_duplicate_clusters_driver_and_distributed_paths_agree(spark):
+    """The AQE-style adaptive switch must be invisible in the result:
+    union-find (small-graph path) and min-label propagation
+    (driver_edge_bound=0 forces the distributed loop) resolve the same
+    clusters — chains, stars, a cycle, duplicate edges, both
+    directions."""
+    from jsonschema_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1),        # cycle
+         (10, 11), (10, 12), (10, 13),          # star
+         (20, 21), (21, 20), (20, 21),          # dup + reversed edges
+         (31, 30)],                              # min on the right
+        "id_a long, id_b long",
+    )
+    driver = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, driver_edge_bound=0).collect()
+    }
+    assert driver == dist
+    assert (31, 30) in driver and (4, 1) in driver
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from jsonschema_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(pairs).count() == 0
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     # three well-separated blobs in 4-d so k-means has an obvious
