@@ -177,12 +177,12 @@ def semantic_decontaminate(
     b = bench.select(F.col(vec_col).alias("bv"))
     if dims is not None:
         c = c.withColumn(
-            "__nc", F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dims))
+            "__nc", F.sqrt(dot_unrolled("cv", "cv", dims))
         )
         b = b.withColumn(
-            "__nb", F.sqrt(dot_unrolled(F.col("bv"), F.col("bv"), dims))
+            "__nb", F.sqrt(dot_unrolled("bv", "bv", dims))
         )
-        cos = dot_unrolled(F.col("cv"), F.col("bv"), dims) / (
+        cos = dot_unrolled("cv", "bv", dims) / (
             F.col("__nc") * F.col("__nb")
         )
     else:

@@ -55,12 +55,12 @@ def brute_force_topk(
         # the 3-dot form); keeps the join-side codegen method small —
         # three inlined 64-term dots overflow Janino's 64 KB limit
         q = q.withColumn(
-            "__nq", F.sqrt(dot_unrolled(F.col("qv"), F.col("qv"), dims))
+            "__nq", F.sqrt(dot_unrolled("qv", "qv", dims))
         )
         c = c.withColumn(
-            "__nc", F.sqrt(dot_unrolled(F.col("cv"), F.col("cv"), dims))
+            "__nc", F.sqrt(dot_unrolled("cv", "cv", dims))
         )
-        cos = dot_unrolled(F.col("qv"), F.col("cv"), dims) / (
+        cos = dot_unrolled("qv", "cv", dims) / (
             F.col("__nq") * F.col("__nc")
         )
     else:
@@ -352,10 +352,13 @@ def semantic_dedup(
     """
     from .dedup import dot_double, dot_unrolled, duplicate_clusters
 
+    # dot receives column NAMES: the unrolled form builds ONE parsed
+    # SQL expression (py4j chains cost ~0.5-1s of driver time per call,
+    # per build); the HOF fallback wraps them back into Columns
     dot = (
         (lambda x, y: dot_unrolled(x, y, dims))
         if dims is not None
-        else dot_double
+        else (lambda x, y: dot_double(F.col(x), F.col(y)))
     )
     assign = kmeans_embeddings(
         corpus, n_clusters, iters, vec_col, id_col, seed
@@ -363,7 +366,7 @@ def semantic_dedup(
     withc = (
         corpus.select(id_col, vec_col)
         .join(assign, id_col)
-        .withColumn("__norm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+        .withColumn("__norm", F.sqrt(dot(vec_col, vec_col)))
         # materialize ONCE and truncate lineage: the self-join below
         # consumes this twice, and without the cut each branch carries
         # the full k-means plan — Catalyst re-analyzes two copies of
@@ -388,7 +391,7 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            (dot("va", "vb") / (F.col("na") * F.col("nb")))
             .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
