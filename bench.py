@@ -173,7 +173,10 @@ def make_spark(cpus: int) -> SparkSession:
         # in the 8000..65535 dead zone is NEVER JIT-compiled and runs
         # interpreted — measured 5.6s vs 1.2s on the 64-dim unrolled
         # dot.  See jsonschema_spark/core/session.py.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
