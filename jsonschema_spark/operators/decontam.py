@@ -165,26 +165,21 @@ def semantic_decontaminate(
     |corpus| x |bench| dot products map-side); only matches survive
     into the ONE aggregation, which is proportional to contamination
     volume.  Self-norms are hoisted to one sqrt per row per side.
-    ``dims`` swaps the interpreted HOF dot for the unrolled codegen
-    fold (bit-identical; mandatory in any hot path).  max() over
-    doubles is order-free, so the output sits under the value-hash
-    oracle."""
-    from .dedup import cosine, dot_unrolled
+    ``dims`` swaps the interpreted HOF dot for the Arrow-kernel ordered
+    fold (kernels.pair_dot — bit-identical; mandatory in any hot
+    path).  max() over doubles is order-free, so the output sits under
+    the value-hash oracle."""
+    from . import kernels as K
+    from .dedup import cosine
 
     c = corpus.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("cv")
     )
     b = bench.select(F.col(vec_col).alias("bv"))
     if dims is not None:
-        c = c.withColumn(
-            "__nc", F.sqrt(dot_unrolled("cv", "cv", dims))
-        )
-        b = b.withColumn(
-            "__nb", F.sqrt(dot_unrolled("bv", "bv", dims))
-        )
-        cos = dot_unrolled("cv", "bv", dims) / (
-            F.col("__nc") * F.col("__nb")
-        )
+        c = c.withColumn("__nc", K.self_norm("cv"))
+        b = b.withColumn("__nb", K.self_norm("bv"))
+        cos = K.pair_dot("cv", "bv") / (F.col("__nc") * F.col("__nb"))
     else:
         cos = cosine(F.col("cv"), F.col("bv"))
     return (

@@ -1,0 +1,241 @@
+"""Arrow-batched vector kernels for the embedding operators.
+
+Why these exist — the wide-vector arithmetic (cosine pairs, per-centroid
+score folds, hyperplane projections) has no good pure-Column form at a
+statically-known width:
+
+* **Higher-order functions** (``transform``/``aggregate`` lambdas) are
+  interpreted per element — ~100× whole-stage codegen (measured
+  ~14 ms/row at dims=64; BENCH/BASELINE.md pathology #3).
+* **Unrolled codegen chains** (one ``element_at``-term per dim) work for
+  a single dot product, but any stage that folds k centroids × dims
+  terms (IVF cell assignment, k-means scoring: 1,024+ terms) inlines
+  ~200 bytes of bounds/null-check bytecode per term into ONE fused
+  ``processNext()`` — past Janino's hard 64 KB method limit *and*
+  HotSpot's 8 KB JIT ceiling (``core/session.py``), so the stage
+  abandons whole-stage codegen after a multi-second doomed compile
+  (re-paid per AQE stage, per action) and runs interpreted anyway.
+  Measured: ann_ivf_topk 9.5 s/action on a 2,000-row corpus — all
+  driver/compile time, no compute.
+* **py4j literal chains** (``F.array(*[F.lit(x) …])`` for a 16×64
+  centroid matrix) cost 1,000+ driver round-trips per query build.
+
+A vectorized numpy kernel over Arrow batches is the shape Spark itself
+prescribes for exactly this case (pandas_udf: one Arrow exchange per
+batch, zero per-row Python) — and is how every production Spark
+vector pipeline (Spark NLP, synapseml, petastorm consumers) ships wide
+math.  At 100 TB the kernel is embarrassingly parallel per batch and
+the Arrow transfer is a single columnar copy; the 1000-executor plan
+shape (broadcast / bucket-equality joins around these projections) is
+unchanged.
+
+Bit-parity contract (what keeps the DuckDB value-hash oracles green):
+every kernel accumulates with the SAME left-associated IEEE-754 fold
+from 0.0 that ``dedup.dot_double`` / the unrolled SQL chains use —
+
+    acc = 0.0; for d in index order: acc = acc + term_d
+
+as 64-bit vectorized numpy ops (one ``acc = acc + A[:, d] * B[:, d]``
+per dim; elementwise numpy arithmetic is plain IEEE-754 double — no
+pairwise summation like ``np.sum``, no FMA/BLAS reassociation like
+``np.matmul``, ever).  float32→float64 and int64→float64 input casts
+are exact, same as the SQL ``cast(… as double)``.  Argmin/argmax tie
+to the FIRST extreme index, same as
+``array_position(arr, array_min(arr))``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    """(n, dims) float64 matrix from an Arrow array-column batch.
+    float32/int64 → float64 is exact (same as SQL cast to double)."""
+    if len(s) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.vstack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def _ordered_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Left-assoc fold from 0.0: acc += A[:,d]*B[:,d] in index order —
+    bit-identical to dedup.dot_double / dot_unrolled per row."""
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def pair_dot(a: Column | str, b: Column | str) -> Column:
+    """double: ordered dot product of two vector columns (the per-pair
+    hot path below equality/broadcast joins)."""
+
+    @pandas_udf("double")
+    def _k(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(_ordered_dot(_mat(x), _mat(y)))
+
+    return _k(F.col(a) if isinstance(a, str) else a,
+              F.col(b) if isinstance(b, str) else b)
+
+
+def self_norm(v: Column | str) -> Column:
+    """double: sqrt(ordered self-dot) — the hoisted per-row norm (one
+    norm per row instead of two extra dots per candidate pair)."""
+
+    @pandas_udf("double")
+    def _k(x: pd.Series) -> pd.Series:
+        A = _mat(x)
+        return pd.Series(np.sqrt(_ordered_dot(A, A)))
+
+    return _k(F.col(v) if isinstance(v, str) else v)
+
+
+def _dot_matrix(A: np.ndarray, cents: list[list[float]]) -> np.ndarray:
+    """(n, k): ordered dot of every row against every centroid; per-dim
+    constants multiply exactly as the constant-folded SQL literals."""
+    out = np.empty((len(A), len(cents)), dtype=np.float64)
+    for j, cent in enumerate(cents):
+        acc = np.zeros(len(A), dtype=np.float64)
+        for d, c in enumerate(cent):
+            acc = acc + A[:, d] * float(c)
+        out[:, j] = acc
+    return out
+
+
+def ivf_assign(v: Column | str, cents: list[list[float]]) -> Column:
+    """struct<cell:int, norm:double>: argmax-dot cell (FIRST max index,
+    same as array_position(cs, array_max(cs)) - 1) + hoisted self-norm,
+    one Arrow pass over the corpus."""
+
+    @pandas_udf("struct<cell:int, norm:double>")
+    def _k(x: pd.Series) -> pd.DataFrame:
+        A = _mat(x)
+        if len(A) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "norm": pd.Series([], dtype="float64")})
+        S = _dot_matrix(A, cents)
+        return pd.DataFrame({
+            "cell": np.argmax(S, axis=1).astype(np.int32),
+            "norm": np.sqrt(_ordered_dot(A, A)),
+        })
+
+    return _k(F.col(v) if isinstance(v, str) else v)
+
+
+def ivf_probe(v: Column | str, cents: list[list[float]], nprobe: int) -> Column:
+    """struct<cells:array<int>, norm:double>: the nprobe best cells per
+    query by (dot desc, index asc) — same order as the previous
+    array_sort(struct(-score, i)) ranking — plus the hoisted norm."""
+    nprobe = min(nprobe, len(cents))
+
+    @pandas_udf("struct<cells:array<int>, norm:double>")
+    def _k(x: pd.Series) -> pd.DataFrame:
+        A = _mat(x)
+        if len(A) == 0:
+            return pd.DataFrame({"cells": pd.Series([], dtype=object),
+                                 "norm": pd.Series([], dtype="float64")})
+        S = _dot_matrix(A, cents)
+        # stable argsort of -score ⇒ score desc, index asc on ties
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return pd.DataFrame({
+            "cells": [row.astype(np.int32) for row in order],
+            "norm": np.sqrt(_ordered_dot(A, A)),
+        })
+
+    return _k(F.col(v) if isinstance(v, str) else v)
+
+
+def km_assign(vq: Column | str, cents: list[list[float]],
+              with_d2: bool = False) -> Column:
+    """k-means assignment over the fixed-point-quantized vector.
+
+    score_j = fold_d ((c_d*c_d) - (2.0*c_d)*v_d)  — the ||v||²-free
+    squared-L2 rank, constants pre-computed driver-side exactly as
+    ``_dlit(c*c)`` / ``_dlit(2.0*c)`` fold them into the SQL chain;
+    cluster = FIRST argmin.  With ``with_d2``, also the true squared L2
+    fold_d (v_d - c_d)² against the CHOSEN centroid (scaled space),
+    replacing element_at(d2_array, cluster+1).
+    Returns struct<cluster:int> or struct<cluster:int, d2:double>.
+    """
+    rtype = ("struct<cluster:int, d2:double>" if with_d2
+             else "struct<cluster:int>")
+
+    @pandas_udf(rtype)
+    def _k(x: pd.Series) -> pd.DataFrame:
+        A = _mat(x)
+        if len(A) == 0:
+            cols = {"cluster": pd.Series([], dtype="int32")}
+            if with_d2:
+                cols["d2"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
+        S = np.empty((len(A), len(cents)), dtype=np.float64)
+        for j, cent in enumerate(cents):
+            acc = np.zeros(len(A), dtype=np.float64)
+            for d, c in enumerate(float(xx) for xx in cent):
+                acc = acc + (np.float64(c * c) - np.float64(2.0 * c) * A[:, d])
+            S[:, j] = acc
+        cluster = np.argmin(S, axis=1).astype(np.int32)
+        cols = {"cluster": cluster}
+        if with_d2:
+            d2 = np.zeros(len(A), dtype=np.float64)
+            for j, cent in enumerate(cents):
+                m = cluster == j
+                if not m.any():
+                    continue
+                acc = np.zeros(int(m.sum()), dtype=np.float64)
+                Am = A[m]
+                for d, c in enumerate(float(xx) for xx in cent):
+                    diff = Am[:, d] - np.float64(c)
+                    acc = acc + diff * diff
+                d2[m] = acc
+            cols["d2"] = d2
+        return pd.DataFrame(cols)
+
+    return _k(F.col(vq) if isinstance(vq, str) else vq)
+
+
+def lsh_bucket_norm(v: Column | str, signs: list[list[float]]) -> Column:
+    """struct<bucket:string, norm:double>: the random-hyperplane LSH
+    bucket key ('1'/'0' per plane, proj > 0, same ordered projection
+    fold) + the hoisted self-norm, one Arrow pass."""
+
+    @pandas_udf("struct<bucket:string, norm:double>")
+    def _k(x: pd.Series) -> pd.DataFrame:
+        A = _mat(x)
+        if len(A) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=object),
+                                 "norm": pd.Series([], dtype="float64")})
+        P = _dot_matrix(A, signs)
+        bits = (P > 0).astype(np.uint8).astype("U1")
+        bucket = np.apply_along_axis("".join, 1, bits)
+        return pd.DataFrame({
+            "bucket": bucket,
+            "norm": np.sqrt(_ordered_dot(A, A)),
+        })
+
+    return _k(F.col(v) if isinstance(v, str) else v)
+
+
+def int8_pair_cosine(a: Column | str, b: Column | str) -> Column:
+    """double: cosine over two int8-quantized vectors.  All three dots
+    are EXACT int64 sums (order-free — integer addition is associative,
+    so np.sum is safe here and the value-hash oracle is, too); the one
+    division and the sqrts match the SQL expression bit-for-bit."""
+
+    @pandas_udf("double")
+    def _k(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(x.to_numpy()).astype(np.int64, copy=False)
+        B = np.vstack(y.to_numpy()).astype(np.int64, copy=False)
+        ab = np.sum(A * B, axis=1).astype(np.float64)
+        aa = np.sum(A * A, axis=1).astype(np.float64)
+        bb = np.sum(B * B, axis=1).astype(np.float64)
+        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return _k(F.col(a) if isinstance(a, str) else a,
+              F.col(b) if isinstance(b, str) else b)

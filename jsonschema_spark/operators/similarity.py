@@ -13,7 +13,11 @@ Two paths:
     |corpus| * nprobe / n_cells vectors.  The scale path.
 
 All arithmetic is double-precision sequential folds (dedup.dot_double)
-so results are reproducible and oracle-comparable.
+so results are reproducible and oracle-comparable.  The hot per-pair /
+per-centroid math runs as Arrow-batched numpy kernels with the SAME
+fold order (operators/kernels.py — see its module docstring for why
+unrolled codegen chains and HOF lambdas were both measured and
+rejected at these widths).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import kernels as K
 from .dedup import cosine, dot_double
 
 
@@ -38,8 +43,13 @@ def brute_force_topk(
     the small side by construction) → per-query window top-k.  The
     window partitions by query_id (bounded cardinality ⇒ no skew
     concern) and orders by (cosine desc, neighbor_id) for deterministic
-    tie-breaks.  ``dims`` switches the per-pair cosine to the
-    bit-identical unrolled codegen fold (dedup.dot_unrolled).
+    tie-breaks.  ``dims`` (statically-known width, i.e. every real
+    pipeline) switches the per-pair cosine to the Arrow-kernel path:
+    self-norms hoisted to one sqrt per row per side (identical input
+    bits → identical norm bits, so bit-equal to the 3-dot form), one
+    ordered-fold dot per pair (kernels.pair_dot — bit-identical to the
+    HOF fold).  dims=None keeps the null-safe interpreted HOF for
+    ad-hoc mixed-width inputs.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -48,21 +58,9 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     if dims is not None:
-        from .dedup import dot_unrolled
-
-        # hoist self-norms to one per-row sqrt(dot(v,v)) on each side
-        # (identical input bits -> identical norm bits, so bit-equal to
-        # the 3-dot form); keeps the join-side codegen method small —
-        # three inlined 64-term dots overflow Janino's 64 KB limit
-        q = q.withColumn(
-            "__nq", F.sqrt(dot_unrolled("qv", "qv", dims))
-        )
-        c = c.withColumn(
-            "__nc", F.sqrt(dot_unrolled("cv", "cv", dims))
-        )
-        cos = dot_unrolled("qv", "cv", dims) / (
-            F.col("__nq") * F.col("__nc")
-        )
+        q = q.withColumn("__nq", K.self_norm("qv"))
+        c = c.withColumn("__nc", K.self_norm("cv"))
+        cos = K.pair_dot("qv", "cv") / (F.col("__nq") * F.col("__nc"))
     else:
         cos = cosine(F.col("qv"), F.col("cv"))
     scored = c.crossJoin(F.broadcast(q)).filter(
@@ -80,24 +78,6 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
-
-
-def _cell_scores_arr(vec_name: str, centroids: list[list[float]]) -> Column:
-    """array<double>: dot product of the vector column against every
-    centroid, as ONE SQL-string unrolled codegen chain (same fold order
-    and per-dim products as dedup.dot_double, so bit-identical values —
-    multiplication operand order is IEEE-commutative).  Same build
-    rationale as _km_scores_arr: py4j Column chains cost seconds of
-    driver time, HOF lambdas evaluate interpreted per element."""
-    scores = []
-    for cent in centroids:
-        terms = " + ".join(
-            f"(cast(element_at({vec_name}, {d + 1}) as double) * "
-            f"cast('{float(c)!r}' as double))"
-            for d, c in enumerate(cent)
-        )
-        scores.append(f"(cast('0.0' as double) + {terms})")
-    return F.expr("array(" + ", ".join(scores) + ")")
 
 
 def ivf_topk(
@@ -132,47 +112,39 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
-    centroids = [list(r["sv"]) for r in sample]
+    centroids = [list(map(float, r["sv"])) for r in sample]
+    # corpus side: ONE Arrow pass assigns the argmax-dot cell and hoists
+    # the self-norm (kernels.ivf_assign — first-max-index ties, same as
+    # array_position(cs, array_max(cs))); the probe join below then
+    # pays exactly one ordered-fold dot per candidate
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _cell_scores_arr(vec_col, centroids).alias("__cs"),
+        K.ivf_assign(vec_col, centroids).alias("__a"),
     ).select(
         "neighbor_id",
         "cv",
-        (
-            F.array_position(F.col("__cs"), F.array_max("__cs")).cast("int")
-            - 1
-        ).alias("cell"),
+        F.col("__a.cell").alias("cell"),
+        F.col("__a.norm").alias("__nc"),
     )
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in cc]) for cc in centroids
-    ])
-    # per-query: nprobe best cells by centroid dot product
-    scores = F.transform(cents, lambda cc: dot_double(F.col("qv"), cc))
-    idx_sorted = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    scores,
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("i")),
-                )
-            ),
-            lambda st: st["i"],
-        ),
-        1,
-        min(nprobe, len(centroids)),
-    )
+    # query side (broadcast-tiny): nprobe best cells by centroid dot,
+    # (score desc, index asc) — same order as the previous
+    # array_sort(struct(-score, i)) ranking — plus the hoisted norm
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(idx_sorted))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        K.ivf_probe(vec_col, centroids, nprobe).alias("__p"),
+    ).select(
+        "query_id", "qv", F.col("__p.norm").alias("__nq"),
+        F.explode("__p.cells").alias("cell"),
+    )
     scored = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        (
+            K.pair_dot("qv", "cv") / (F.col("__nq") * F.col("__nc"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -267,12 +239,15 @@ def ann_topk_int8(
     qz_q = quantize_embeddings(queries, vec_col, id_col).select(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qqv")
     )
+    # the coarse scan is the |corpus| × |queries| hot path — Arrow
+    # kernel (kernels.int8_pair_cosine): exact int64 dots (order-free,
+    # so value-hash-safe), bit-identical to quantized_cosine
     coarse = qz_c.crossJoin(F.broadcast(qz_q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        quantized_cosine(F.col("qqv"), F.col("cqv")).alias("qcos"),
+        K.int8_pair_cosine("qqv", "cqv").alias("qcos"),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("neighbor_id")
@@ -342,21 +317,18 @@ def semantic_dedup(
 
     ``dims`` (the embedding width — statically known in any real
     pipeline) swaps the interpreted zip_with/aggregate dot product for
-    ``dedup.dot_unrolled``: the same left-associated IEEE fold as a
-    flat codegen expression, bit-identical values, ~10× cheaper inside
-    the pair join.  Self-norms are hoisted to ONE sqrt(dot(v,v)) per
-    ROW before the join (pure common-subexpression motion — identical
-    input bits give identical norm bits, so the pair predicate is
-    unchanged), leaving each candidate pair exactly one dot product
-    instead of three.
+    the Arrow kernel (kernels.pair_dot): the same left-associated IEEE
+    fold, bit-identical values, vectorized per batch instead of
+    interpreted per element.  Self-norms are hoisted to ONE
+    sqrt(dot(v,v)) per ROW before the join (pure common-subexpression
+    motion — identical input bits give identical norm bits, so the
+    pair predicate is unchanged), leaving each candidate pair exactly
+    one dot product instead of three.
     """
-    from .dedup import dot_double, dot_unrolled, duplicate_clusters
+    from .dedup import dot_double, duplicate_clusters
 
-    # dot receives column NAMES: the unrolled form builds ONE parsed
-    # SQL expression (py4j chains cost ~0.5-1s of driver time per call,
-    # per build); the HOF fallback wraps them back into Columns
     dot = (
-        (lambda x, y: dot_unrolled(x, y, dims))
+        (lambda x, y: K.pair_dot(x, y))
         if dims is not None
         else (lambda x, y: dot_double(F.col(x), F.col(y)))
     )
@@ -430,58 +402,6 @@ def _km_quantize(v: Column) -> Column:
     )
 
 
-def _dlit(x: float) -> str:
-    """Exact double literal for SQL: repr() is Python's shortest
-    round-trip form and CAST(string AS DOUBLE) parses it back to the
-    identical bits, so the JVM sees the same doubles the driver
-    computed (constant-folded at plan time)."""
-    return f"cast('{float(x)!r}' as double)"
-
-
-def _km_scores_arr(vq_name: str, cents: list[list[float]]) -> Column:
-    """array<double>: the _km_score fold against every centroid, the
-    UNROLLED codegen chain built as ONE SQL string.
-
-    Why this form (both alternatives were measured and rejected):
-    * building it as k x dims Python Column objects costs thousands of
-      py4j round-trips and a duplicated ~4000-node tree that Catalyst
-      re-walks for seconds PER ACTION (15.3s driver time vs 2.1s of
-      execution at k=8, dims=64);
-    * compiling it as transform/aggregate higher-order functions keeps
-      the tree small but HOF lambdas are INTERPRETED per element —
-      ~14ms/row (28s for 2,000 rows), a ~100x tax over codegen that
-      would be fatal at corpus scale.
-    One F.expr parse is ~ms on the driver, the flat arithmetic stays
-    in whole-stage codegen (each array element is its own expression,
-    well under Janino's method limit), and the chain is term-for-term
-    identical to the original fold — the DuckDB oracle replays it
-    bit-exactly."""
-    scores = []
-    for cent in cents:
-        terms = " + ".join(
-            f"({_dlit(c * c)} - {_dlit(2.0 * c)} "
-            f"* cast(element_at({vq_name}, {d + 1}) as double))"
-            for d, c in enumerate(float(x) for x in cent)
-        )
-        scores.append(f"({_dlit(0.0)} + {terms})")
-    return F.expr("array(" + ", ".join(scores) + ")")
-
-
-def _km_d2_arr(vq_name: str, cents: list[list[float]]) -> Column:
-    """array<double>: squared L2 to every centroid (scaled space), same
-    left-assoc fold as _km_scores_arr and the same SQL-string build
-    rationale."""
-    d2s = []
-    for cent in cents:
-        terms = " + ".join(
-            f"((cast(element_at({vq_name}, {d + 1}) as double) - {_dlit(c)}) "
-            f"* (cast(element_at({vq_name}, {d + 1}) as double) - {_dlit(c)}))"
-            for d, c in enumerate(float(x) for x in cent)
-        )
-        d2s.append(f"({_dlit(0.0)} + {terms})")
-    return F.expr("array(" + ", ".join(d2s) + ")")
-
-
 def kmeans_embeddings(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -496,8 +416,9 @@ def kmeans_embeddings(
       md5-derived hash of their id (same seeded-sample recipe as
       ``ivf_topk``; one tiny collect).
     * **Assign** — nearest centroid by squared L2; since ||v||^2 is
-      constant per row the score is sum_d (c_d^2 - 2 v_d c_d), a pure
-      codegen fold; ties break to the lowest cluster index.
+      constant per row the score is sum_d (c_d^2 - 2 v_d c_d), ONE
+      Arrow-kernel pass per scan (kernels.km_assign); ties break to
+      the lowest cluster index.
     * **Update** — element-wise mean of assigned vectors via
       ``posexplode`` + groupBy(cluster, dim): map-side partial
       aggregation reduces the shuffle to (#partitions x clusters x
@@ -508,7 +429,7 @@ def kmeans_embeddings(
     Scale (100 TB): each iteration is one corpus scan (inherent to
     Lloyd's — persist the projected input upstream if iterating many
     times) with a metadata-sized shuffle; centroids ride into the next
-    iteration as codegen literals, never a join.  Output ``dist`` is
+    iteration as kernel-closure constants, never a join.  Output ``dist`` is
     the true L2 distance in original (unscaled) units, rounded to 6
     decimals.
 
@@ -537,18 +458,13 @@ def kmeans_embeddings(
     ]
 
     def assign_df(cents: list[list[float]]) -> DataFrame:
-        """(vid, vq, cluster): scores materialized as ONE named column
-        so argmin references an attribute, not a re-inlined tree."""
+        """(vid, vq, cluster): ONE Arrow kernel pass
+        (kernels.km_assign — same score fold, first-argmin ties; see
+        kernels.py for why codegen chains / HOFs / py4j literal trees
+        were all measured and rejected at k×dims width)."""
         return vq_corpus.select(
-            "vid", "vq", _km_scores_arr("vq", cents).alias("__sc")
-        ).select(
-            "vid",
-            "vq",
-            (
-                F.array_position(F.col("__sc"), F.array_min("__sc")).cast("int")
-                - 1
-            ).alias("cluster"),
-        )
+            "vid", "vq", K.km_assign("vq", cents).alias("__a")
+        ).select("vid", "vq", F.col("__a.cluster").alias("cluster"))
 
     for _ in range(iters):
         assigned = assign_df(centroids).select(
@@ -577,23 +493,18 @@ def kmeans_embeddings(
             for j in range(n_clusters)
         ]
 
-    # true L2 in unscaled units: sqrt(sum_d (v_d - c_d)^2) / SCALE,
-    # same left-assoc chain per cluster as the score fold; the d2 array
-    # is its own named column for the same tree-duplication reason
+    # true L2 in unscaled units: sqrt(sum_d (v_d - c_d)^2) / SCALE —
+    # the final pass fuses assignment + the chosen-centroid d2 fold
+    # into ONE kernel call (kernels.km_assign with_d2)
     return (
-        assign_df(centroids)
-        .select(
-            F.col("vid").alias(id_col),
-            "cluster",
-            _km_d2_arr("vq", centroids).alias("__d2"),
+        vq_corpus.select(
+            "vid", K.km_assign("vq", centroids, with_d2=True).alias("__a")
         )
         .select(
-            id_col,
-            "cluster",
+            F.col("vid").alias(id_col),
+            F.col("__a.cluster").alias("cluster"),
             F.round(
-                F.sqrt(F.element_at(F.col("__d2"), F.col("cluster") + 1))
-                / F.lit(float(_KM_SCALE)),
-                6,
+                F.sqrt(F.col("__a.d2")) / F.lit(float(_KM_SCALE)), 6
             ).alias("dist"),
         )
     )

@@ -150,11 +150,14 @@ def test_ann_topk_int8_matches_exact_on_separated_corpus(spark, vectors):
         assert abs(r["cosine"] - ec[(r["query_id"], r["neighbor_id"])]) < 1e-12
 
 
-def test_ann_topk_int8_coarse_stage_stays_jvm(spark, vectors):
+def test_ann_topk_int8_coarse_stage_is_arrow_batched(spark, vectors):
+    """The coarse |corpus|×|queries| cosine is an Arrow-batched kernel
+    (kernels.int8_pair_cosine) — never row-at-a-time Python."""
     q = vectors.filter(F.col("vec_id") < 2)
     plan = similarity.ann_topk_int8(vectors, q, k=3)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_semantic_dedup_collapses_near_identical(spark, vectors):
@@ -452,9 +455,12 @@ def test_kmeans_deterministic(spark, vecs):
     assert a == b
 
 
-def test_kmeans_plan_no_python_no_cartesian(spark, vecs):
+def test_kmeans_plan_arrow_kernel_no_cartesian(spark, vecs):
+    """Assignment is ONE Arrow-batched kernel pass (kernels.km_assign);
+    never row-at-a-time Python, never a join against the centroids."""
     df = similarity.kmeans_embeddings(vecs, n_clusters=3, iters=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan

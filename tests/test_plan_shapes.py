@@ -192,18 +192,21 @@ def test_mixture_single_tiny_agg_broadcast_back(spark):
     assert p.count("Exchange hashpartitioning") <= 2
 
 
-def test_kmeans_scores_stay_codegen_attribute_shaped(spark):
-    """kmeans_embeddings: the unrolled score array must be codegen (no
-    interpreted HOF lambda in the assignment path) and referenced as a
-    named column."""
+def test_kmeans_assignment_is_one_arrow_kernel_pass(spark):
+    """kmeans_embeddings: the assignment+distance path must be exactly
+    ONE Arrow-batched kernel evaluation over the scan (kernels.km_assign
+    — see kernels.py for why codegen chains and HOF lambdas were both
+    rejected at k×dims width), never row-at-a-time Python, and no
+    interpreted HOF fold."""
     emb = spark.createDataFrame(
         [(i, [float(i % 5), float(i % 3)]) for i in range(40)],
         "vec_id long, embedding array<float>",
     )
     out = similarity.kmeans_embeddings(emb, n_clusters=2, iters=1)
     p = plan_of(out)
-    assert "__sc" in p and "__d2" in p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    # the assignment path must not fall back to interpreted transform()
-    # over the score fold: the unrolled chain appears as flat arithmetic
+    assert "BatchEvalPython" not in p, "row-at-a-time Python is banned"
+    assert p.count("ArrowEvalPython") == 1
+    # the assignment must not fall back to an interpreted HOF fold
     assert "aggregate(sequence" not in p.lower()
+    # no shuffle: assignment + chosen-centroid distance is scan-local
+    assert "Exchange" not in p
