@@ -332,12 +332,17 @@ def semantic_dedup(
         if dims is not None
         else (lambda x, y: dot_double(F.col(x), F.col(y)))
     )
-    assign = kmeans_embeddings(
-        corpus, n_clusters, iters, vec_col, id_col, seed
-    ).select(F.col(id_col), F.col("cluster"))
+    # fit driver-side, assign IN the same scan (kernels.km_assign over
+    # the quantized vector) — no join against an assignment table:
+    # the old corpus⋈kmeans-output join was a full extra shuffle of
+    # the corpus just to attach one int
+    cents = kmeans_fit(corpus, n_clusters, iters, vec_col, id_col, seed)
     withc = (
         corpus.select(id_col, vec_col)
-        .join(assign, id_col)
+        .withColumn(
+            "cluster",
+            K.km_assign(_km_quantize(F.col(vec_col)), cents)["cluster"],
+        )
         .withColumn("__norm", F.sqrt(dot(vec_col, vec_col)))
         # materialize ONCE and truncate lineage: the self-join below
         # consumes this twice, and without the cut each branch carries
@@ -402,6 +407,71 @@ def _km_quantize(v: Column) -> Column:
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Fit the deterministic Lloyd's k-means and return the FINAL
+    centroids (scaled ``_km_quantize`` space) as a driver-side list —
+    so callers that only need assignments (``semantic_dedup``) can
+    compute them in their OWN scan via ``kernels.km_assign`` instead
+    of shuffling a join against the assignment table.
+
+    Init/assign/update recipe and the determinism contract are
+    documented on ``kmeans_embeddings`` (same code path — it calls
+    this).  Each iteration is one corpus scan with a metadata-sized
+    shuffle ((#partitions × clusters × dims) long rows) and a
+    driver-small (clusters × dims) collect.
+    """
+    from .dedup import md5_long
+
+    vq_corpus = corpus.select(
+        F.col(id_col).alias("vid"), _km_quantize(F.col(vec_col)).alias("vq")
+    )
+    sample = (
+        vq_corpus.select(
+            "vid", "vq", md5_long(F.col("vid"), seed).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids: list[list[float]] = [
+        [float(x) for x in r["vq"]] for r in sample
+    ]
+    for _ in range(iters):
+        assigned = vq_corpus.select(
+            "vq", K.km_assign("vq", centroids).alias("__a")
+        ).select(F.col("__a.cluster").alias("cluster"), F.posexplode("vq"))
+        sums = (
+            assigned.groupBy("cluster", "pos")
+            .agg(
+                F.sum("col").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
+                r["s"], r["n"],
+            )
+        centroids = [
+            [
+                float(by_cluster[j][d][0]) / float(by_cluster[j][d][1])
+                for d in sorted(by_cluster[j])
+            ]
+            if j in by_cluster
+            else centroids[j]  # empty cluster keeps its centroid
+            for j in range(n_clusters)
+        ]
+    return centroids
+
+
 def kmeans_embeddings(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -440,59 +510,10 @@ def kmeans_embeddings(
     clusters, which is what makes the DuckDB oracle able to replay the
     full iteration history.
     """
-    from .dedup import md5_long
-
+    centroids = kmeans_fit(corpus, n_clusters, iters, vec_col, id_col, seed)
     vq_corpus = corpus.select(
         F.col(id_col).alias("vid"), _km_quantize(F.col(vec_col)).alias("vq")
     )
-    sample = (
-        vq_corpus.select(
-            "vid", "vq", md5_long(F.col("vid"), seed).alias("h")
-        )
-        .orderBy("h")
-        .limit(n_clusters)
-        .collect()
-    )
-    centroids: list[list[float]] = [
-        [float(x) for x in r["vq"]] for r in sample
-    ]
-
-    def assign_df(cents: list[list[float]]) -> DataFrame:
-        """(vid, vq, cluster): ONE Arrow kernel pass
-        (kernels.km_assign — same score fold, first-argmin ties; see
-        kernels.py for why codegen chains / HOFs / py4j literal trees
-        were all measured and rejected at k×dims width)."""
-        return vq_corpus.select(
-            "vid", "vq", K.km_assign("vq", cents).alias("__a")
-        ).select("vid", "vq", F.col("__a.cluster").alias("cluster"))
-
-    for _ in range(iters):
-        assigned = assign_df(centroids).select(
-            "cluster", F.posexplode("vq")
-        )
-        sums = (
-            assigned.groupBy("cluster", "pos")
-            .agg(
-                F.sum("col").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
-                r["s"], r["n"],
-            )
-        centroids = [
-            [
-                float(by_cluster[j][d][0]) / float(by_cluster[j][d][1])
-                for d in sorted(by_cluster[j])
-            ]
-            if j in by_cluster
-            else centroids[j]  # empty cluster keeps its centroid
-            for j in range(n_clusters)
-        ]
-
     # true L2 in unscaled units: sqrt(sum_d (v_d - c_d)^2) / SCALE —
     # the final pass fuses assignment + the chosen-centroid d2 fold
     # into ONE kernel call (kernels.km_assign with_d2)
