@@ -192,6 +192,28 @@ def test_dot_unrolled_bit_identical_to_hof(spark, vectors):
     assert pairs.filter(F.col("hof") != F.col("unrolled")).count() == 0
 
 
+def test_arrow_kernels_bit_identical_to_hof(spark, vectors):
+    """The Arrow numpy kernels must reproduce the HOF fold EXACTLY
+    (same left-assoc IEEE fold — kernels.py's bit-parity contract):
+    raw unrounded doubles compared with strict equality."""
+    from jsonschema_spark.operators import kernels as K
+
+    pairs = vectors.alias("x").crossJoin(vectors.alias("y")).select(
+        dedup.dot_double(F.col("x.embedding"), F.col("y.embedding"))
+        .alias("hof"),
+        K.pair_dot(F.col("x.embedding"), F.col("y.embedding"))
+        .alias("kernel"),
+        F.sqrt(
+            dedup.dot_double(F.col("x.embedding"), F.col("x.embedding"))
+        ).alias("hof_norm"),
+        K.self_norm(F.col("x.embedding")).alias("kernel_norm"),
+    )
+    assert pairs.filter(
+        (F.col("hof") != F.col("kernel"))
+        | (F.col("hof_norm") != F.col("kernel_norm"))
+    ).count() == 0
+
+
 def test_semantic_dedup_dims_fast_path_identical(spark, vectors):
     slow = similarity.semantic_dedup(
         vectors, threshold=0.9, n_clusters=4, iters=1
