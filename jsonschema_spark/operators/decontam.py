@@ -25,14 +25,14 @@ Scale design (100 TB corpus, ~10^4-10^6 benchmark docs):
   (The naive formulation — count totals in a separate groupBy and join
   them on — re-shuffles the entire corpus a second time and
   sort-merge-joins it; at 100 TB that join IS the query cost.)
-  Known map-side cost: Catalyst's generator pruning inlines the n-gram
-  array into both the ``size`` projection and the ``Generate``, so the
-  array is built twice per row — pure scan-stage CPU, no extra IO or
-  shuffle, and still strictly cheaper than any join-back design.
 
-No per-row Python anywhere: n-gram generation is
-``transform(sequence(...))`` over the token array (whole-stage
-codegen), the join is a broadcast hash join.
+The n-gram build itself is an Arrow-batched kernel
+(``kernels.ngram_distinct``): the pure-Column form pays the
+interpreted-HOF tax per element (transform lambdas run outside
+whole-stage codegen) and is re-built per consumer by Catalyst's
+generator pruning; the kernel materializes count + distinct grams
+once per row, one Arrow exchange per batch.  Tokenization stays
+JVM-side (``dedup.tokens``), the join is a broadcast hash join.
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import kernels
 from .dedup import normalize_text, tokens
 
 
@@ -99,20 +100,31 @@ def decontaminate(
     carries matched rows.
     """
     bench_id_col = bench_id_col or id_col
-    grams = ngrams_from_tokens(F.col("__toks"), n)
 
+    # The n-gram build runs as ONE Arrow-batched kernel pass per side
+    # (kernels.ngram_distinct).  The previous pure-Column form —
+    # size(array_distinct(transform(...))) + explode(same) — paid the
+    # interpreted-HOF tax per element AND built the array twice per
+    # row (Catalyst generator pruning inlines the expression into both
+    # consumers); the ArrowEvalPython operator materializes the struct
+    # exactly once at plan level.  Measured at sf0.1: 8.2s -> see
+    # BENCH/BASELINE.md.  Gram content/order are identical
+    # (first-occurrence distinct, single-space join).
+    ng = kernels.ngram_distinct(F.col("__toks"), n)
     corpus_ng = corpus.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
-    ).select(
+    ).select("doc_id", ng.alias("__ng")).select(
         "doc_id",
-        F.size(grams).alias("doc_ngrams"),
-        F.explode(grams).alias("ng"),
+        F.col("__ng.cnt").alias("doc_ngrams"),
+        F.explode("__ng.grams").alias("ng"),
     )
     bench_ng = benchmark.select(
         F.col(bench_id_col).alias("bench_id"),
         tokens(F.col(text_col)).alias("__toks"),
-    ).select("bench_id", F.explode(grams).alias("ng"))
+    ).select("bench_id", ng.alias("__ng")).select(
+        "bench_id", F.explode("__ng.grams").alias("ng")
+    )
 
     return (
         corpus_ng.join(F.broadcast(bench_ng), "ng")

@@ -220,6 +220,48 @@ def lsh_bucket_norm(v: Column | str, signs: list[list[float]]) -> Column:
     return _k(F.col(v) if isinstance(v, str) else v)
 
 
+def ngram_distinct(toks: Column | str, n: int) -> Column:
+    """struct<cnt:int, grams:array<string>>: per-row DISTINCT word
+    n-grams in first-occurrence order, plus their count, in ONE Arrow
+    pass.
+
+    Replaces the pure-Column form
+    ``array_distinct(transform(sequence(1, cnt), concat_ws(...)))`` in
+    the decontamination scan: ``transform`` lambdas evaluate
+    INTERPRETED per element (pathology #3, BENCH/BASELINE.md), and the
+    consumer needs BOTH ``size(grams)`` and ``explode(grams)``, which
+    Catalyst's generator pruning inlines as TWO independent builds per
+    row.  As a pandas UDF the struct is materialized once by the
+    ArrowEvalPython operator — plan-level, so no Catalyst rule can
+    re-inline it — and both field accesses read the same batch.
+
+    First-occurrence order matches ``array_distinct`` exactly
+    (``dict.fromkeys`` preserves insertion order), so downstream
+    explode/count semantics are unchanged.  Strings are joined with a
+    single space, same as ``concat_ws(" ", ...)``.
+    """
+
+    @pandas_udf("struct<cnt:int, grams:array<string>>")
+    def _k(x: pd.Series) -> pd.DataFrame:
+        cnts = np.zeros(len(x), dtype=np.int32)
+        grams: list[list[str]] = []
+        for r, t in enumerate(x):
+            lt = list(t) if t is not None else []
+            m = len(lt) - (n - 1)
+            if m <= 0:
+                grams.append([])
+                continue
+            g = list(dict.fromkeys(
+                " ".join(lt[i:i + n]) for i in range(m)
+            ))
+            cnts[r] = len(g)
+            grams.append(g)
+        return pd.DataFrame({"cnt": pd.Series(cnts, dtype="int32"),
+                             "grams": grams})
+
+    return _k(F.col(toks) if isinstance(toks, str) else toks)
+
+
 def int8_pair_cosine(a: Column | str, b: Column | str) -> Column:
     """double: cosine over two int8-quantized vectors.  All three dots
     are EXACT int64 sums (order-free — integer addition is associative,
