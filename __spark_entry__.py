@@ -1666,6 +1666,51 @@ def q_transcript_tool_pairing(spark, sf_dir):
     return transcripts.tool_call_pairing(tdf, order_by=("turn_idx", "seq"))
 
 
+def _response_candidates(spark, sf_dir):
+    """Assistant turns as scored response candidates: one group per
+    conversation, score = octet length of the response text (a
+    deterministic stand-in for a reward/quality model's output — the
+    operator under test is the grouped selection, not the scorer).
+    Null-text turns are dropped so both engines rank the same rows."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return tdf.filter(
+        (F.col("role") == "assistant") & F.col("text").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "seq",
+        "text",
+        F.octet_length("text").cast("double").alias("score"),
+    )
+
+
+def q_best_of_n_responses(spark, sf_dir):
+    """Best-of-n response selection (operators/sampling.best_of_n):
+    the highest-scoring assistant turn per conversation by
+    (score DESC, seq ASC) row_number ranking — rejection sampling's
+    keep step.  ONE hash shuffle on conv_id; deterministic ties."""
+    cands = _response_candidates(spark, sf_dir)
+    return sampling.best_of_n(
+        cands, ["conv_id"], score_col="score", tiebreak_cols=["seq"]
+    )
+
+
+def q_preference_pairs_transcripts(spark, sf_dir):
+    """Preference-pair mining (operators/sampling.preference_pairs):
+    (chosen, rejected) = (best, worst) assistant response per
+    conversation with margin >= 1 — the DPO/reward-model row shape.
+    The window's one conv_id shuffle is reused by the groupBy."""
+    cands = _response_candidates(spark, sf_dir)
+    return sampling.preference_pairs(
+        cands,
+        ["conv_id"],
+        score_col="score",
+        tiebreak_cols=["seq"],
+        text_col="text",
+        min_margin=1.0,
+    )
+
+
 def q_transcript_merge_runs(spark, sf_dir):
     """Transcript repair (operators/transcripts.merge_consecutive_turns):
     runs of consecutive same-role turns (chunked streaming output /
@@ -1849,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_docs": q_pii_scan_docs,
         "text_repetition": q_text_repetition,
         "transcript_tool_pairing": q_transcript_tool_pairing,
+        "best_of_n_responses": q_best_of_n_responses,
+        "preference_pairs_transcripts": q_preference_pairs_transcripts,
         "transcript_merge_runs": q_transcript_merge_runs,
         "context_windows": q_context_windows,
         "hash_split_docs": q_hash_split_docs,
@@ -2561,6 +2608,55 @@ def _oracle_transcript_rollup() -> str:
              - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
            (max(turn_idx) - min(turn_idx) + 1) = count(*) AS turns_contiguous
     FROM t GROUP BY conv_id
+    """
+
+
+_SQL_RESPONSE_CANDS = f"""
+      SELECT conv_id, turn_idx, seq, text,
+             CAST(strlen(text) AS DOUBLE) AS score
+      FROM ({_SQL_TRANSCRIPTS}) t
+      WHERE role = 'assistant' AND text IS NOT NULL
+"""
+
+
+def _oracle_best_of_n() -> str:
+    return f"""
+    WITH c AS ({_SQL_RESPONSE_CANDS}),
+    r AS (
+      SELECT conv_id, turn_idx, seq, text, score,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY score DESC, seq ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+               AS n_candidates
+      FROM c
+    )
+    SELECT conv_id, turn_idx, seq, text, score, n_candidates
+    FROM r WHERE rn = 1
+    """
+
+
+def _oracle_preference_pairs() -> str:
+    return f"""
+    WITH c AS ({_SQL_RESPONSE_CANDS}),
+    r AS (
+      SELECT conv_id, text, score,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY score DESC, seq ASC) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM c
+    ),
+    p AS (
+      SELECT conv_id,
+             max(CASE WHEN rn = 1 THEN text END) AS chosen_text,
+             max(CASE WHEN rn = 1 THEN score END) AS chosen_score,
+             max(CASE WHEN rn = n THEN text END) AS rejected_text,
+             max(CASE WHEN rn = n THEN score END) AS rejected_score
+      FROM r WHERE n >= 2 GROUP BY conv_id
+    )
+    SELECT conv_id, chosen_text, chosen_score, rejected_text,
+           rejected_score,
+           (chosen_score - rejected_score) AS margin
+    FROM p WHERE (chosen_score - rejected_score) >= 1.0
     """
 
 
@@ -3593,6 +3689,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_docs": _oracle_pii_scan(),
         "text_repetition": _oracle_text_repetition(),
         "transcript_tool_pairing": _oracle_tool_pairing(),
+        "best_of_n_responses": _oracle_best_of_n(),
+        "preference_pairs_transcripts": _oracle_preference_pairs(),
         "transcript_merge_runs": _oracle_transcript_merge_runs(),
         "context_windows": _oracle_context_windows(),
         "hash_split_docs": _oracle_hash_split(),

@@ -110,6 +110,8 @@ HEADLINE = [
     # minhash ingest, and the composed curation pipeline
     "text_repetition",
     "transcript_tool_pairing",
+    "best_of_n_responses",
+    "preference_pairs_transcripts",
     "dedup_minhash_incremental",
     "pack_sequences_docs",
     "curate_docs",

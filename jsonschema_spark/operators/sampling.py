@@ -295,3 +295,97 @@ def temperature_mixture(
         F.col(group_col),
         (F.floor(F.col("__r")).cast("int") + extra).alias("n_reps"),
     )
+
+
+def best_of_n(
+    cands: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str = "score",
+    tiebreak_cols: Sequence[str] = (),
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Best-of-n selection: one row per group — the highest-scoring
+    candidate (rejection sampling's keep step; RLHF/eval pipelines run
+    it over n sampled responses per prompt).
+
+    Ordering is (score DESC, tiebreaks ASC) via ``row_number``, so the
+    winner is DETERMINISTIC given unique tiebreaks — never ``max_by``,
+    whose tie choice is arrival-order (= partition-layout) dependent
+    and would differ run to run and engine to engine.
+
+    Scale: ONE hash shuffle on the group columns (the window's
+    partitioning); the filter is a codegen predicate over the ranked
+    stream.  Adds ``n_candidates`` (group size) from the same window —
+    no second aggregation.
+    """
+    group_cols = list(group_cols)
+    keep = list(keep_cols) if keep_cols is not None else [
+        c for c in cands.columns if c not in group_cols
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    wall = Window.partitionBy(*group_cols)
+    ranked = cands.select(
+        *group_cols,
+        *keep,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("n_candidates"),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
+
+
+def preference_pairs(
+    cands: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str = "score",
+    tiebreak_cols: Sequence[str] = (),
+    text_col: str = "text",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair mining: for every group with >= 2 candidates,
+    the (chosen, rejected) = (best, worst) pair by score — the row
+    shape DPO/RLHF reward-model training consumes.
+
+    Output: ``(group_cols..., chosen_text, chosen_score, rejected_text,
+    rejected_score, margin)`` with ``margin = chosen_score -
+    rejected_score``; pairs under ``min_margin`` are dropped (small
+    margins are label noise in preference data).  Both ends are picked
+    by deterministic (score, tiebreaks) ranking — best = rank 1 of
+    (DESC, asc), worst = rank n of the SAME ordering — so the pair
+    replays identically at any parallelism.
+
+    Scale: the window's ONE hash shuffle on the group columns, then a
+    groupBy over the already-partitioned stream (Catalyst reuses the
+    exchange — no second shuffle); output rows = number of groups.
+    """
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    wall = Window.partitionBy(*group_cols)
+    ranked = cands.select(
+        *group_cols,
+        F.col(text_col).alias("__txt"),
+        F.col(score_col).alias("__s"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__txt"))).alias("chosen_text"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__s"))).alias("chosen_score"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n"), F.col("__txt"))
+        ).alias("rejected_text"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n"), F.col("__s"))
+        ).alias("rejected_score"),
+    )
+    return agg.select(
+        *group_cols,
+        "chosen_text",
+        "chosen_score",
+        "rejected_text",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+    ).filter(F.col("margin") >= F.lit(min_margin))

@@ -140,3 +140,71 @@ class TestPackSequences:
         b = sorted(map(tuple, sampling.pack_sequences(
             docs.repartition(13), 64).collect()))
         assert a == b
+
+
+class TestBestOfNAndPreferencePairs:
+    @pytest.fixture(scope="class")
+    def cands(self, spark):
+        rows = [
+            # group g1: scores 3.0, 5.0, 5.0 (tie broken by seq), 1.0
+            ("g1", 0, "meh", 3.0),
+            ("g1", 1, "best-low-seq", 5.0),
+            ("g1", 2, "best-high-seq", 5.0),
+            ("g1", 3, "worst", 1.0),
+            # group g2: single candidate -> best_of_n yes, pairs no
+            ("g2", 0, "only", 2.0),
+            # group g3: margin below threshold when min_margin used
+            ("g3", 0, "a", 2.0),
+            ("g3", 1, "b", 1.5),
+        ]
+        return spark.createDataFrame(
+            rows, "grp string, seq int, text string, score double"
+        )
+
+    def test_best_of_n_deterministic_ties(self, spark, cands):
+        got = {
+            r["grp"]: (r["text"], r["n_candidates"])
+            for r in sampling.best_of_n(
+                cands, ["grp"], score_col="score", tiebreak_cols=["seq"]
+            ).collect()
+        }
+        assert got == {
+            "g1": ("best-low-seq", 4),   # tie -> lowest seq wins
+            "g2": ("only", 1),
+            "g3": ("a", 2),
+        }
+
+    def test_preference_pairs_best_vs_worst(self, spark, cands):
+        got = {
+            r["grp"]: (r["chosen_text"], r["rejected_text"], r["margin"])
+            for r in sampling.preference_pairs(
+                cands, ["grp"], score_col="score", tiebreak_cols=["seq"]
+            ).collect()
+        }
+        assert got["g1"] == ("best-low-seq", "worst", 4.0)
+        assert "g2" not in got          # needs >= 2 candidates
+        assert got["g3"] == ("a", "b", 0.5)
+
+    def test_min_margin_filters(self, spark, cands):
+        got = {
+            r["grp"]
+            for r in sampling.preference_pairs(
+                cands, ["grp"], score_col="score", tiebreak_cols=["seq"],
+                min_margin=1.0,
+            ).collect()
+        }
+        assert got == {"g1"}
+
+    def test_pairs_single_shuffle(self, spark, cands):
+        plan = sampling.preference_pairs(
+            cands, ["grp"], score_col="score", tiebreak_cols=["seq"]
+        )._jdf.queryExecution().executedPlan().toString()
+        # the groupBy must reuse the window's hash exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_deterministic_across_partitionings(self, spark, cands):
+        a = sorted(map(tuple, sampling.preference_pairs(
+            cands, ["grp"], tiebreak_cols=["seq"]).collect()))
+        b = sorted(map(tuple, sampling.preference_pairs(
+            cands.repartition(7), ["grp"], tiebreak_cols=["seq"]).collect()))
+        assert a == b
