@@ -42,6 +42,14 @@ pairwise summation like ``np.sum``, no FMA/BLAS reassociation like
 are exact, same as the SQL ``cast(… as double)``.  Argmin/argmax tie
 to the FIRST extreme index, same as
 ``array_position(arr, array_min(arr))``.
+
+Dirty-row policy (one bad row must not fail a 100 TB job): a null
+vector — or one whose width disagrees with the kernel's static
+centroid/hyperplane width, or with its partner row in a pair kernel —
+yields SQL NULL, exactly as the SQL folds these kernels replaced did;
+a raw ``np.vstack`` would instead raise and kill the stage.  Validity
+is decided PER ROW, never inferred from the batch, so results are
+independent of partition layout.
 """
 
 from __future__ import annotations
@@ -55,10 +63,76 @@ from pyspark.sql.functions import pandas_udf
 
 def _mat(s: pd.Series) -> np.ndarray:
     """(n, dims) float64 matrix from an Arrow array-column batch.
-    float32/int64 → float64 is exact (same as SQL cast to double)."""
+    float32/int64 → float64 is exact (same as SQL cast to double).
+    Assumes every row is non-null and same-length (use ``_mat_masked``
+    when the input can be dirty)."""
     if len(s) == 0:
         return np.zeros((0, 0), dtype=np.float64)
     return np.vstack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def _mat_masked(s: pd.Series, dims: int) -> tuple[np.ndarray, np.ndarray]:
+    """(A, mask): (n, dims) float64 matrix with INVALID rows zero-filled,
+    plus the per-row validity mask.
+
+    A row is invalid when it is null or its length disagrees with the
+    statically-known ``dims`` (the centroid/hyperplane width).  The SQL
+    folds these kernels replaced yielded NULL for such rows; a raw
+    ``np.vstack`` instead raises inside the UDF and fails the whole
+    100 TB job on one dirty row.  Valid rows compute bit-identically
+    (each row's fold is independent; the zero-filled rows are masked
+    out of the output).
+    """
+    vals = s.to_numpy()
+    n = len(vals)
+    mask = np.zeros(n, dtype=bool)
+    rows = {}
+    for i, t in enumerate(vals):
+        if t is not None and len(t) == dims:
+            mask[i] = True
+            rows[i] = t
+    A = np.zeros((n, dims), dtype=np.float64)
+    for i, t in rows.items():
+        A[i, :] = t
+    return A, mask
+
+
+def _lengths(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(vals, lens): the raw batch values and per-row lengths, -1 for
+    null rows.  Validity for width-agnostic kernels is PER ROW (null /
+    per-row length agreement), never inferred from the batch — batch
+    composition depends on partition layout, and a row's result must
+    not."""
+    vals = s.to_numpy()
+    lens = np.fromiter(
+        (len(t) if t is not None else -1 for t in vals),
+        dtype=np.int64,
+        count=len(vals),
+    )
+    return vals, lens
+
+
+def _null_double(vals: np.ndarray, mask: np.ndarray) -> pd.Series:
+    """double column with SQL NULL on invalid rows; plain float64 (no
+    boxing) on the all-valid fast path.  Known corner: in a batch that
+    CONTAINS invalid rows, a genuine NaN result on a valid row (e.g. a
+    zero-norm cosine) surfaces as NULL too — Arrow's from_pandas
+    convention treats NaN in an object array as missing.  All-valid
+    batches (the normal case) keep NaN, matching the replaced SQL."""
+    if mask.all():
+        return pd.Series(vals)
+    out = np.ascontiguousarray(vals, dtype=np.float64).astype(object)
+    out[~mask] = None
+    return pd.Series(out, dtype=object)
+
+
+def _null_int32(vals: np.ndarray, mask: np.ndarray) -> pd.Series:
+    """int column with SQL NULL on invalid rows (same fast path)."""
+    if mask.all():
+        return pd.Series(vals, dtype="int32")
+    out = np.ascontiguousarray(vals, dtype=np.int32).astype(object)
+    out[~mask] = None
+    return pd.Series(out, dtype=object)
 
 
 def _ordered_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -76,7 +150,18 @@ def pair_dot(a: Column | str, b: Column | str) -> Column:
 
     @pandas_udf("double")
     def _k(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(_ordered_dot(_mat(x), _mat(y)))
+        xv, lx = _lengths(x)
+        yv, ly = _lengths(y)
+        mask = (lx >= 0) & (lx == ly)  # per-row: both non-null, same width
+        out = np.zeros(len(xv), dtype=np.float64)
+        for L in np.unique(lx[mask]):
+            idx = np.where(mask & (lx == L))[0]
+            if L == 0:
+                continue  # empty vectors: dot = the fold's 0.0 seed
+            A = np.vstack(xv[idx]).astype(np.float64, copy=False)
+            B = np.vstack(yv[idx]).astype(np.float64, copy=False)
+            out[idx] = _ordered_dot(A, B)
+        return _null_double(out, mask)
 
     return _k(F.col(a) if isinstance(a, str) else a,
               F.col(b) if isinstance(b, str) else b)
@@ -88,8 +173,16 @@ def self_norm(v: Column | str) -> Column:
 
     @pandas_udf("double")
     def _k(x: pd.Series) -> pd.Series:
-        A = _mat(x)
-        return pd.Series(np.sqrt(_ordered_dot(A, A)))
+        xv, lx = _lengths(x)
+        mask = lx >= 0  # a norm is defined for ANY non-null row
+        out = np.zeros(len(xv), dtype=np.float64)
+        for L in np.unique(lx[mask]):
+            idx = np.where(lx == L)[0]
+            if L == 0:
+                continue  # empty vector: sqrt(0.0)
+            A = np.vstack(xv[idx]).astype(np.float64, copy=False)
+            out[idx] = np.sqrt(_ordered_dot(A, A))
+        return _null_double(out, mask)
 
     return _k(F.col(v) if isinstance(v, str) else v)
 
@@ -113,14 +206,14 @@ def ivf_assign(v: Column | str, cents: list[list[float]]) -> Column:
 
     @pandas_udf("struct<cell:int, norm:double>")
     def _k(x: pd.Series) -> pd.DataFrame:
-        A = _mat(x)
+        A, mask = _mat_masked(x, dims=len(cents[0]))
         if len(A) == 0:
             return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
                                  "norm": pd.Series([], dtype="float64")})
         S = _dot_matrix(A, cents)
         return pd.DataFrame({
-            "cell": np.argmax(S, axis=1).astype(np.int32),
-            "norm": np.sqrt(_ordered_dot(A, A)),
+            "cell": _null_int32(np.argmax(S, axis=1).astype(np.int32), mask),
+            "norm": _null_double(np.sqrt(_ordered_dot(A, A)), mask),
         })
 
     return _k(F.col(v) if isinstance(v, str) else v)
@@ -134,7 +227,7 @@ def ivf_probe(v: Column | str, cents: list[list[float]], nprobe: int) -> Column:
 
     @pandas_udf("struct<cells:array<int>, norm:double>")
     def _k(x: pd.Series) -> pd.DataFrame:
-        A = _mat(x)
+        A, mask = _mat_masked(x, dims=len(cents[0]))
         if len(A) == 0:
             return pd.DataFrame({"cells": pd.Series([], dtype=object),
                                  "norm": pd.Series([], dtype="float64")})
@@ -142,8 +235,9 @@ def ivf_probe(v: Column | str, cents: list[list[float]], nprobe: int) -> Column:
         # stable argsort of -score ⇒ score desc, index asc on ties
         order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
         return pd.DataFrame({
-            "cells": [row.astype(np.int32) for row in order],
-            "norm": np.sqrt(_ordered_dot(A, A)),
+            "cells": [row.astype(np.int32) if ok else None
+                      for row, ok in zip(order, mask)],
+            "norm": _null_double(np.sqrt(_ordered_dot(A, A)), mask),
         })
 
     return _k(F.col(v) if isinstance(v, str) else v)
@@ -166,7 +260,7 @@ def km_assign(vq: Column | str, cents: list[list[float]],
 
     @pandas_udf(rtype)
     def _k(x: pd.Series) -> pd.DataFrame:
-        A = _mat(x)
+        A, mask = _mat_masked(x, dims=len(cents[0]))
         if len(A) == 0:
             cols = {"cluster": pd.Series([], dtype="int32")}
             if with_d2:
@@ -179,7 +273,7 @@ def km_assign(vq: Column | str, cents: list[list[float]],
                 acc = acc + (np.float64(c * c) - np.float64(2.0 * c) * A[:, d])
             S[:, j] = acc
         cluster = np.argmin(S, axis=1).astype(np.int32)
-        cols = {"cluster": cluster}
+        cols = {"cluster": _null_int32(cluster, mask)}
         if with_d2:
             d2 = np.zeros(len(A), dtype=np.float64)
             for j, cent in enumerate(cents):
@@ -192,7 +286,7 @@ def km_assign(vq: Column | str, cents: list[list[float]],
                     diff = Am[:, d] - np.float64(c)
                     acc = acc + diff * diff
                 d2[m] = acc
-            cols["d2"] = d2
+            cols["d2"] = _null_double(d2, mask)
         return pd.DataFrame(cols)
 
     return _k(F.col(vq) if isinstance(vq, str) else vq)
@@ -205,7 +299,7 @@ def lsh_bucket_norm(v: Column | str, signs: list[list[float]]) -> Column:
 
     @pandas_udf("struct<bucket:string, norm:double>")
     def _k(x: pd.Series) -> pd.DataFrame:
-        A = _mat(x)
+        A, mask = _mat_masked(x, dims=len(signs[0]))
         if len(A) == 0:
             return pd.DataFrame({"bucket": pd.Series([], dtype=object),
                                  "norm": pd.Series([], dtype="float64")})
@@ -213,8 +307,10 @@ def lsh_bucket_norm(v: Column | str, signs: list[list[float]]) -> Column:
         bits = (P > 0).astype(np.uint8).astype("U1")
         bucket = np.apply_along_axis("".join, 1, bits)
         return pd.DataFrame({
-            "bucket": bucket,
-            "norm": np.sqrt(_ordered_dot(A, A)),
+            "bucket": pd.Series([b if ok else None
+                                 for b, ok in zip(bucket, mask)],
+                                dtype=object),
+            "norm": _null_double(np.sqrt(_ordered_dot(A, A)), mask),
         })
 
     return _k(F.col(v) if isinstance(v, str) else v)
@@ -272,12 +368,23 @@ def int8_pair_cosine(a: Column | str, b: Column | str) -> Column:
     def _k(x: pd.Series, y: pd.Series) -> pd.Series:
         if len(x) == 0:
             return pd.Series([], dtype="float64")
-        A = np.vstack(x.to_numpy()).astype(np.int64, copy=False)
-        B = np.vstack(y.to_numpy()).astype(np.int64, copy=False)
-        ab = np.sum(A * B, axis=1).astype(np.float64)
-        aa = np.sum(A * A, axis=1).astype(np.float64)
-        bb = np.sum(B * B, axis=1).astype(np.float64)
-        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+        xv, lx = _lengths(x)
+        yv, ly = _lengths(y)
+        mask = (lx >= 0) & (lx == ly)
+        out = np.zeros(len(xv), dtype=np.float64)
+        for L in np.unique(lx[mask]):
+            idx = np.where(mask & (lx == L))[0]
+            if L == 0:
+                out[idx] = np.nan  # 0/0: same as the zero-norm case
+                continue
+            A = np.vstack(xv[idx]).astype(np.int64, copy=False)
+            B = np.vstack(yv[idx]).astype(np.int64, copy=False)
+            ab = np.sum(A * B, axis=1).astype(np.float64)
+            aa = np.sum(A * A, axis=1).astype(np.float64)
+            bb = np.sum(B * B, axis=1).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = ab / (np.sqrt(aa) * np.sqrt(bb))
+        return _null_double(out, mask)
 
     return _k(F.col(a) if isinstance(a, str) else a,
               F.col(b) if isinstance(b, str) else b)

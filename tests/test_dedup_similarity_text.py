@@ -214,6 +214,44 @@ def test_arrow_kernels_bit_identical_to_hof(spark, vectors):
     ).count() == 0
 
 
+def test_arrow_kernels_null_and_ragged_rows(spark):
+    """Dirty-row policy (kernels.py): a null vector, a width-mismatched
+    vector (vs the kernel's static width or the pair partner), yields
+    SQL NULL — never a task-killing np.vstack crash — and validity is
+    per-row, so results don't depend on partition layout."""
+    from jsonschema_spark.operators import kernels as K
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),
+        (2, None, [1.0, 1.0]),
+        (3, [1.0, 2.0, 3.0], [1.0, 1.0]),  # ragged vs partner/static
+        (4, [2.0, 0.0], None),
+    ]
+    df = spark.createDataFrame(rows, "id int, a array<double>, b array<double>")
+
+    def run(frame):
+        sel = frame.select(
+            "id",
+            K.pair_dot("a", "b").alias("dot"),
+            K.self_norm("a").alias("na"),
+            K.ivf_assign("a", [[1.0, 0.0], [0.0, 1.0]])["cell"].alias("cell"),
+            K.lsh_bucket_norm("a", [[1.0, -1.0]])["bucket"].alias("bkt"),
+            K.km_assign("a", [[0.0, 0.0], [1.0, 2.0]])["cluster"].alias("cl"),
+        )
+        return {r["id"]: (r["dot"], r["na"], r["cell"], r["bkt"], r["cl"])
+                for r in sel.collect()}
+
+    got = run(df)
+    assert got[1] == (11.0, pytest.approx(5 ** 0.5), 1, "0", 1)
+    assert got[2] == (None, None, None, None, None)
+    # self_norm is width-agnostic (defined per row); static-width and
+    # pair kernels null the mismatched row
+    assert got[3] == (None, pytest.approx(14 ** 0.5), None, None, None)
+    assert got[4][0] is None and got[4][2] == 0
+    # partition-layout independence: same answers from 1 and 4 splits
+    assert run(df.repartition(1)) == run(df.repartition(4))
+
+
 def test_semantic_dedup_dims_fast_path_identical(spark, vectors):
     slow = similarity.semantic_dedup(
         vectors, threshold=0.9, n_clusters=4, iters=1
