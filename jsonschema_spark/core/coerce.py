@@ -49,6 +49,9 @@ def string_of(col: Column, dtype: T.DataType | None) -> Column:
         )
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         return F.coalesce(col.cast("string"), F.lit(""))
+    if isinstance(dtype, T.BinaryType):
+        # Go StringOf([]byte) is the raw bytes as a string (utils.go)
+        return F.coalesce(col.cast("string"), F.lit(""))
     return F.coalesce(F.to_json(col), F.lit(""))
 
 

@@ -157,11 +157,9 @@ def _assignable(e) -> bool:
     """Legal '='/'+=' target: $.path, identifier, or a field chain
     through a variable (``v.status = ...`` — the reference mutates map
     elements bound to loop vars this way, expr/script_test.go:440)."""
-    while (
-        isinstance(e, Call)
-        and e.fn == "__field__"
-        and len(e.args) == 2
-        and isinstance(e.args[1], Lit)
+    while isinstance(e, Call) and len(e.args) == 2 and (
+        (e.fn == "__field__" and isinstance(e.args[1], Lit))
+        or e.fn == "get"  # v[i] = x index assignment (script_test.go:146)
     ):
         e = e.args[0]
     return isinstance(e, (Ref, Var))
@@ -614,7 +612,18 @@ def expr_fn(name):
 
 def _compile_call(node: Call, env: Env) -> CVal:
     if node.fn == "__array__":
-        return CVal(F.array(*[compile_expr(a, env).col for a in node.args]), None)
+        elems = [compile_expr(a, env) for a in node.args]
+        dt = None
+        if elems and all(
+            e.dtype is not None
+            and e.dtype.simpleString() == elems[0].dtype.simpleString()
+            for e in elems
+        ):
+            # homogeneous literal array: keep the element type so
+            # downstream indexing/HOFs stay typed ([]any in the
+            # reference, but a Column array is monomorphic anyway)
+            dt = T.ArrayType(elems[0].dtype)
+        return CVal(F.array(*[e.col for e in elems]), dt)
     if node.fn == "__field__":
         base = compile_expr(node.args[0], env)
         name = node.args[1].value
@@ -757,12 +766,68 @@ _FN["to_lower"] = _FN["str_to_lower"]
 _FN["replace"] = lambda env, a, b, c: CVal(
     F.replace(_v(env, a).str_(), _v(env, b).str_(), _v(env, c).str_()), T.StringType()
 )
-_FN["md5_sum"] = lambda env, a: CVal(F.md5(_v(env, a).str_()), T.StringType())
+def _bytes_in(v: CVal) -> Column:
+    """BytesOf (expr/utils.go:127-140): []byte passes through, string
+    is its UTF-8 bytes, anything else is nil."""
+    if isinstance(v.dtype, T.BinaryType):
+        return v.col
+    if v.dtype is None or isinstance(v.dtype, T.StringType):
+        return v.col.cast("binary")
+    return F.lit(None).cast("binary")
+
+
+# digest functions return RAW BYTES like the reference (md5SumFunc/
+# sha256Func, funcs.go:1025-1042) so hex_encode(md5_sum(x)) — the
+# reference's own signing idiom, expr/script_test.go:154-155 — yields
+# the 32-char digest, not a hex-of-hex double encode.  Spark's
+# md5()/sha2() emit lowercase hex, so the raw form is one unhex away
+# and the whole chain stays codegen.
+_FN["md5_sum"] = lambda env, a: CVal(
+    F.unhex(F.md5(_bytes_in(_v(env, a)))), T.BinaryType()
+)
 _FN["md5"] = _FN["md5_sum"]
-_FN["sha256_sum"] = lambda env, a: CVal(F.sha2(_v(env, a).str_(), 256), T.StringType())
+_FN["sha256_sum"] = lambda env, a: CVal(
+    F.unhex(F.sha2(_bytes_in(_v(env, a)), 256)), T.BinaryType()
+)
+_FN["sha256"] = _FN["sha256_sum"]
+_FN["bytes"] = lambda env, a: CVal(_bytes_in(_v(env, a)), T.BinaryType())
+_FN["str_fields"] = lambda env, a: _FN["fields"](env, a)
+
+
+@expr_fn("hmac_sha256")
+def _fn_hmac_sha256(env, data, secret):
+    """hmac_sha256(data, secret) -> raw 32-byte MAC (funcs.go:1056-1060).
+    No JVM builtin exists for HMAC, so this is the one expr function
+    that runs as an Arrow-batched pandas UDF — vectorized per batch,
+    never per-row Python, and only paid by rules that actually sign."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _hmac_impl(d, k):
+        import hashlib
+        import hmac as _hm
+
+        def one(dv, kv):
+            if dv is None or kv is None:
+                return None
+            db = dv if isinstance(dv, (bytes, bytearray)) else str(dv).encode()
+            kb = kv if isinstance(kv, (bytes, bytearray)) else str(kv).encode()
+            return _hm.new(kb, db, hashlib.sha256).digest()
+
+        return pd.Series([one(dv, kv) for dv, kv in zip(d, k)])
+
+    # real type objects, not strings: `from __future__ import
+    # annotations` would leave hints unresolvable for the UDF builder
+    _hmac_impl.__annotations__ = {
+        "d": pd.Series, "k": pd.Series, "return": pd.Series
+    }
+    _hmac = pandas_udf(_hmac_impl, "binary")
+
+    dv, kv = _v(env, data), _v(env, secret)
+    return CVal(_hmac(_bytes_in(dv), _bytes_in(kv)), T.BinaryType())
 _FN["hex_encode_str"] = lambda env, a: CVal(F.hex(_v(env, a).str_()), T.StringType())
 _FN["base64_encode"] = lambda env, a: CVal(
-    F.base64(_v(env, a).str_().cast("binary")), T.StringType()
+    F.base64(_bytes_in(_v(env, a))), T.StringType()
 )
 _FN["base64_decode"] = lambda env, a: CVal(
     F.unbase64(_v(env, a).str_()).cast("string"), T.StringType()
@@ -777,9 +842,29 @@ _FN["div"] = lambda env, a, b: CVal(_v(env, a).num() / _v(env, b).num(), T.Doubl
 _FN["mod"] = lambda env, a, b: CVal(F.pmod(_v(env, a).num(), _v(env, b).num()), T.DoubleType())
 _FN["json_to"] = lambda env, a: CVal(F.to_json(_v(env, a).col), T.StringType())
 _FN["to_json_str"] = _FN["json_to"]
-_FN["get"] = lambda env, a, b: CVal(
-    F.try_element_at(_v(env, a).col, _v(env, b).col), None
-)
+def _fn_get(env, a, b):
+    """get(m, k) map lookup (funcs.go:718) — also the compiled form of
+    ``x[i]`` postfix indexing on non-$ values, which on arrays is
+    0-based in the reference (Go slice indexing), vs Spark's 1-based
+    element_at."""
+    v, k = _v(env, a), _v(env, b)
+    if isinstance(v.dtype, T.ArrayType):
+        return CVal(
+            F.try_element_at(v.col, k.num().cast("int") + F.lit(1)),
+            v.dtype.elementType,
+        )
+    if isinstance(v.dtype, T.MapType):
+        return CVal(F.try_element_at(v.col, k.str_()), v.dtype.valueType)
+    if isinstance(k.dtype, T.NumericType):
+        # untyped base with a numeric key: treat as 0-based array index
+        # (map keys are strings throughout this engine)
+        return CVal(
+            F.try_element_at(v.col, k.num().cast("int") + F.lit(1)), None
+        )
+    return CVal(F.try_element_at(v.col, k.col), None)
+
+
+_FN["get"] = _fn_get
 _FN["time_format"] = lambda env, a, *r: CVal(
     F.date_format(_v(env, a).col.cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
     T.StringType(),
@@ -1080,7 +1165,7 @@ _FN["repeat"] = _fn_repeat
 # a pure engine returns nil
 _FN["repeats"] = lambda env, body, n: CVal(F.lit(None), None)
 _FN["hex_encode"] = lambda env, a: CVal(
-    F.lower(F.hex(_v(env, a).str_().cast("binary"))), T.StringType()
+    F.lower(F.hex(_bytes_in(_v(env, a)))), T.StringType()
 )
 _FN["hex_decode"] = lambda env, a: CVal(
     F.unhex(_v(env, a).str_()).cast("string"), T.StringType()
@@ -1146,6 +1231,97 @@ for _nm in ("catch", "recover", "recovers", "recoverd", "unwrap"):
 
 # orr as a function (funcs.go:106): first non-empty operand
 _FN["orr"] = lambda env, a, b: compile_expr(Bin("orr", a, b), env)
+
+
+_GO_DUR_UNIT_NS = {
+    "ns": 1.0, "us": 1e3, "µs": 1e3, "μs": 1e3, "ms": 1e6,
+    "s": 1e9, "m": 6e10, "h": 3.6e12,
+}
+
+
+def parse_go_duration(s: str) -> float:
+    """Go time.ParseDuration grammar ('1h2m3.5s', '300ms', '-1.5h')
+    -> nanoseconds.  Compile-time only: duration() takes a literal in
+    every reference usage (funcs_test.go:342)."""
+    s = s.strip()
+    if s in ("0", "+0", "-0"):
+        return 0.0
+    sign = 1.0
+    if s and s[0] in "+-":
+        sign = -1.0 if s[0] == "-" else 1.0
+        s = s[1:]
+    m = re.findall(r"(\d+(?:\.\d*)?|\.\d+)(ns|us|µs|μs|ms|s|m|h)", s)
+    if not m or "".join(n + u for n, u in m) != s:
+        raise ExprError(f"parse duration: invalid duration {s!r}")
+    return sign * sum(float(n) * _GO_DUR_UNIT_NS[u] for n, u in m)
+
+
+@expr_fn("duration")
+def _fn_duration(env, a):
+    """duration('3s') -> time.Duration as float64 nanoseconds
+    (funcs.go:1773-1780; NumberOf(time.Duration) is its int64 ns)."""
+    if not (isinstance(a, Lit) and isinstance(a.value, str)):
+        raise ExprError("duration() takes a literal Go duration string")
+    return CVal(F.lit(parse_go_duration(a.value)), T.DoubleType())
+
+
+@expr_fn("Add")
+def _fn_time_add(env, t, d):
+    """t.Add(duration(..)): Go time.Time.Add reached by reflection in
+    the reference (funcs_test.go:342) — timestamp + nanoseconds."""
+    tv = _v(env, t)
+    ns = _v(env, d).num()
+    return CVal(
+        F.timestamp_micros(
+            F.unix_micros(tv.col.cast("timestamp")) + (ns / 1000).cast("long")
+        ),
+        T.TimestampType(),
+    )
+
+
+def _lit_pattern(a, what: str) -> str:
+    if isinstance(a, Lit) and isinstance(a.value, str):
+        return a.value
+    raise ExprError(f"{what} pattern must be a literal string (the "
+                    "reference compiles it once, WithCompiledArgs)")
+
+
+@expr_fn("regmatch")
+def _fn_regmatch(env, pat, s):
+    """regmatch(pattern, s) (funcs.go:1843-1852).  Pattern is compiled
+    at plan time like the reference's WithCompiledArgs; Java-regex
+    dialect caveat as documented for the pattern keyword."""
+    p = _lit_pattern(pat, "regmatch")
+    re.compile(p)  # fail at compile time on a bad pattern, like the reference
+    return CVal(_v(env, s).str_().rlike(p), T.BooleanType())
+
+
+@expr_fn("regfind")
+def _fn_regfind(env, pat, s):
+    """regfind(pattern, s) -> [][]string of FindAllStringSubmatch
+    (funcs.go:1854-1868): per match, [full, group1, ...].  The group
+    count is known from the compiled pattern, so the result is an
+    arrays_zip of regexp_extract_all per group — one codegen'd
+    expression, no UDF."""
+    p = _lit_pattern(pat, "regfind")
+    ngroups = re.compile(p).groups
+    sv = _v(env, s).str_()
+    per_group = [
+        F.regexp_extract_all(sv, F.lit(p), i) for i in range(ngroups + 1)
+    ]
+    if ngroups == 0:
+        return CVal(
+            F.transform(per_group[0], lambda x: F.array(x)),
+            T.ArrayType(T.ArrayType(T.StringType())),
+        )
+    zipped = F.arrays_zip(*per_group)
+    return CVal(
+        F.transform(
+            zipped,
+            lambda st: F.array(*[st.getField(str(i)) for i in range(ngroups + 1)]),
+        ),
+        T.ArrayType(T.ArrayType(T.StringType())),
+    )
 
 
 # --- higher-order functions taking lambda literals -------------------

@@ -640,6 +640,111 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     new_dt = T.MapType(k_dt, elem_final_dt)
                 emit_assign(st["target"].path, CVal(new_col, new_dt), guard)
 
+        def bind_var(name: str, new: CVal, guard):
+            """(Re)bind a script variable, respecting the active branch
+            guard (false branch keeps the old binding, like the
+            reference's Context scoping under a false `if`)."""
+            if guard is not None:
+                old = state["env_vars"].get(name)
+                oldc = old.col if old is not None else F.lit(None)
+                if new.dtype is not None and old is not None:
+                    oldc = oldc.cast(new.dtype)
+                new = CVal(F.when(guard, new.col).otherwise(oldc), new.dtype)
+            state["env_vars"][name] = new
+
+        def _mutable_var(st, env) -> CVal:
+            tgt = st.args[0]
+            if not (isinstance(tgt, Var) and tgt.name in state["env_vars"]):
+                raise SchemaError(
+                    f"script {st.fn}() target must be a script variable "
+                    f"(e.g. m = new(); {st.fn}(m, ...)) — document paths "
+                    f"use '$.path = expr', path:{path}"
+                )
+            return state["env_vars"][tgt.name]
+
+        def _exec_mutation_call(st, guard, env):
+            """set_to/seto (funcs.go:1510-1525), set (funcs.go:696),
+            set_index (funcs.go:704), delete (funcs.go:713): in-place
+            context/collection mutation.  Columns are immutable, so the
+            columnar form REBINDS the named script variable to the
+            rewritten value — sequential visibility is the compile-time
+            binding order, exactly like '=' assignments."""
+            from pyspark.sql import types as T
+
+            if st.fn in ("set_to", "seto"):
+                if len(st.args) != 2:
+                    raise SchemaError(f"{st.fn}(value, name) takes 2 args, path:{path}")
+                val = compile_expr(st.args[0], env)
+                nm = st.args[1]
+                if isinstance(nm, Var):
+                    name = nm.name
+                elif isinstance(nm, Lit) and isinstance(nm.value, str):
+                    name = nm.value
+                else:
+                    raise SchemaError(
+                        f"{st.fn}() variable name must be an identifier or "
+                        f"string literal, path:{path}"
+                    )
+                bind_var(name, val, guard)
+                return
+            cur = _mutable_var(st, env)
+            name = st.args[0].name
+            if st.fn == "set":
+                if not isinstance(cur.dtype, T.MapType):
+                    raise SchemaError(
+                        f"set(m,k,v) needs a map-typed variable (the "
+                        f"reference's setFunc is map[string]any), path:{path}"
+                    )
+                k = compile_expr(st.args[1], env).str_()
+                v = compile_expr(st.args[2], env)
+                vt = cur.dtype.valueType
+                vcol = (
+                    string_of(v.col, v.dtype)
+                    if isinstance(vt, T.StringType)
+                    else v.col.cast(vt)
+                )
+                new = CVal(
+                    F.map_concat(
+                        F.map_filter(cur.col, lambda kk, _vv: kk != k),
+                        F.create_map(k, vcol),
+                    ),
+                    cur.dtype,
+                )
+            elif st.fn == "set_index":
+                if not isinstance(cur.dtype, T.ArrayType):
+                    raise SchemaError(
+                        f"set_index(a,i,v) needs an array-typed variable, path:{path}"
+                    )
+                idx = compile_expr(st.args[1], env).num().cast("int")
+                v = compile_expr(st.args[2], env)
+                et = cur.dtype.elementType
+                vcol = (
+                    string_of(v.col, v.dtype)
+                    if isinstance(et, T.StringType)
+                    else v.col.cast(et)
+                )
+                # out-of-range: the reference errors the script run;
+                # here the write is a no-op (documented divergence —
+                # a columnar row error would poison the whole batch)
+                new = CVal(
+                    F.transform(
+                        cur.col, lambda x, i: F.when(i == idx, vcol).otherwise(x)
+                    ),
+                    cur.dtype,
+                )
+            elif st.fn == "delete":
+                if not isinstance(cur.dtype, T.MapType):
+                    raise SchemaError(
+                        f"delete(m,k) needs a map-typed variable, path:{path}"
+                    )
+                k = compile_expr(st.args[1], env).str_()
+                new = CVal(
+                    F.map_filter(cur.col, lambda kk, _vv: kk != k), cur.dtype
+                )
+            else:  # pragma: no cover
+                raise SchemaError(f"unhandled mutation fn {st.fn}, path:{path}")
+            bind_var(name, new, guard)
+
         def walk(nodes, guard):
             for st in nodes:
                 env = fresh_env()
@@ -666,6 +771,27 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                         state["env_vars"][st.target.name] = val
                     elif isinstance(st.target, Ref):
                         emit_assign(st.target.path, val, guard)
+                    elif (
+                        isinstance(st.target, Call)
+                        and st.target.fn == "get"
+                        and len(st.target.args) == 2
+                    ):
+                        # v[i] = x (expr/script_test.go:146 'ss[0]=1'):
+                        # index assignment through a script variable is
+                        # sugar for set_index/set on it
+                        base = st.target.args[0]
+                        idx = st.target.args[1]
+                        kind = "set"
+                        if isinstance(base, Var) and base.name in state["env_vars"]:
+                            from pyspark.sql import types as T
+
+                            if isinstance(
+                                state["env_vars"][base.name].dtype, T.ArrayType
+                            ):
+                                kind = "set_index"
+                        _exec_mutation_call(
+                            Call(kind, [base, idx, st.value]), guard, env
+                        )
                     else:
                         raise SchemaError(
                             "field writes through a variable (v.field = "
@@ -688,6 +814,10 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                         raise SchemaError(
                             f"script if() effect must be return(...) or $.path = ... at {path}"
                         )
+                elif isinstance(st, Call) and st.fn in (
+                    "set_to", "seto", "set", "set_index", "delete"
+                ):
+                    _exec_mutation_call(st, guard, env)
                 elif _is_break_stmt(st):
                     raise SchemaError(
                         "'break' is only meaningful as the first statement "
