@@ -274,7 +274,12 @@ def flagship_suite(spark: SparkSession, path: str) -> dict:
     ]
     # fused run: schema+stats share ONE scan+aggregation
     # (checks.CheckSuite.run), uniqueness/RI keep their own shuffles;
-    # best-of-2 so one noisy-neighbor spike can't set the record
+    # one untimed warmup first (same 2-warm steady-state protocol as the
+    # scaling workers: the first run pays Janino codegen + JIT compile
+    # for all five checks — measured 10.9s cold vs 3.8s steady on the
+    # same window), then best-of-2 so one noisy-neighbor spike can't
+    # set the record
+    checks.CheckSuite(suite).run(df).collect()
     wall = None
     for _ in range(2):
         t0 = time.monotonic()
