@@ -437,6 +437,13 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
     void: list[float] = []
     rows = 0
     rnd = 0
+    # Wall-clock budget: a storm window stretches every leg (observed:
+    # void-replacement rounds pushed one full-bench run past 60 min).
+    # Once the budget is spent, stop launching rounds and publish what
+    # exists (min 2 completed rounds before the budget applies) — a
+    # bounded-but-honest record beats a killed run with no JSON.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "900"))
+    t_start = time.monotonic()
     max_rounds = rounds + extend + 2  # hard cap incl. void replacements
     while rnd < max_rounds and (
         len(ratios) < rounds
@@ -446,6 +453,10 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
             and (max(ratios) - min(ratios)) > 0.12
         )
     ):
+        if rnd >= 2 and (time.monotonic() - t_start) > budget:
+            log(f"scaling budget {budget:.0f}s spent after {rnd} rounds "
+                f"for pair {pair}; publishing completed rounds")
+            break
         tps = {}
         for cpus in (lo, hi):
             r = _run_pinned(cpus, path, reps)
@@ -516,7 +527,10 @@ def scaling_evidence(path: str) -> dict:
         "tightest lower bound on true capability) reported alongside. "
         "Pair chosen so both levels stay under the "
         "box's shared-bandwidth/turbo ceiling (cluster executors scale "
-        "those resources; one box does not)"
+        "those resources; one box does not). Rounds stop early once a "
+        "wall-clock budget (SPARK_GRAFT_SCALE_BUDGET_SEC, default 900s "
+        "per pair) is spent, min 2 rounds — a storm window otherwise "
+        "stretches void replacements without bound"
     )
     if CEILING_PAIR != SCALE_PAIR and os.environ.get("SPARK_GRAFT_CEILING", "1") != "0":
         # same median-paired protocol as the headline pair: a single
