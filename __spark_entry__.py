@@ -590,6 +590,17 @@ def q_lm_score_docs(spark, sf_dir):
     return text.lm_score(docs, counts)
 
 
+def q_quality_classifier_docs(spark, sf_dir):
+    """Model-based quality filtering (text.classifier_score): a linear
+    classifier over hashed binary features (distinct unigrams +
+    bigrams), md5-derived stub weights broadcast as the model table.
+    Integer weight sums keep the aggregation order-free; keep at the
+    default 0.5 threshold is the exact predicate sum(w9) >= 0."""
+    docs = _docs(spark, sf_dir)
+    weights = text.classifier_weights(spark, dim=1024, seed="qc-v1")
+    return text.classifier_score(docs, weights, dim=1024)
+
+
 def q_text_langid(spark, sf_dir):
     """Heuristic stopword language-ID vs the labeled lang column."""
     docs = _docs(spark, sf_dir)
@@ -1883,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
         "lm_score_docs": q_lm_score_docs,
+        "quality_classifier_docs": q_quality_classifier_docs,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "span_dup_docs": q_span_dup_stats,
@@ -2323,6 +2335,45 @@ def _oracle_lm_score(alpha: float = 0.5) -> str:
            round(exp(-(CAST(a.s9 AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) / 1000000000.0)), 6)
              AS ppl
     FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _oracle_quality_classifier(dim: int = 1024, seed: str = "qc-v1") -> str:
+    """Replay of text.classifier_weights + classifier_score: identical
+    tokenization, distinct unigrams + bigrams (empties dropped), the
+    same md5-derived bucket hash and stub weight table, exact integer
+    weight sum per doc, float division/exp only at output.  keep at
+    threshold 0.5 is the exact integer predicate sum(w9) >= 0."""
+    norm = _SQL_NORM.format(col="text")
+    bigram = "array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')"
+    seeded = "'" + seed + "#' || CAST(b AS VARCHAR)"
+    w9 = f"({_sql_md5_long(seeded)} % 2001 - 1000)"
+    score = "CAST(a.s9 AS DOUBLE) / (1000.0 * CAST(a.n_feats AS DOUBLE))"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+    f0 AS (
+      SELECT doc_id, unnest(list_distinct(toks)) AS g FROM d
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> {bigram}))) AS g
+      FROM d
+    ),
+    f AS (SELECT doc_id, g FROM f0 WHERE g <> ''),
+    w AS (SELECT CAST(b AS BIGINT) AS bucket, {w9} AS w9
+          FROM range({dim}) t(b)),
+    a AS (
+      SELECT f.doc_id, CAST(SUM(w.w9) AS BIGINT) AS s9, COUNT(*) AS n_feats
+      FROM f LEFT JOIN w ON ({_sql_md5_long("f.g")} % {dim}) = w.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT d0.doc_id,
+           COALESCE(a.n_feats, 0) AS n_feats,
+           round(COALESCE({score}, 0.0), 6) AS score,
+           round(1.0 / (1.0 + exp(-COALESCE({score}, 0.0))), 6) AS prob,
+           (COALESCE({score}, 0.0) >= 0.0) AS keep
+    FROM (SELECT doc_id FROM documents) d0 LEFT JOIN a USING (doc_id)
     """
 
 
@@ -3676,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": _oracle_langid(),
         "lm_score_docs": _oracle_lm_score(),
+        "quality_classifier_docs": _oracle_quality_classifier(),
         "text_quality": _oracle_text_quality(),
         "doc_fingerprint": _oracle_fingerprint(),
         "span_dup_docs": _oracle_span_dup_stats(),

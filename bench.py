@@ -136,6 +136,9 @@ HEADLINE = [
     "mixture_docs",
     # round 3 (late): embedding-level benchmark decontamination
     "semantic_decontam",
+    # round 3 (late): model-based quality filtering (hashed-feature
+    # linear classifier, broadcast model table)
+    "quality_classifier_docs",
     # round 3 (late): per-column categorical histogram
     "top_values_events",
     # round 3 (late): day-over-day PSI drift timeline

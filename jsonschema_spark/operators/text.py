@@ -445,3 +445,98 @@ def bm25_topk(
     no global sort at any scale."""
     scored = bm25_scores(df, query, text_col, id_col, k1, b)
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --------------------------------------------------------------------
+# model-based quality filtering: hashed-feature linear classifier
+# --------------------------------------------------------------------
+#
+# The fasttext-shaped curation stage (score each document with a linear
+# model over hashed n-gram features, keep above a threshold) that sits
+# between the heuristic filters (quality_features, repetition_features)
+# and the expensive model passes in a production pipeline.  The MODEL
+# here is a deterministic md5-derived stub — a real trained table drops
+# in as any (bucket, w9) DataFrame without touching the plan shape.
+
+
+def classifier_weights(
+    spark, dim: int = 1024, seed: str = "qc-v1"
+) -> DataFrame:
+    """Deterministic stub "pretrained" weight table
+    ``(bucket:long, w9:long)`` with w9 uniform in [-1000, 1000], derived
+    from md5(seed || '#' || bucket) so the DuckDB oracle regenerates it
+    bit-exactly.  Weights are scaled integers (1e-3 precision): the
+    per-document weight SUM is then exact under Spark partial
+    aggregation in any order.
+
+    A real fasttext-style model (D = 2^20 buckets) is a few MB — always
+    broadcastable, at any corpus size."""
+    return spark.range(dim).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            md5_long(F.concat(F.lit(seed + "#"), F.col("id").cast("string")))
+            % 2001
+            - 1000
+        ).alias("w9"),
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Linear classifier over hashed binary text features:
+    ``(id, n_feats, score, prob, keep)``.
+
+    Features are the DISTINCT unigrams plus DISTINCT bigrams of the
+    normalized token stream (binary presence, the fasttext bag shape);
+    each hashes to ``bucket = md5_long(gram) % dim`` and looks up w9 in
+    the broadcast model table.  score = sum(w9) / (1000 * n_feats)
+    (mean feature weight), prob = sigmoid(score).
+
+    Determinism: the aggregation sums exact integers (w9), so partial
+    aggregation order can never perturb a score; the one float division
+    and exp() happen once per document at output.  ``keep`` compares
+    score against logit(threshold) — at the default 0.5 that is the
+    EXACT integer predicate sum(w9) >= 0.
+
+    Scale: explode(features) → broadcast hash join on the model table →
+    ONE groupBy(id) shuffle.  Bigrams come from the Arrow kernel
+    (ngram_distinct) — per-element HOF string builds are interpreted
+    (BENCH/BASELINE.md pathology #3)."""
+    import math
+
+    from . import kernels
+
+    toks = tokens(F.col(text_col))
+    uni = F.array_distinct(toks)
+    bi = kernels.ngram_distinct(toks, 2)["grams"]
+    exploded = (
+        docs.select(F.col(id_col), F.explode(F.concat(uni, bi)).alias("g"))
+        .filter(F.col("g") != "")
+    )
+    bucketed = exploded.select(
+        F.col(id_col), F.pmod(md5_long(F.col("g")), F.lit(dim)).alias("bucket")
+    )
+    agg = (
+        bucketed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum("w9").alias("__s9"), F.count(F.lit(1)).alias("n_feats"))
+    )
+    score = F.col("__s9").cast("double") / (
+        F.lit(1000.0) * F.col("n_feats").cast("double")
+    )
+    logit = math.log(threshold / (1.0 - threshold))
+    out = docs.select(id_col).join(agg, id_col, "left")
+    score = F.coalesce(score, F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        F.round(score, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
+        (score >= F.lit(logit)).alias("keep"),
+    )

@@ -524,3 +524,59 @@ def test_kmeans_plan_arrow_kernel_no_cartesian(spark, vecs):
     assert plan.count("ArrowEvalPython") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_classifier_score_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, ""),
+            (2, "The  quick QUICK brown"),
+            (3, None),
+            (4, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    weights = text.classifier_weights(spark, dim=64, seed="qc-v1")
+    got = {
+        r["doc_id"]: r
+        for r in text.classifier_score(df, weights, dim=64).collect()
+    }
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replay(txt):
+        if txt is None:
+            return 0, 0.0
+        toks = " ".join(txt.lower().split()).split(" ")
+        uni = list(dict.fromkeys(toks))
+        bi = list(dict.fromkeys(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )) if len(toks) >= 2 else []
+        feats = [g for g in uni + bi if g != ""]
+        if not feats:
+            return 0, 0.0
+        s9 = sum(
+            md5_long(f"qc-v1#{md5_long(g) % 64}") % 2001 - 1000 for g in feats
+        )
+        return len(feats), s9 / (1000.0 * len(feats))
+
+    for doc_id, txt in [(0, "the quick brown fox"), (1, ""),
+                        (2, "The  quick QUICK brown"), (3, None), (4, "one")]:
+        n, score = replay(txt)
+        r = got[doc_id]
+        assert r["n_feats"] == n
+        assert r["score"] == round(score, 6)
+        assert r["prob"] == round(1.0 / (1.0 + math.exp(-score)), 6)
+        assert r["keep"] == (score >= 0.0)
+
+
+def test_classifier_model_join_is_broadcast(spark):
+    df = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+    weights = text.classifier_weights(spark, dim=64)
+    plan = text.classifier_score(df, weights, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
