@@ -1747,6 +1747,28 @@ def q_context_windows(spark, sf_dir):
     )
 
 
+def q_render_chat(spark, sf_dir):
+    """Chat-template rendering (operators/transcripts.render_chat):
+    each conversation serialized to ONE SFT training string —
+    <|role|>text<|eot|> (<|role:tool|> on tool turns) in stable
+    (turn_idx, seq) order.  The per-turn tag renders in the per-row
+    codegen projection BEFORE the aggregation; the ordered concat is
+    the skew-safe salted two-phase collect."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.render_chat(tdf, order_by=("turn_idx", "seq"))
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-size overlapping token chunking
+    (operators/text.chunk_documents): chunk i covers tokens
+    [i*16, i*16+24) — the RAG-index / pretraining-example windowing
+    step.  Map-only: codegen tokenization, ONE Arrow kernel for the
+    chunk build (per-chunk string joins are interpreted under HOF
+    lambdas — pathology #3), posexplode; no shuffle at any size."""
+    docs = _docs(spark, sf_dir)
+    return text.chunk_documents(docs, size=24, stride=16)
+
+
 def q_hash_split_docs(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     per-row md5-derived label, map-only, stable under corpus growth —
@@ -1910,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs_transcripts": q_preference_pairs_transcripts,
         "transcript_merge_runs": q_transcript_merge_runs,
         "context_windows": q_context_windows,
+        "render_chat": q_render_chat,
+        "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "token_budget_docs": q_token_budget_docs,
@@ -3745,6 +3769,8 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs_transcripts": _oracle_preference_pairs(),
         "transcript_merge_runs": _oracle_transcript_merge_runs(),
         "context_windows": _oracle_context_windows(),
+        "render_chat": _oracle_render_chat(),
+        "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "token_budget_docs": _oracle_token_budget(),
@@ -4097,6 +4123,57 @@ def _oracle_context_windows(budget: int = 24) -> str:
      AND (tr.cum - tr.tok) - (h.cum - h.tok) <= {budget}
     WHERE tr.role = 'assistant'
     GROUP BY tr.conv_id, tr.turn_idx, tr.text, tr.pos
+    """
+
+
+def _oracle_render_chat(eot: str = "<|eot|>") -> str:
+    # the per-turn tag render + ordered '' -separated concat, replayed
+    # relationally: string_agg with the same (turn_idx, seq) order key.
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    p AS (
+      SELECT conv_id, turn_idx, seq,
+             '<|' || role ||
+             CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END ||
+             '|>' || COALESCE(text, '') || '{eot}' AS part
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(length(string_agg(part, '' ORDER BY turn_idx, seq))
+                AS BIGINT) AS n_chars,
+           string_agg(part, '' ORDER BY turn_idx, seq) AS text
+    FROM p GROUP BY conv_id
+    """
+
+
+def _oracle_chunk_docs(size: int = 24, stride: int = 16) -> str:
+    # replay of text.chunk_documents: same tokenization, chunk i =
+    # tokens[i*stride, i*stride+size), n_chunks = ceil(n_toks/stride);
+    # empty documents yield zero chunk rows.
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {norm} = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split({norm}, ' ') END AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks) / CAST({stride} AS DOUBLE))
+                               AS BIGINT))) AS i
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, CAST(i * {stride} + 1 AS BIGINT),
+                               CAST(i * {stride} + {size} AS BIGINT)))
+                AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(toks, CAST(i * {stride} + 1 AS BIGINT),
+                                      CAST(i * {stride} + {size} AS BIGINT)),
+                           ' ') AS chunk_text
+    FROM e
     """
 
 

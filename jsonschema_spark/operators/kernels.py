@@ -388,3 +388,40 @@ def int8_pair_cosine(a: Column | str, b: Column | str) -> Column:
 
     return _k(F.col(a) if isinstance(a, str) else a,
               F.col(b) if isinstance(b, str) else b)
+
+
+def chunk_tokens(toks: Column | str, size: int, stride: int) -> Column:
+    """array<struct<t:string, n:int>>: overlapping fixed-size token
+    windows (chunk i covers tokens [i*stride, i*stride+size)), each as
+    its space-joined text plus its token count, in ONE Arrow pass.
+
+    The RAG/pretraining chunking step.  The pure-Column form —
+    ``transform(sequence(...), i -> array_join(slice(toks, ...)))`` —
+    is a per-element STRING build under a HOF lambda, the decontam
+    pathology (#3, BENCH/BASELINE.md): interpreted per chunk and
+    re-inlined into every consumer by Catalyst's generator pruning.
+    Here the chunk array is materialized once at PLAN level by the
+    ArrowEvalPython operator.
+
+    A null token array — or Spark's ``['']`` split of an empty string —
+    yields ZERO chunks (an empty document has nothing to index), never
+    a null row.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+
+    @pandas_udf("array<struct<t:string, n:int>>")
+    def _k(x: pd.Series) -> pd.Series:
+        out: list[list[tuple[str, int]]] = []
+        for t in x:
+            lt = list(t) if t is not None else []
+            if lt == [""]:  # split('') — an empty document
+                lt = []
+            chunks = []
+            for start in range(0, len(lt), stride):
+                w = lt[start:start + size]
+                chunks.append((" ".join(w), len(w)))
+            out.append(chunks)
+        return pd.Series(out, dtype=object)
+
+    return _k(F.col(toks) if isinstance(toks, str) else toks)

@@ -540,3 +540,59 @@ def classifier_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
         (score >= F.lit(logit)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------
+# document chunking: fixed-size overlapping token windows
+# --------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the RAG-indexing / pretraining-example chunking step:
+    ``(id, chunk_idx, n_tokens, chunk_text)``, chunk i covering
+    normalized whitespace tokens [i*stride, i*stride + size).
+
+    ``stride < size`` gives (size - stride)-token overlap between
+    neighbours; ``stride == size`` gives gapless non-overlapping
+    chunks.  Empty documents produce zero chunks (posexplode of an
+    empty array), never a null chunk row.
+
+    Scale: a map-only pass — tokenization in codegen, the chunk build
+    as ONE Arrow kernel (``kernels.chunk_tokens``; the per-chunk string
+    join is a per-element HOF build in the pure-Column form —
+    pathology #3), then posexplode.  No shuffle at any corpus size;
+    output rows ~ corpus_tokens / stride.
+    """
+    from . import kernels
+
+    chunked = docs.select(
+        F.col(id_col),
+        kernels.chunk_tokens(tokens(F.col(text_col)), size, stride).alias(
+            "__chunks"
+        ),
+    )
+    # posexplode_outer, NOT posexplode: the non-outer generate makes
+    # Spark insert a size(chunks)>0 pre-filter that re-evaluates the
+    # Arrow kernel a second time (two ArrowEvalPython operators).  The
+    # outer form evaluates the kernel ONCE; the empty-document null row
+    # is dropped by a cheap post-generate filter on the position.
+    return (
+        chunked.select(
+            F.col(id_col),
+            F.posexplode_outer("__chunks").alias("chunk_idx", "__c"),
+        )
+        .where(F.col("chunk_idx").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.col("__c.n").alias("n_tokens"),
+            F.col("__c.t").alias("chunk_text"),
+        )
+    )

@@ -688,3 +688,74 @@ def context_windows(
         context.alias("context"),
         tgt["v"].alias("target_text"),
     )
+
+
+def render_chat(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str | None = "tool",
+    order_by: Sequence[str] | None = None,
+    eot: str = "<|eot|>",
+    buckets: int = 8,
+) -> DataFrame:
+    """Chat-template rendering — the SFT-export serialization step:
+    each conversation becomes ONE training string
+    ``(conv_id, n_turns, n_chars, text)`` with
+
+        <|role|>text<|eot|>            (plain turn)
+        <|role:tool|>text<|eot|>       (tool-bearing turn)
+
+    concatenated in stable turn order (the north rule's "per-turn text
+    equality under stable turn ordering" invariant: ``order_by``
+    defaults to (turn_idx,), pass a unique tiebreak column for corpora
+    with duplicate turn indexes).
+
+    Scale shape: the per-turn tag string is rendered in the per-row
+    codegen projection BEFORE the aggregation (never inside a
+    per-element HOF lambda — pathology #3, BENCH/BASELINE.md), then the
+    ordered concat reuses ``conversation_text``'s skew-safe salted
+    two-phase collect: one hot conversation never lands on one task.
+    Null text renders as the empty string (the tags still mark the
+    turn), so one dirty row cannot null a whole conversation's render.
+    """
+    order_cols = list(order_by) if order_by else [turn_col]
+    tag = F.concat(
+        F.lit("<|"),
+        F.col(role_col),
+        (
+            F.when(
+                F.col(tool_col).isNotNull(),
+                F.concat(F.lit(":"), F.col(tool_col)),
+            ).otherwise(F.lit(""))
+            if tool_col is not None
+            else F.lit("")
+        ),
+        F.lit("|>"),
+    )
+    part = F.concat(tag, F.coalesce(F.col(text_col), F.lit("")), F.lit(eot))
+    item = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        part.alias("v"),
+    )
+    out = salted_agg(
+        df,
+        [conv_col],
+        aggs={"part": F.collect_list(item), "n": F.count(F.lit(1))},
+        merges={
+            "part": F.flatten(F.collect_list("part")),
+            "n": F.sum("n").cast("long"),
+        },
+        buckets=buckets,
+    )
+    joined = F.array_join(
+        F.transform(F.array_sort("part"), lambda s: s["v"]), ""
+    )
+    return out.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col("n").alias("n_turns"),
+        F.length(joined).cast("long").alias("n_chars"),
+        joined.alias("text"),
+    )

@@ -248,3 +248,66 @@ def test_context_windows_zero_budget_and_first_turn(spark):
     # no history anywhere
     assert got[("c3", 0)] == (0, 0, "")
     assert got[("c3", 2)] == (0, 0, "")
+
+
+def test_render_chat_tagged_ordered(spark):
+    from jsonschema_spark.operators.transcripts import render_chat
+
+    out = {
+        r["conv_id"]: r
+        for r in render_chat(_corpus(spark), order_by=("turn_idx", "text")).collect()
+    }
+    c1 = out["c1"]
+    assert c1["text"] == (
+        "<|user|>hi<|eot|><|assistant|>hello<|eot|>"
+        "<|tool:search|>result<|eot|><|assistant|>done<|eot|>"
+    )
+    assert c1["n_turns"] == 4
+    assert c1["n_chars"] == len(c1["text"])
+    # c2: duplicate turn 3 tie-broken by text ('b' before 'c')
+    assert out["c2"]["text"] == (
+        "<|assistant|>a<|eot|><|user|>b<|eot|><|user|>c<|eot|>"
+    )
+
+
+def test_render_chat_null_text_renders_empty(spark):
+    from jsonschema_spark.operators.transcripts import render_chat
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, None, _ts(0))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    [r] = render_chat(df).collect()
+    assert r["text"] == "<|user|><|eot|>"
+    assert r["n_chars"] == len("<|user|><|eot|>")
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from jsonschema_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, ""), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = rows(
+        chunk_documents(df, size=4, stride=3), "doc_id", "chunk_idx"
+    )
+    assert got == [
+        (0, 0, 4, "a b c d"),
+        (0, 1, 4, "d e f g"),
+        (0, 2, 1, "g"),
+        (3, 0, 1, "x"),
+    ]
+
+
+def test_chunk_documents_plan_map_only(spark):
+    from jsonschema_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, size=2, stride=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
