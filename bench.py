@@ -151,6 +151,10 @@ HEADLINE = [
     "rolling_user_activity",
     "snapshot_diff_docs",
     "purge_audit",
+    # round 3 (late): SFT chat-template rendering (salted ordered concat)
+    # and RAG token chunking (one Arrow kernel, map-only)
+    "render_chat",
+    "chunk_docs",
 ]
 
 
