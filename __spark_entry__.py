@@ -1758,6 +1758,16 @@ def q_render_chat(spark, sf_dir):
     return transcripts.render_chat(tdf, order_by=("turn_idx", "seq"))
 
 
+def q_sft_mask_spans(spark, sf_dir):
+    """SFT loss-mask spans (operators/transcripts.sft_mask_spans):
+    [start_char, end_char) of each assistant turn inside the
+    render_chat string — the character-level loss mask.  Offsets are a
+    ROWS-frame running sum over the codegen'd part length: ONE conv_id
+    shuffle, no collected arrays, no fold."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.sft_mask_spans(tdf, order_by=("turn_idx", "seq"))
+
+
 def q_chunk_docs(spark, sf_dir):
     """Fixed-size overlapping token chunking
     (operators/text.chunk_documents): chunk i covers tokens
@@ -1933,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_merge_runs": q_transcript_merge_runs,
         "context_windows": q_context_windows,
         "render_chat": q_render_chat,
+        "sft_mask_spans": q_sft_mask_spans,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3770,6 +3781,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_merge_runs": _oracle_transcript_merge_runs(),
         "context_windows": _oracle_context_windows(),
         "render_chat": _oracle_render_chat(),
+        "sft_mask_spans": _oracle_sft_mask_spans(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4144,6 +4156,40 @@ def _oracle_render_chat(eot: str = "<|eot|>") -> str:
                 AS BIGINT) AS n_chars,
            string_agg(part, '' ORDER BY turn_idx, seq) AS text
     FROM p GROUP BY conv_id
+    """
+
+
+def _oracle_sft_mask_spans(eot: str = "<|eot|>") -> str:
+    # replay: same part render, ROWS-frame running length sum for the
+    # end offset, span_idx = rank among the conversation's assistant
+    # turns in the same (turn_idx, seq) order.
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    p AS (
+      SELECT conv_id, turn_idx, role, seq,
+             '<|' || role ||
+             CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END ||
+             '|>' || COALESCE(text, '') || '{eot}' AS part
+      FROM t
+    ),
+    o AS (
+      SELECT conv_id, turn_idx, role, seq,
+             length(part) AS lp,
+             SUM(length(part)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS end_char
+      FROM p
+    )
+    SELECT conv_id,
+           CAST(row_number() OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx, seq
+                ) - 1 AS INTEGER) AS span_idx,
+           CAST(turn_idx AS INTEGER) AS turn_idx,
+           role,
+           CAST(end_char - lp AS BIGINT) AS start_char,
+           CAST(end_char AS BIGINT) AS end_char
+    FROM o WHERE role = 'assistant'
     """
 
 

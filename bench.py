@@ -155,6 +155,8 @@ HEADLINE = [
     # and RAG token chunking (one Arrow kernel, map-only)
     "render_chat",
     "chunk_docs",
+    # round 3 (late): SFT loss-mask spans (ROWS-frame running offsets)
+    "sft_mask_spans",
 ]
 
 

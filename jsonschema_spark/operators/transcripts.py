@@ -690,6 +690,34 @@ def context_windows(
     )
 
 
+def _render_part(
+    role_col: str,
+    text_col: str,
+    tool_col: str | None,
+    eot: str,
+) -> tuple[Column, Column]:
+    """(tag, part) Column pair for one rendered chat turn —
+    ``<|role|>`` / ``<|role:tool|>`` and the full
+    ``tag + coalesce(text,'') + eot`` string.  Shared by
+    ``render_chat`` and ``sft_mask_spans`` so the mask offsets are
+    definitionally aligned with the rendered string."""
+    tag = F.concat(
+        F.lit("<|"),
+        F.col(role_col),
+        (
+            F.when(
+                F.col(tool_col).isNotNull(),
+                F.concat(F.lit(":"), F.col(tool_col)),
+            ).otherwise(F.lit(""))
+            if tool_col is not None
+            else F.lit("")
+        ),
+        F.lit("|>"),
+    )
+    part = F.concat(tag, F.coalesce(F.col(text_col), F.lit("")), F.lit(eot))
+    return tag, part
+
+
 def render_chat(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -722,20 +750,7 @@ def render_chat(
     turn), so one dirty row cannot null a whole conversation's render.
     """
     order_cols = list(order_by) if order_by else [turn_col]
-    tag = F.concat(
-        F.lit("<|"),
-        F.col(role_col),
-        (
-            F.when(
-                F.col(tool_col).isNotNull(),
-                F.concat(F.lit(":"), F.col(tool_col)),
-            ).otherwise(F.lit(""))
-            if tool_col is not None
-            else F.lit("")
-        ),
-        F.lit("|>"),
-    )
-    part = F.concat(tag, F.coalesce(F.col(text_col), F.lit("")), F.lit(eot))
+    _, part = _render_part(role_col, text_col, tool_col, eot)
     item = F.struct(
         *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
         part.alias("v"),
@@ -758,4 +773,85 @@ def render_chat(
         F.col("n").alias("n_turns"),
         F.length(joined).cast("long").alias("n_chars"),
         joined.alias("text"),
+    )
+
+
+def sft_mask_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str | None = "tool",
+    order_by: Sequence[str] | None = None,
+    eot: str = "<|eot|>",
+    train_roles: Iterable[str] = ("assistant",),
+    include_tags: bool = True,
+) -> DataFrame:
+    """SFT loss-mask spans — for each trainable turn (role in
+    ``train_roles``), the [start_char, end_char) span it occupies inside
+    the ``render_chat`` string of its conversation:
+    ``(conv_id, span_idx, turn_idx, role, start_char, end_char)``.
+
+    A training pipeline computes loss only on assistant tokens; these
+    spans are the character-level mask the tokenizer maps onto token
+    ids.  Offsets are definitionally aligned with ``render_chat`` —
+    both render the per-turn part via the same ``_render_part``
+    expression, under the same ``(order_by)`` turn ordering (the north
+    rule's stable-turn-ordering invariant; pass the same tiebreak).
+
+    ``include_tags=False`` narrows each span to the text payload —
+    excluding the leading ``<|role|>`` tag and trailing ``eot`` — for
+    pipelines that train on message content only.
+
+    Scale shape: offsets are a running SUM window over the per-row
+    codegen'd part length — ONE conv_id shuffle, no collected arrays,
+    no per-element HOF fold; hot conversations cost a sort, never a
+    single-task concat.  Empty trainable text still yields a span
+    (zero-width under ``include_tags=False``) so the example count
+    matches the turn count downstream.
+    """
+    order_cols = list(order_by) if order_by else [turn_col]
+    tag, part = _render_part(role_col, text_col, tool_col, eot)
+    # order by (order_cols..., part): render_chat's array_sort compares
+    # the whole struct, so the rendered part string is its implicit
+    # final tiebreak — mirror it here for byte-exact alignment even
+    # under duplicate order keys.  ROWS frame, not the default RANGE:
+    # RANGE groups tied keys and would give tied turns the same end.
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols], part
+    )
+    end = (
+        F.sum(F.length(part))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    start = (end - F.length(part)).cast("long")
+    if not include_tags:
+        start = (start + F.length(tag)).cast("long")
+        end = (end - F.lit(len(eot))).cast("long")
+    roles = [str(r) for r in train_roles]
+    return (
+        df.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.col(role_col).alias("role"),
+            (F.row_number().over(w) - 1).alias("__ord"),
+            start.alias("start_char"),
+            end.alias("end_char"),
+        )
+        .where(F.col("role").isin(roles))
+        .select(
+            "conv_id",
+            (
+                F.row_number().over(
+                    Window.partitionBy("conv_id").orderBy("__ord")
+                )
+                - 1
+            ).alias("span_idx"),
+            "turn_idx",
+            "role",
+            "start_char",
+            "end_char",
+        )
     )

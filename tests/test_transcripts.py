@@ -311,3 +311,70 @@ def test_chunk_documents_plan_map_only(spark):
     )
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_sft_mask_spans_align_with_render(spark):
+    from jsonschema_spark.operators.transcripts import (
+        render_chat,
+        sft_mask_spans,
+    )
+
+    corpus = _corpus(spark)
+    rendered = {
+        r["conv_id"]: r["text"]
+        for r in render_chat(corpus, order_by=("turn_idx", "text")).collect()
+    }
+    spans = sft_mask_spans(corpus, order_by=("turn_idx", "text")).collect()
+    # every span slices exactly one rendered assistant part
+    for s in spans:
+        piece = rendered[s["conv_id"]][s["start_char"]:s["end_char"]]
+        assert piece.startswith("<|assistant|>") and piece.endswith("<|eot|>")
+    c1 = sorted(
+        [s for s in spans if s["conv_id"] == "c1"], key=lambda s: s["span_idx"]
+    )
+    assert [(s["span_idx"], s["turn_idx"]) for s in c1] == [(0, 1), (1, 3)]
+    assert rendered["c1"][c1[0]["start_char"]:c1[0]["end_char"]] == (
+        "<|assistant|>hello<|eot|>"
+    )
+    assert rendered["c1"][c1[1]["start_char"]:c1[1]["end_char"]] == (
+        "<|assistant|>done<|eot|>"
+    )
+
+
+def test_sft_mask_spans_text_only_and_empty(spark):
+    from jsonschema_spark.operators.transcripts import (
+        render_chat,
+        sft_mask_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", None, _ts(0)),
+            ("c1", 1, "assistant", "yes", None, _ts(1)),
+            ("c1", 2, "assistant", None, None, _ts(2)),  # empty payload
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    text = render_chat(df).collect()[0]["text"]
+    got = rows(sft_mask_spans(df, include_tags=False), "span_idx")
+    # payload-only spans: exactly the message text; empty turn -> zero-width
+    assert [
+        (s, text[st:en]) for (_c, s, _t, _r, st, en) in got
+    ] == [(0, "yes"), (1, "")]
+
+
+def test_sft_mask_spans_plan_single_exchange(spark):
+    from jsonschema_spark.operators.transcripts import sft_mask_spans
+
+    df = spark.createDataFrame(
+        [("c1", 0, "assistant", "x", None, _ts(0))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = (
+        sft_mask_spans(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one conv_id shuffle feeds both windows; no Python, no fold
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
