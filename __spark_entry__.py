@@ -1758,6 +1758,29 @@ def q_render_chat(spark, sf_dir):
     return transcripts.render_chat(tdf, order_by=("turn_idx", "seq"))
 
 
+ORDERS_SCHEMA_V2 = {
+    # the migration: maximum tightened 400000 -> 250000, priority
+    # pattern narrowed [1-4] -> [1-3]
+    "required": ["o_orderkey", "o_custkey", "o_orderstatus"],
+    "properties": {
+        "o_orderstatus": {"type": "string", "enum": ["F", "O"]},
+        "o_totalprice": {"minimum": 2000, "maximum": 250000},
+        "o_orderpriority": {"pattern": "^[1-3]-[A-Z ]+$"},
+    },
+}
+
+
+def q_migration_impact_orders(spark, sf_dir):
+    """Schema-migration impact (plans/migration.py): rows clean under
+    ORDERS_SCHEMA that newly violate the tightened ORDERS_SCHEMA_V2 —
+    both compiled rule sets evaluate in ONE fused codegen projection
+    over ONE scan (plan-shape pinned in tests/test_migration.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    return js.migration_impact(
+        orders, ORDERS_SCHEMA, ORDERS_SCHEMA_V2, keys=["o_orderkey"]
+    )
+
+
 def q_sft_mask_spans(spark, sf_dir):
     """SFT loss-mask spans (operators/transcripts.sft_mask_spans):
     [start_char, end_char) of each assistant turn inside the
@@ -1944,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": q_context_windows,
         "render_chat": q_render_chat,
         "sft_mask_spans": q_sft_mask_spans,
+        "migration_impact_orders": q_migration_impact_orders,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3782,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "context_windows": _oracle_context_windows(),
         "render_chat": _oracle_render_chat(),
         "sft_mask_spans": _oracle_sft_mask_spans(),
+        "migration_impact_orders": _oracle_migration_impact_orders(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4156,6 +4181,37 @@ def _oracle_render_chat(eot: str = "<|eot|>") -> str:
                 AS BIGINT) AS n_chars,
            string_agg(part, '' ORDER BY turn_idx, seq) AS text
     FROM p GROUP BY conv_id
+    """
+
+
+def _oracle_migration_impact_orders() -> str:
+    # newly violating = clean under OLD, violating under NEW.  OLD
+    # cleanliness replays _oracle_validate_orders' violation set as a
+    # NOT EXISTS; NEW violations are only the tightened sites (the
+    # unchanged keywords cannot newly fire on an OLD-clean row).
+    return """
+    WITH o AS (SELECT * FROM orders),
+    old_bad AS (
+      SELECT o_orderkey FROM o
+      WHERE (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
+         OR (o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000))
+         OR (o_totalprice IS NOT NULL AND NOT (o_totalprice <= 400000))
+         OR (o_orderpriority IS NOT NULL
+             AND NOT regexp_matches(o_orderpriority, '^[1-4]-[A-Z ]+$'))
+         OR o_orderkey IS NULL OR o_custkey IS NULL OR o_orderstatus IS NULL
+    ),
+    clean AS (
+      SELECT * FROM o
+      WHERE NOT EXISTS (SELECT 1 FROM old_bad b WHERE b.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderkey, '$.o_totalprice' AS path,
+           'value must be <= than 250000' AS info
+      FROM clean WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 250000)
+    UNION ALL
+    SELECT o_orderkey, '$.o_orderpriority',
+           o_orderpriority || ' ,value does not match pattern: ^[1-3]-[A-Z ]+$'
+      FROM clean WHERE o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')
     """
 
 

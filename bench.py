@@ -157,6 +157,8 @@ HEADLINE = [
     "chunk_docs",
     # round 3 (late): SFT loss-mask spans (ROWS-frame running offsets)
     "sft_mask_spans",
+    # round 3 (late): schema-migration impact (two rule sets, one scan)
+    "migration_impact_orders",
 ]
 
 
