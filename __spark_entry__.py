@@ -1269,6 +1269,38 @@ def _json_typed_payload_df(spark, sf_dir):
     return ev.select("event_id", payload.alias("payload"))
 
 
+JSON_TYPED_SCHEMA_V2 = {
+    # tightened migration of JSON_TYPED_SCHEMA: id minimum 1 -> 10,
+    # name minLength 2 -> 6, tags maxItems 3 -> 2 (the corpus' clean
+    # tags are length-1, so that site provably contributes zero newly-
+    # violating rows — a no-false-positive check)
+    "required": ["id", "name"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 10},
+        "name": {"type": "string", "minLength": 6},
+        "score": {"type": "number|string"},
+        "tags": {"maxItems": 2, "items": {"type": "string"}},
+    },
+}
+
+
+def q_migration_impact_json_events(spark, sf_dir):
+    """Schema migration over a dynamic JSON column
+    (plans/migration.migration_impact_json): ONE try_parse_json into
+    Variant feeds BOTH compiled rule sets through a SHARED CSE hoist —
+    newly-violating documents under the tightened schema, with
+    wrong-typed / malformed documents correctly excluded as
+    pre-existing dirt (they violate the old rules too)."""
+    doc_df = _json_typed_payload_df(spark, sf_dir)
+    return js.migration_impact_json(
+        doc_df,
+        JSON_TYPED_SCHEMA,
+        JSON_TYPED_SCHEMA_V2,
+        "payload",
+        keys=["event_id"],
+    )
+
+
 def q_validate_json_typed(spark, sf_dir):
     """Runtime-type-faithful JSON validation (json_types="variant",
     the DEFAULT json_col mode): ONE try_parse_json into Spark 4's
@@ -1890,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_counts_json": q_verdict_counts_json,
         "validate_json_typed": q_validate_json_typed,
         "verdict_counts_json_typed": q_verdict_counts_json_typed,
+        "migration_impact_json_events": q_migration_impact_json_events,
         "foreach_fold_docs": q_foreach_fold_docs,
         "foreach_rewrite_docs": q_foreach_rewrite_docs,
         "script_break_docs": q_script_break_docs,
@@ -2993,6 +3026,49 @@ def oracle_sql() -> dict[str, str]:
                         OR tags_mixed OR tags_long
                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows
             FROM p
+        """,
+        # migration over the JSON column: newly violating = clean
+        # under JSON_TYPED_SCHEMA, violating under the tightened V2
+        # (id minimum 10, name minLength 6; tags maxItems 2 provably
+        # hits nothing because old-clean tags are length 1).  The
+        # wrong-typed / malformed hazards are old-dirty so excluded.
+        "migration_impact_json_events": """
+            WITH base AS (
+              SELECT event_id, user_id AS u,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ),
+            p AS (
+              SELECT event_id, u, k,
+                     (event_id % 101 = 0) AS broken,
+                     (u % 11 = 0) AS id_str,
+                     (u % 11 <> 0 AND u % 19 = 0) AS id_flt,
+                     CASE WHEN u % 11 = 0 THEN NULL
+                          WHEN u % 19 = 0 THEN (u % 40) + 0.5
+                          ELSE CAST(u % 40 AS DOUBLE) END AS id_num,
+                     (u % 17 = 0) AS name_absent,
+                     (u % 17 <> 0 AND u % 13 = 0) AS name_null,
+                     (u % 17 <> 0 AND u % 13 <> 0 AND u % 29 = 0) AS name_short,
+                     (u % 17 <> 0 AND u % 13 <> 0 AND u % 29 <> 0) AS name_user,
+                     (u % 7 = 0) AS score_bool,
+                     (k % 10 = 0) AS tags_mixed,
+                     (k % 10 <> 0 AND k % 9 = 0) AS tags_long
+              FROM base
+            ),
+            clean AS (
+              SELECT * FROM p
+              WHERE NOT (broken OR id_str OR id_flt
+                         OR (id_num IS NOT NULL AND NOT (id_num >= 1))
+                         OR name_absent OR name_short OR score_bool
+                         OR tags_mixed OR tags_long)
+            )
+            SELECT event_id, '$.id' AS path,
+                   'value must be larger or equal than 10' AS info
+              FROM clean WHERE id_num IS NOT NULL AND NOT (id_num >= 10)
+            UNION ALL
+            SELECT event_id, '$.name', 'length must be larger or equal than 6'
+              FROM clean
+             WHERE name_user AND strlen('user' || CAST(u % 50 AS VARCHAR)) < 6
         """,
         "foreach_rewrite_docs": """
             WITH d AS (

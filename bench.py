@@ -157,8 +157,10 @@ HEADLINE = [
     "chunk_docs",
     # round 3 (late): SFT loss-mask spans (ROWS-frame running offsets)
     "sft_mask_spans",
-    # round 3 (late): schema-migration impact (two rule sets, one scan)
+    # round 3 (late): schema-migration impact (two rule sets, one scan;
+    # json variant: one parse + shared hoist for both rule sets)
     "migration_impact_orders",
+    "migration_impact_json_events",
 ]
 
 

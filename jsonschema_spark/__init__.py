@@ -34,7 +34,11 @@ from .plans.compiler import (
     register_keyword,
 )
 from .plans.formats import register_format
-from .plans.migration import migration_impact, migration_summary
+from .plans.migration import (
+    migration_impact,
+    migration_impact_json,
+    migration_summary,
+)
 from .functions.values import register_func
 from .functions.expr_lang import register_expr_fn
 from .core.generate import (
@@ -55,6 +59,7 @@ __all__ = [
     "get_schema",
     "register_schema",
     "migration_impact",
+    "migration_impact_json",
     "migration_summary",
     "register_keyword",
     "register_format",

@@ -101,3 +101,58 @@ def test_migration_plan_single_scan_no_shuffle(spark):
     # summary: exactly one (partial-aggregable) shuffle on the site key
     assert splan.count("Exchange") == 1
     assert splan.count("Scan ExistingRDD") == 1
+
+
+def test_migration_impact_json_one_parse(spark):
+    from jsonschema_spark import migration_impact_json
+
+    old = {"properties": {"user": {"properties": {"id": {"minimum": 1}}}}}
+    new = {
+        "required": ["tag"],
+        "properties": {"user": {"properties": {"id": {"minimum": 10}}}},
+    }
+    df = spark.createDataFrame(
+        [
+            (1, '{"user": {"id": 50}, "tag": "a"}'),   # clean both
+            (2, '{"user": {"id": 5}, "tag": "a"}'),    # min raised -> new
+            (3, '{"user": {"id": 50}}'),               # tag now required -> new
+            (4, '{"user": {"id": 0}}'),                # already dirty -> excluded
+            (5, 'not json at all'),                    # malformed -> both -> excluded
+            (6, '{"user": {"id": "abc"}, "tag": "a"}'),# wrong-typed -> both -> excluded
+        ],
+        "id int, payload string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in migration_impact_json(df, old, new, "payload", keys=["id"]).collect()
+    )
+    by_id = {}
+    for i, path, info in got:
+        by_id.setdefault(i, []).append((path, info))
+    assert sorted(by_id) == [2, 3]
+    assert by_id[2] == [("$.user.id", "value must be larger or equal than 10")]
+    assert by_id[3] == [("$.tag", "field is required")]
+
+    plan = (
+        migration_impact_json(df, old, new, "payload", keys=["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one scan, one parse (both rule sets share it), no shuffle/Python
+    assert plan.count("Exchange") == 0
+    assert "Python" not in plan
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("parse_json") <= 2  # the parse + the malformed re-check
+
+
+def test_migration_impact_json_rejects_static(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark import SchemaError, compile_schema, migration_impact_json
+
+    df = spark.createDataFrame([(1, "{}")], "id int, payload string")
+    old = compile_schema(
+        {"properties": {"a": {"minimum": 1}}}, options={"json_types": "static"}
+    )
+    new = compile_schema({"properties": {"a": {"minimum": 2}}})
+    with _pytest.raises(SchemaError):
+        migration_impact_json(df, old, new, "payload", keys=["id"])
