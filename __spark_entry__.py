@@ -24,6 +24,7 @@ from jsonschema_spark.operators import (
     curate,
     decontam,
     dedup,
+    report,
     sampling,
     similarity,
     temporal,
@@ -1834,6 +1835,16 @@ def q_chunk_docs(spark, sf_dir):
     return text.chunk_documents(docs, size=24, stride=16)
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus data card (operators/report.corpus_report): total +
+    per-source + per-language grains from ONE scan via GROUPING SETS —
+    doc/token/char counts, exact-dup accounting (count distinct md5),
+    short-doc fraction.  The shuffle carries group partials plus the
+    hashed two-phase distinct, never row text."""
+    docs = _docs(spark, sf_dir)
+    return report.corpus_report(docs)
+
+
 def q_hash_split_docs(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     per-row md5-derived label, map-only, stable under corpus growth —
@@ -2001,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_chat": q_render_chat,
         "sft_mask_spans": q_sft_mask_spans,
         "migration_impact_orders": q_migration_impact_orders,
+        "corpus_report": q_corpus_report,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3883,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
         "render_chat": _oracle_render_chat(),
         "sft_mask_spans": _oracle_sft_mask_spans(),
         "migration_impact_orders": _oracle_migration_impact_orders(),
+        "corpus_report": _oracle_corpus_report(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4257,6 +4270,41 @@ def _oracle_render_chat(eot: str = "<|eot|>") -> str:
                 AS BIGINT) AS n_chars,
            string_agg(part, '' ORDER BY turn_idx, seq) AS text
     FROM p GROUP BY conv_id
+    """
+
+
+def _oracle_corpus_report(short_tokens: int = 5) -> str:
+    # the three grains replayed as three unioned aggregates over the
+    # same per-row features (token count under the shared
+    # normalization, md5 digest of the raw text with null -> '')
+    norm = _SQL_NORM.format(col="text")
+    base = f"""
+      SELECT CAST(source AS VARCHAR) AS source,
+             CAST(lang AS VARCHAR) AS lang,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS nt,
+             length(COALESCE(text, '')) AS nc,
+             md5(COALESCE(text, '')) AS h
+      FROM documents
+    """
+    metric = f"""
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS distinct_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_docs,
+           round(AVG(CASE WHEN nt < {short_tokens} THEN 1.0 ELSE 0.0 END), 6)
+             AS pct_short
+    """
+    return f"""
+    WITH d AS ({base})
+    SELECT 'total' AS section, '*' AS key, {metric} FROM d
+    UNION ALL
+    SELECT 'source', COALESCE(source, '(null)'), {metric}
+      FROM d GROUP BY source
+    UNION ALL
+    SELECT 'lang', COALESCE(lang, '(null)'), {metric}
+      FROM d GROUP BY lang
     """
 
 

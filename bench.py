@@ -161,6 +161,8 @@ HEADLINE = [
     # json variant: one parse + shared hoist for both rule sets)
     "migration_impact_orders",
     "migration_impact_json_events",
+    # round 3 (late): corpus data card (GROUPING SETS multi-grain)
+    "corpus_report",
 ]
 
 
