@@ -1835,6 +1835,15 @@ def q_chunk_docs(spark, sf_dir):
     return text.chunk_documents(docs, size=24, stride=16)
 
 
+def q_transcript_report(spark, sf_dir):
+    """Transcript data card (operators/report.transcript_report): the
+    north-rule table's total / per-role / per-tool summary — turn and
+    DISTINCT-conversation counts, char totals, null-text rate — from
+    ONE scan via GROUPING SETS."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return report.transcript_report(tdf)
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus data card (operators/report.corpus_report): total +
     per-source + per-language grains from ONE scan via GROUPING SETS —
@@ -2013,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_mask_spans": q_sft_mask_spans,
         "migration_impact_orders": q_migration_impact_orders,
         "corpus_report": q_corpus_report,
+        "transcript_report": q_transcript_report,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3896,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_mask_spans": _oracle_sft_mask_spans(),
         "migration_impact_orders": _oracle_migration_impact_orders(),
         "corpus_report": _oracle_corpus_report(),
+        "transcript_report": _oracle_transcript_report(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4305,6 +4316,26 @@ def _oracle_corpus_report(short_tokens: int = 5) -> str:
     UNION ALL
     SELECT 'lang', COALESCE(lang, '(null)'), {metric}
       FROM d GROUP BY lang
+    """
+
+
+def _oracle_transcript_report() -> str:
+    metric = """
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_text_turns,
+           round(CAST(SUM(COALESCE(length(text), 0)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chars
+    """
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS})
+    SELECT 'total' AS section, '*' AS key, {metric} FROM t
+    UNION ALL
+    SELECT 'role', COALESCE(role, '(null)'), {metric} FROM t GROUP BY role
+    UNION ALL
+    SELECT 'tool', COALESCE(tool, '(null)'), {metric} FROM t GROUP BY tool
     """
 
 

@@ -161,8 +161,9 @@ HEADLINE = [
     # json variant: one parse + shared hoist for both rule sets)
     "migration_impact_orders",
     "migration_impact_json_events",
-    # round 3 (late): corpus data card (GROUPING SETS multi-grain)
+    # round 3 (late): corpus + transcript data cards (GROUPING SETS)
     "corpus_report",
+    "transcript_report",
 ]
 
 

@@ -21,6 +21,63 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def transcript_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    dims: tuple[str, ...] = ("role", "tool"),
+) -> DataFrame:
+    """Data card for the transcript table (the north rule's input):
+    ``(section, key, n_turns, n_convs, n_chars, null_text_turns,
+    avg_chars)`` — one ``total`` row plus one row per value of each
+    dim (role, tool), all from ONE scan via GROUPING SETS.
+
+    ``n_convs`` is the number of distinct conversations touching the
+    slice — "how many conversations have tool turns at all" falls out
+    of the ``tool`` grain.  Distinct conv_ids are counted through
+    Spark's two-phase expand-distinct, partially aggregated map-side;
+    the shuffle never carries turn text.  A hot conversation is not a
+    hot KEY here (the grouping keys are the low-cardinality dims plus
+    the hashed distinct expansion), so no salting is needed.
+    """
+    base = df.select(
+        *[F.col(d).cast("string").alias(d) for d in dims],
+        F.col(conv_col).alias("__conv"),
+        F.length(F.col(text_col)).alias("__nc"),
+        F.col(text_col).isNull().alias("__tnull"),
+    )
+    sets = [[]] + [[d] for d in dims]
+    agg = base.groupingSets(sets, *[F.col(d) for d in dims]).agg(
+        F.grouping_id().alias("__gid"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("__conv").cast("long").alias("n_convs"),
+        F.sum(F.coalesce(F.col("__nc"), F.lit(0))).cast("long").alias("n_chars"),
+        F.sum(F.col("__tnull").cast("long")).cast("long").alias("null_text_turns"),
+    )
+    all_bits = (1 << len(dims)) - 1
+    section = F.when(F.col("__gid") == all_bits, F.lit("total"))
+    key = F.when(F.col("__gid") == all_bits, F.lit("*"))
+    for i, d in enumerate(dims):
+        gid = all_bits ^ (1 << (len(dims) - 1 - i))
+        section = section.when(F.col("__gid") == gid, F.lit(d))
+        key = key.when(F.col("__gid") == gid, F.col(d))
+    return (
+        agg.where(section.isNotNull())
+        .select(
+            section.alias("section"),
+            F.coalesce(key, F.lit("(null)")).alias("key"),
+            "n_turns",
+            "n_convs",
+            "n_chars",
+            "null_text_turns",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_turns").cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
 def corpus_report(
     docs: DataFrame,
     text_col: str = "text",

@@ -57,3 +57,39 @@ def test_corpus_report_single_scan(spark):
     assert "Python" not in plan
     # grouping-sets Expand + two-phase distinct: bounded at 2 exchanges
     assert plan.count("Exchange") <= 2
+
+
+def test_transcript_report(spark):
+    import datetime as dt
+
+    from jsonschema_spark.operators.report import transcript_report
+
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", None, ts),
+            ("c1", 1, "assistant", "hello!", None, ts),
+            ("c1", 2, "tool", "result", "search", ts),
+            ("c2", 0, "user", None, None, ts),
+            ("c2", 1, "assistant", "ok", None, ts),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rows = {
+        (r["section"], r["key"]): r for r in transcript_report(df).collect()
+    }
+    total = rows[("total", "*")]
+    assert (total["n_turns"], total["n_convs"]) == (5, 2)
+    assert total["null_text_turns"] == 1
+    assert total["n_chars"] == 2 + 6 + 6 + 0 + 2
+    user = rows[("role", "user")]
+    assert (user["n_turns"], user["n_convs"], user["null_text_turns"]) == (2, 2, 1)
+    assert rows[("tool", "search")]["n_convs"] == 1
+    assert rows[("tool", "(null)")]["n_turns"] == 4
+    assert abs(rows[("role", "assistant")]["avg_chars"] - 4.0) < 1e-9
+
+    plan = transcript_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2
