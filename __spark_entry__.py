@@ -1835,6 +1835,22 @@ def q_chunk_docs(spark, sf_dir):
     return text.chunk_documents(docs, size=24, stride=16)
 
 
+def q_volume_anomalies_events(spark, sf_dir):
+    """Volume-anomaly detection over per-day ingest counts
+    (operators/incremental.volume_anomalies): robust trailing-window
+    median/MAD z-score per batch — the Deequ-style anomaly check over
+    the metrics history a resumable pipeline already keeps.  The
+    history is metadata-sized (one row per day), so the single-task
+    ordered window is the right plan."""
+    from jsonschema_spark.operators.incremental import volume_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return volume_anomalies(hist)
+
+
 def q_transcript_report(spark, sf_dir):
     """Transcript data card (operators/report.transcript_report): the
     north-rule table's total / per-role / per-tool summary — turn and
@@ -2023,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "migration_impact_orders": q_migration_impact_orders,
         "corpus_report": q_corpus_report,
         "transcript_report": q_transcript_report,
+        "volume_anomalies_events": q_volume_anomalies_events,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3907,6 +3924,7 @@ def oracle_sql() -> dict[str, str]:
         "migration_impact_orders": _oracle_migration_impact_orders(),
         "corpus_report": _oracle_corpus_report(),
         "transcript_report": _oracle_transcript_report(),
+        "volume_anomalies_events": _oracle_volume_anomalies(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4316,6 +4334,55 @@ def _oracle_corpus_report(short_tokens: int = 5) -> str:
     UNION ALL
     SELECT 'lang', COALESCE(lang, '(null)'), {metric}
       FROM d GROUP BY lang
+    """
+
+
+def _oracle_volume_anomalies(
+    window: int = 7, k: float = 3.0, min_rel: float = 0.05, min_hist: int = 3
+) -> str:
+    # replay of incremental.volume_anomalies over per-day event counts:
+    # trailing-window list -> interpolated median (list_aggregate
+    # 'median' == Spark's (lo+hi)/2 sorted-middle), MAD over the
+    # absolute deviations, robust z with the mad>0 guard.
+    return f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS metric
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT bucket, metric,
+             list(metric) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING
+             ) AS arr
+      FROM h
+    ),
+    m AS (
+      SELECT bucket, metric, COALESCE(len(arr), 0) AS nh,
+             list_aggregate(arr, 'median') AS med, arr
+      FROM w
+    ),
+    mm AS (
+      SELECT bucket, metric, nh, med,
+             list_aggregate(list_transform(arr, v -> abs(v - med)),
+                            'median') AS mad
+      FROM m
+    )
+    SELECT bucket, metric,
+           CASE WHEN nh >= {min_hist} THEN round(med, 6) END
+             AS trailing_median,
+           CASE WHEN nh >= {min_hist} THEN round(mad, 6) END
+             AS trailing_mad,
+           CASE WHEN nh >= {min_hist} AND 1.4826 * mad > 0
+                THEN round(abs(metric - med) / (1.4826 * mad), 6) END
+             AS robust_z,
+           CAST(nh AS INTEGER) AS n_history,
+           COALESCE(nh >= {min_hist}
+                    AND abs(metric - med) > {k} * 1.4826 * mad
+                    AND abs(metric - med) > {min_rel} * med,
+                    FALSE) AS anomaly
+    FROM mm
     """
 
 

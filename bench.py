@@ -164,6 +164,8 @@ HEADLINE = [
     # round 3 (late): corpus + transcript data cards (GROUPING SETS)
     "corpus_report",
     "transcript_report",
+    # round 3 (late): robust volume-anomaly check over batch history
+    "volume_anomalies_events",
 ]
 
 

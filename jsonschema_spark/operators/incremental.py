@@ -394,3 +394,71 @@ def drift_timeline(
             F.max("t_prev").alias("n_prev"),
         )
     )
+
+
+def volume_anomalies(
+    history: DataFrame,
+    order_col: str = "bucket",
+    metric_col: str = "n_rows",
+    window: int = 7,
+    k: float = 3.0,
+    min_rel: float = 0.05,
+    min_history: int = 3,
+) -> DataFrame:
+    """Robust volume-anomaly detection over a per-batch metric history
+    (Deequ-style anomaly checks over the metrics the store already
+    keeps): for each batch in ``order_col`` order, compare
+    ``metric_col`` against the TRAILING ``window`` batches' median,
+    flagging
+
+        |x - med| > k * 1.4826 * MAD(window)   AND
+        |x - med| > min_rel * med
+
+    — the classic robust z-score with a relative floor so a zero-MAD
+    flat history doesn't flap on trivial jitter.  Output per batch:
+    ``(order, metric, trailing_median, trailing_mad, robust_z,
+    n_history, anomaly)``; batches with fewer than ``min_history``
+    predecessors report ``anomaly = false`` with ``robust_z`` null.
+
+    Scale: the history is metadata-sized — one row per batch/partition
+    (never row count), so the single-task ordered window is the right
+    plan (same bounded-collect discipline as drift_timeline).  The
+    trailing median/MAD compute as array HOFs on the ≤``window``
+    collected values — no UDF, no second pass.
+    """
+    if window < 1:
+        raise ValueError("volume_anomalies: window must be >= 1")
+    x = history[metric_col].cast("double")
+    # order by the DataFrame-bound column, not the name: the output
+    # aliases `bucket`/`metric`, and a bare name in the window would
+    # resolve against those lateral aliases
+    w = Window.orderBy(history[order_col]).rowsBetween(-window, -1)
+    arr = F.array_sort(F.collect_list(x).over(w))
+    n = F.size(arr)
+
+    def _median(a: Column, m: Column) -> Column:
+        lo = F.element_at(a, ((m + 1) / 2).cast("int"))
+        hi = F.element_at(a, (m / 2 + 1).cast("int"))
+        return (lo + hi) / 2.0
+
+    med = _median(arr, n)
+    devs = F.array_sort(F.transform(arr, lambda v: F.abs(v - med)))
+    mad = _median(devs, n)
+    sigma = F.lit(1.4826) * mad
+    dev = F.abs(x - med)
+    z = F.when(sigma > 0, dev / sigma)
+    enough = n >= min_history
+    anomaly = (
+        enough
+        & (dev > F.lit(float(k)) * sigma)
+        & (dev > F.lit(float(min_rel)) * med)
+    )
+    return history.select(
+        history[order_col].alias("bucket"),
+        x.alias("metric"),
+        F.when(enough, F.round(med, 6)).alias("trailing_median"),
+        F.when(enough, F.round(mad, 6)).alias("trailing_mad"),
+        F.when(enough, F.round(z, 6)).alias("robust_z"),
+        n.cast("int").alias("n_history"),
+        F.coalesce(anomaly, F.lit(False)).alias("anomaly"),
+    )
