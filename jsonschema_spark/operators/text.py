@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_long, normalize_text, tokens
+from .dedup import hash_long, md5_long, normalize_text, tokens
 
 # tiny per-language stopword lists for the n-gram/stopword-hit
 # language-ID heuristic (deterministic, dependency-free)
@@ -494,8 +494,9 @@ def classifier_score(
 
     Features are the DISTINCT unigrams plus DISTINCT bigrams of the
     normalized token stream (binary presence, the fasttext bag shape);
-    each hashes to ``bucket = md5_long(gram) % dim`` and looks up w9 in
-    the broadcast model table.  score = sum(w9) / (1000 * n_feats)
+    each hashes to ``bucket = hash_long(gram) % dim`` (md5 by default,
+    xxhash64 under ``dedup.set_hash_mode`` production mode) and looks
+    up w9 in the broadcast model table.  score = sum(w9) / (1000 * n_feats)
     (mean feature weight), prob = sigmoid(score).
 
     Determinism: the aggregation sums exact integers (w9), so partial
@@ -519,8 +520,12 @@ def classifier_score(
         docs.select(F.col(id_col), F.explode(F.concat(uni, bi)).alias("g"))
         .filter(F.col("g") != "")
     )
+    # hash_long honors dedup.set_hash_mode: md5 (oracle-reproducible,
+    # default) or xxhash64 (production — drops the hex round-trip per
+    # gram).  The broadcast weight table is bucket-indexed, so a real
+    # trained model just has to be hashed with the same mode.
     bucketed = exploded.select(
-        F.col(id_col), F.pmod(md5_long(F.col("g")), F.lit(dim)).alias("bucket")
+        F.col(id_col), F.pmod(hash_long(F.col("g")), F.lit(dim)).alias("bucket")
     )
     agg = (
         bucketed.join(F.broadcast(weights), "bucket", "left")

@@ -580,3 +580,32 @@ def test_classifier_model_join_is_broadcast(spark):
     weights = text.classifier_weights(spark, dim=64)
     plan = text.classifier_score(df, weights, dim=64)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_hash_mode_xxhash64(spark):
+    """classifier_score honors the production hash mode: same plan
+    shape, xxhash64 gram bucketing, keep@0.5 still the integer
+    predicate."""
+    from jsonschema_spark.operators.text import classifier_score, classifier_weights
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    w = classifier_weights(spark, dim=64)
+    dedup.set_hash_mode("xxhash64")
+    try:
+        out = {r["doc_id"]: r for r in classifier_score(docs, w, dim=64).collect()}
+        assert out[0]["n_feats"] == 5 and out[1]["n_feats"] == 7
+        plan = (
+            classifier_score(docs, w, dim=64)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # gram bucketing switched to xxhash64; md5 may remain only in
+        # the stub weight-table derivation (deliberately
+        # oracle-reproducible), never on the exploded gram stream
+        assert "xxhash64" in plan.lower()
+        gram_lines = [l for l in plan.splitlines() if "pmod" in l and "64)" in l]
+        assert gram_lines and all("md5" not in l for l in gram_lines)
+    finally:
+        dedup.set_hash_mode("md5")
