@@ -1870,6 +1870,36 @@ def q_corpus_report(spark, sf_dir):
     return report.corpus_report(docs)
 
 
+def _accent_suffix():
+    return (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" café"))
+        .when(F.col("doc_id") % 11 == 0, F.lit(" naïve"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(" Ångström"))
+        .otherwise(F.lit(""))
+    )
+
+
+def q_clean_text_docs(spark, sf_dir):
+    """Unicode text normalization (kernels.normalize_text_unicode):
+    NFC + accent stripping over deterministically planted accented
+    suffixes — ONE Arrow batch pass (Spark has no NFC builtin; the
+    row-at-a-time UDF is the slow path).  Map-only, zero shuffles."""
+    from jsonschema_spark.operators import kernels
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), _accent_suffix()).alias("t")
+    )
+    cleaned = kernels.normalize_text_unicode(F.col("t"), strip_accents=True)
+    return planted.select(
+        "doc_id",
+        F.length("t").cast("int").alias("n_before"),
+        F.length(cleaned).cast("int").alias("n_after"),
+        (cleaned != F.col("t")).alias("changed"),
+        cleaned.alias("text_clean"),
+    )
+
+
 def q_hash_split_docs(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     per-row md5-derived label, map-only, stable under corpus growth —
@@ -2040,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "transcript_report": q_transcript_report,
         "volume_anomalies_events": q_volume_anomalies_events,
+        "clean_text_docs": q_clean_text_docs,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3925,6 +3956,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _oracle_corpus_report(),
         "transcript_report": _oracle_transcript_report(),
         "volume_anomalies_events": _oracle_volume_anomalies(),
+        "clean_text_docs": _oracle_clean_text(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4334,6 +4366,28 @@ def _oracle_corpus_report(short_tokens: int = 5) -> str:
     UNION ALL
     SELECT 'lang', COALESCE(lang, '(null)'), {metric}
       FROM d GROUP BY lang
+    """
+
+
+def _oracle_clean_text() -> str:
+    # identical accent planting; DuckDB's ICU strip_accents +
+    # nfc_normalize replay the kernel's NFD-filter-NFC pipeline
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0 THEN ' café'
+                          WHEN doc_id % 11 = 0 THEN ' naïve'
+                          WHEN doc_id % 13 = 0 THEN ' Ångström'
+                          ELSE '' END AS t
+      FROM documents
+    ),
+    c AS (SELECT doc_id, t, nfc_normalize(strip_accents(t)) AS tc FROM d)
+    SELECT doc_id,
+           CAST(length(t) AS INTEGER) AS n_before,
+           CAST(length(tc) AS INTEGER) AS n_after,
+           tc <> t AS changed,
+           tc AS text_clean
+    FROM c
     """
 
 

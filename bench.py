@@ -166,6 +166,8 @@ HEADLINE = [
     "transcript_report",
     # round 3 (late): robust volume-anomaly check over batch history
     "volume_anomalies_events",
+    # round 3 (late): unicode NFC/accent normalization (Arrow kernel)
+    "clean_text_docs",
 ]
 
 

@@ -425,3 +425,45 @@ def chunk_tokens(toks: Column | str, size: int, stride: int) -> Column:
         return pd.Series(out, dtype=object)
 
     return _k(F.col(toks) if isinstance(toks, str) else toks)
+
+
+def normalize_text_unicode(
+    col: Column | str,
+    strip_accents: bool = False,
+    remove_control: bool = False,
+) -> Column:
+    """Unicode-canonical text normalization in ONE Arrow pass: NFC
+    composition, optional accent stripping (NFD → drop combining
+    marks → NFC, the ICU strip-accents semantics DuckDB's
+    ``strip_accents`` implements), optional C0/C1 control-character
+    removal (tab/newline preserved as whitespace class members are
+    NOT — they are controls and go too; normalize whitespace BEFORE
+    tokenizing if they matter).
+
+    Spark has no NFC builtin; a row-at-a-time Python UDF is the slow
+    path — this kernel normalizes a whole Arrow batch per call.  Null
+    propagates.
+    """
+    import unicodedata
+
+    @pandas_udf("string")
+    def _k(x: pd.Series) -> pd.Series:
+        def f(s):
+            if s is None:
+                return None
+            if strip_accents:
+                s = "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c)
+                )
+            s = unicodedata.normalize("NFC", s)
+            if remove_control:
+                s = "".join(
+                    c for c in s if unicodedata.category(c) not in ("Cc", "Cf")
+                )
+            return s
+
+        return x.map(f)
+
+    return _k(F.col(col) if isinstance(col, str) else col)

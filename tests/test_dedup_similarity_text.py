@@ -609,3 +609,28 @@ def test_classifier_hash_mode_xxhash64(spark):
         assert gram_lines and all("md5" not in l for l in gram_lines)
     finally:
         dedup.set_hash_mode("md5")
+
+
+def test_normalize_text_unicode_kernel(spark):
+    """NFC + accent strip + control removal, one Arrow pass; decomposed
+    and precomposed inputs normalize to the same string."""
+    from jsonschema_spark.operators.kernels import normalize_text_unicode
+
+    decomposed = "café"       # e + combining acute
+    df = spark.createDataFrame(
+        [(0, decomposed), (1, "café"), (2, "a\tb\x07c"), (3, None)],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: (r["nfc"], r["strip"], r["noctl"])
+        for r in df.select(
+            "id",
+            normalize_text_unicode("t").alias("nfc"),
+            normalize_text_unicode("t", strip_accents=True).alias("strip"),
+            normalize_text_unicode("t", remove_control=True).alias("noctl"),
+        ).collect()
+    }
+    assert got[0][0] == got[1][0] == "café"   # NFC-canonical equal
+    assert got[0][1] == got[1][1] == "cafe"
+    assert got[2][2] == "abc"                      # tab and BEL are controls
+    assert got[3] == (None, None, None)
