@@ -120,3 +120,42 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_rows_per_shard: int | None = None,
+    partition_by: list[str] | None = None,
+    shards: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export a DataFrame as sharded JSONL — the SFT-corpus handoff
+    format (one JSON object per line; each output file is one shard a
+    downstream trainer streams independently).
+
+    * ``max_rows_per_shard`` caps rows per file via Spark's
+      ``maxRecordsPerFile`` — enforced at write time WITHOUT a
+      repartition: each task rolls to a new file at the cap, so shard
+      sizing never adds a shuffle.
+    * ``shards`` optionally repartitions to exactly that many tasks
+      first (deterministic round-robin) when a fixed shard COUNT
+      matters more than avoiding the one shuffle.
+    * ``partition_by`` lays shards out under key=value directories
+      (e.g. split=train/val) — partition pruning for the reader.
+
+    Writers stay text-faithful: Spark's JSON writer emits UTF-8 with
+    \\n line separators; nulls are omitted per JSON-lines convention.
+    """
+    if max_rows_per_shard is not None and max_rows_per_shard <= 0:
+        raise ValueError("max_rows_per_shard must be positive")
+    if shards is not None:
+        if shards <= 0:
+            raise ValueError("shards must be positive")
+        df = df.repartition(shards)
+    w = df.write.mode(mode)
+    if max_rows_per_shard is not None:
+        w = w.option("maxRecordsPerFile", max_rows_per_shard)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
