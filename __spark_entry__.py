@@ -1589,6 +1589,45 @@ def _transcripts_from_events(ev: DataFrame) -> DataFrame:
     )
 
 
+TRANSCRIPT_TURN_SCHEMA = {
+    # per-turn rules for the flagship table: required core columns,
+    # turn budget, byte-length budget on the payload
+    "required": ["conv_id", "turn_idx", "role", "text"],
+    "properties": {
+        "role": {"enum": ["system", "user", "assistant", "tool"]},
+        "turn_idx": {"minimum": 0, "maximum": 45},
+        "text": {"maxLength": 10},
+    },
+}
+
+
+def q_conversation_verdicts(spark, sf_dir):
+    """Conversation-level validation verdicts: the row-level compiled
+    plan annotates each turn in the codegen projection (no shuffle),
+    then ONE map-side-combinable groupBy(conv_id) rolls violations to
+    the grain a pipeline gates on — is the WHOLE conversation clean?
+    ``(conv_id, n_turns, n_bad_turns, n_violations, clean)``."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    ann = js.compile_schema(TRANSCRIPT_TURN_SCHEMA).annotate(tdf)
+    return (
+        ann.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum((F.size("violations") > 0).cast("long"))
+            .cast("long")
+            .alias("n_bad_turns"),
+            F.sum(F.size("violations")).cast("long").alias("n_violations"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_bad_turns",
+            "n_violations",
+            (F.col("n_bad_turns") == 0).alias("clean"),
+        )
+    )
+
+
 def q_transcript_integrity(spark, sf_dir):
     """Conversation-sequence validation (operators/transcripts.py):
     turn-index contiguity, timestamp monotonicity and the
@@ -2071,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_report": q_transcript_report,
         "volume_anomalies_events": q_volume_anomalies_events,
         "clean_text_docs": q_clean_text_docs,
+        "conversation_verdicts": q_conversation_verdicts,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3957,6 +3997,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_report": _oracle_transcript_report(),
         "volume_anomalies_events": _oracle_volume_anomalies(),
         "clean_text_docs": _oracle_clean_text(),
+        "conversation_verdicts": _oracle_conversation_verdicts(),
         "chunk_docs": _oracle_chunk_docs(),
         "hash_split_docs": _oracle_hash_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
@@ -4366,6 +4407,30 @@ def _oracle_corpus_report(short_tokens: int = 5) -> str:
     UNION ALL
     SELECT 'lang', COALESCE(lang, '(null)'), {metric}
       FROM d GROUP BY lang
+    """
+
+
+def _oracle_conversation_verdicts() -> str:
+    # per-turn violation count replayed (required text / octet-length
+    # budget / turn budget; the always-passing sites contribute 0),
+    # then the conversation rollup
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    v AS (
+      SELECT conv_id,
+             (CASE WHEN text IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN text IS NOT NULL AND strlen(text) > 10
+                     THEN 1 ELSE 0 END
+              + CASE WHEN turn_idx > 45 THEN 1 ELSE 0 END) AS nv
+      FROM t
+    )
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_turns,
+           CAST(SUM(nv) AS BIGINT) AS n_violations,
+           SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS clean
+    FROM v GROUP BY conv_id
     """
 
 

@@ -168,6 +168,8 @@ HEADLINE = [
     "volume_anomalies_events",
     # round 3 (late): unicode NFC/accent normalization (Arrow kernel)
     "clean_text_docs",
+    # round 3 (late): conversation-grain validation verdicts
+    "conversation_verdicts",
 ]
 
 
