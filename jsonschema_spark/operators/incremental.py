@@ -437,8 +437,13 @@ def volume_anomalies(
     n = F.size(arr)
 
     def _median(a: Column, m: Column) -> Column:
-        lo = F.element_at(a, ((m + 1) / 2).cast("int"))
-        hi = F.element_at(a, (m / 2 + 1).cast("int"))
+        # try_element_at, not element_at: every consumer is guarded by
+        # the `enough` CASE (so m >= min_history >= 1 whenever this
+        # evaluates), but ANSI mode would make an index-0 probe on a
+        # warmup row a hard error if a future edit loosens a guard —
+        # null is the correct degraded value either way
+        lo = F.try_element_at(a, ((m + 1) / 2).cast("int"))
+        hi = F.try_element_at(a, (m / 2 + 1).cast("int"))
         return (lo + hi) / 2.0
 
     med = _median(arr, n)
