@@ -90,6 +90,10 @@ CURVE_QUERIES += [
     "funnel_events",          # user-key shuffle + columnar chain fold
     "outliers_events",        # exact-decimal agg + broadcast recount
     "drift_timeline_events",  # (bucket,bin) agg + metadata-sized PSI
+    "render_chat",            # salted two-phase ordered concat
+    "sft_mask_spans",         # ROWS-frame running sums over conv window
+    "migration_impact_json_events",  # variant parse, 2 rule sets, 1 scan
+    "transcript_report",      # GROUPING SETS + two-phase distinct
 ]
 if XFACT == 1:
     # string-heavy projections over the UNSCALED 5k-doc table: only
