@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -120,7 +120,7 @@ def migration_impact_json(
     df2 = df.withColumn(tmp, parsed)
 
     hoist = Hoist()
-    vs: dict[str, "F.Column"] = {}
+    vs: dict[str, Column] = {}
     for name, plan in (("__old_v", old), ("__new_v", new)):
         root = ValueRef(
             col=F.col(tmp), dtype=T.VariantType(), path="$",
