@@ -30,6 +30,7 @@ from jsonschema_spark.operators import (
     temporal,
     text,
     transcripts,
+    vocab,
 )
 
 # --------------------------------------------------------------------
@@ -2010,6 +2011,74 @@ def q_curate_docs(spark, sf_dir):
     )
 
 
+def q_bpe_train_docs(spark, sf_dir):
+    """BPE merge training (operators/vocab.bpe_train): 12 merge rules
+    over the corpus word-frequency vocabulary.  ONE corpus scan builds
+    the vocab; every iteration is a vocab-table pair count (map-side
+    combinable) + one collected argmax row — the corpus is never
+    rescanned, so merge cost is independent of corpus size (Heaps'
+    law keeps the vocab table tiny relative to 100 TB of text)."""
+    return vocab.bpe_train(_docs(spark, sf_dir), merges=12)
+
+
+def q_bpe_segment_docs(spark, sf_dir):
+    """BPE segmentation under the trained rules (vocab.bpe_segment):
+    per document, whitespace-word count and subword count after the 12
+    trained merges.  The rule table is driver-small and burns into the
+    plan as literal replaces — encoding is a map-only codegen pass."""
+    docs = _docs(spark, sf_dir)
+    rules = [
+        (r["left"], r["right"])
+        for r in vocab.bpe_train(docs, merges=12).collect()  # 12 rows
+    ]
+    valid = F.filter(
+        dedup.tokens(F.col("text")),
+        lambda w: (w != "") & (~w.contains(vocab.SEP)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(valid).cast("long").alias("n_words"),
+        F.size(vocab.bpe_segment(F.col("text"), rules)).cast("long").alias(
+            "n_subwords"
+        ),
+    )
+
+
+def q_collocations_docs(spark, sf_dir):
+    """PMI collocation mining (vocab.collocations): top-40 adjacent
+    word pairs by pointwise mutual information, min-count 5.  One scan
+    feeds both the unigram and bigram aggregations; the unigram joins
+    are vocabulary-sized; corpus rows never shuffle."""
+    return vocab.collocations(_docs(spark, sf_dir), min_count=5, top_k=40)
+
+
+def q_vocab_growth_docs(spark, sf_dir):
+    """Heaps-curve data card (vocab.vocab_growth): per md5-derived
+    corpus decile, first-seen token count + running vocabulary size.
+    One explode + one (token -> min bucket) aggregation; the window
+    runs over the 10-row bucket frame."""
+    return vocab.vocab_growth(_docs(spark, sf_dir), buckets=10)
+
+
+def q_blocklist_docs(spark, sf_dir):
+    """Blocklist phrase matching (text.blocklist_hits): overlapping
+    token-run occurrence counts via a broadcast first-word candidate
+    join + map-side window-slice verification — the 100k-phrase-safe
+    replacement for one giant regex alternation.  The phrase list is
+    synthesized deterministically from the corpus itself (leading
+    bigrams/trigrams of md5-selected documents)."""
+    docs = _docs(spark, sf_dir)
+    t = dedup.tokens(F.col("text"))
+    p2 = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.array_join(F.slice(t, 1, 2), " ").alias("phrase")
+    )
+    p3 = docs.filter(F.col("doc_id") % 89 == 0).select(
+        F.array_join(F.slice(t, 1, 3), " ").alias("phrase")
+    )
+    phrases = p2.unionByName(p3).filter(F.col("phrase") != "").distinct()
+    return text.blocklist_hits(docs, phrases)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2117,6 +2186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_docs": q_token_budget_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "curate_docs": q_curate_docs,
+        "bpe_train_docs": q_bpe_train_docs,
+        "bpe_segment_docs": q_bpe_segment_docs,
+        "collocations_docs": q_collocations_docs,
+        "vocab_growth_docs": q_vocab_growth_docs,
+        "blocklist_docs": q_blocklist_docs,
     }
 
 
@@ -4004,7 +4078,223 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_docs": _oracle_token_budget(),
         "pack_sequences_docs": _oracle_pack_sequences(),
         "curate_docs": _oracle_curate(),
+        "bpe_train_docs": _oracle_bpe_train(),
+        "bpe_segment_docs": _oracle_bpe_segment(),
+        "collocations_docs": _oracle_collocations(),
+        "vocab_growth_docs": _oracle_vocab_growth(),
+        "blocklist_docs": _oracle_blocklist(),
     }
+
+
+def _oracle_bpe_ctes(merges: int = 12) -> str:
+    """Chained-CTE replay of vocab.bpe_train: w0 is the bar-wrapped
+    word-frequency vocab; per round, p{r} counts adjacent symbol pairs
+    (weighted by word count), m{r} takes the argmax under the same
+    (count desc, left, right) tie-break, and w{r} applies the ONE
+    literal replace — `replace` is left-to-right non-overlapping in
+    both engines, so the merge semantics are identical.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    merge chain references each w{r-1} several times — inlined, the
+    expansion is exponential in the merge count (it exhausted file
+    handles at 12 merges); materialized, it is one linear pipeline."""
+    norm = _SQL_NORM.format(col="text")
+    ctes = [
+        f"""wc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+      ) WHERE word <> '' AND NOT contains(word, '|')
+      GROUP BY word
+    )""",
+        """w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS sym, cnt FROM wc
+    )""",
+    ]
+    for r in range(1, merges + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT l, r2, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, t[i] AS l, t[i + 1] AS r2 FROM (
+          SELECT cnt, t, generate_subscripts(t, 1) AS i FROM (
+            SELECT cnt, string_split(trim(sym, '|'), '||') AS t
+            FROM {prev} WHERE sym IS NOT NULL
+          ) WHERE len(t) >= 2
+        ) WHERE i < len(t)
+      ) GROUP BY l, r2
+    )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+      SELECT l, r2, pc FROM p{r} ORDER BY pc DESC, l ASC, r2 ASC LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+      SELECT replace(sym,
+                 '|' || (SELECT l FROM m{r}) || '||'
+                     || (SELECT r2 FROM m{r}) || '|',
+                 '|' || (SELECT l FROM m{r})
+                     || (SELECT r2 FROM m{r}) || '|') AS sym,
+             cnt FROM {prev}
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _oracle_bpe_train(merges: int = 12) -> str:
+    selects = "\n    UNION ALL ".join(
+        f'SELECT {r} AS rank, l AS "left", r2 AS "right", '
+        f"l || r2 AS merged, pc AS pair_count FROM m{r}"
+        for r in range(1, merges + 1)
+    )
+    return f"""
+    WITH {_oracle_bpe_ctes(merges)}
+    {selects}
+    """
+
+
+def _oracle_bpe_segment(merges: int = 12) -> str:
+    """Training replay (same CTEs) + encode: per word the nested
+    literal-replace chain in rank order, subword count from the
+    inter-symbol '||' separator count; COALESCE sentinels keep an
+    exhausted merge round (empty m{{r}}) a no-op, mirroring the
+    engine's early break."""
+    norm = _SQL_NORM.format(col="text")
+    expr = "sym0"
+    for r in range(1, merges + 1):
+        pat = (
+            f"COALESCE('|' || (SELECT l FROM m{r}) || '||'"
+            f" || (SELECT r2 FROM m{r}) || '|', '|\x01|')"
+        )
+        rep = (
+            f"COALESCE('|' || (SELECT l FROM m{r})"
+            f" || (SELECT r2 FROM m{r}) || '|', '|\x01|')"
+        )
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH {_oracle_bpe_ctes(merges)},
+    words AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS word
+        FROM documents
+      ) WHERE word <> '' AND NOT contains(word, '|')
+    ),
+    enc AS (
+      SELECT doc_id,
+             (SELECT {expr} FROM (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS sym0)) AS sym
+      FROM words
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM((length(sym) - length(replace(sym, '||', ''))) // 2 + 1)
+                  AS BIGINT) AS n_subwords
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_subwords, 0) AS n_subwords
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
+def _oracle_collocations(min_count: int = 5, top_k: int = 40) -> str:
+    """Exact unigram/bigram counts + the engine's PMI expression in the
+    same left-associative operand order, rounded to 6 dp before the
+    (pmi desc, left, right) top-k cut."""
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH dt AS (
+      SELECT string_split({norm}, ' ') AS t FROM documents
+      WHERE len(string_split({norm}, ' ')) > 0
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(t) AS w FROM dt
+      ) WHERE w <> '' GROUP BY w
+    ),
+    bi AS (
+      SELECT l, r2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+        SELECT t[i] AS l, t[i + 1] AS r2 FROM (
+          SELECT t, generate_subscripts(t, 1) AS i FROM dt
+          WHERE len(t) >= 2
+        ) WHERE i < len(t)
+      ) WHERE l <> '' AND r2 <> '' GROUP BY l, r2
+    ),
+    n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_tot FROM uni),
+    m AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS m_tot FROM bi)
+    SELECT l AS "left", r2 AS "right", c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) * n.n_tot * n.n_tot)
+                    / (m.m_tot * CAST(ua.c1 AS DOUBLE)
+                       * CAST(ub.c1 AS DOUBLE))), 6) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = bi.l
+    JOIN uni ub ON ub.w = bi.r2
+    CROSS JOIN n CROSS JOIN m
+    WHERE c_ab >= {min_count}
+    ORDER BY pmi DESC, "left" ASC, "right" ASC
+    LIMIT {top_k}
+    """
+
+
+def _oracle_vocab_growth(buckets: int = 10) -> str:
+    norm = _SQL_NORM.format(col="text")
+    b = _sql_md5_long("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH tok AS (
+      SELECT bucket, w FROM (
+        SELECT ({b}) % {buckets} AS bucket,
+               unnest(string_split({norm}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    pt AS (SELECT w, MIN(bucket) AS fb FROM tok GROUP BY w),
+    nb AS (
+      SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM pt GROUP BY fb
+    ),
+    vb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+      FROM tok GROUP BY bucket
+    )
+    SELECT v.bucket, v.bucket_tokens,
+           COALESCE(n.new_tokens, 0) AS new_tokens,
+           CAST(SUM(COALESCE(n.new_tokens, 0))
+                OVER (ORDER BY v.bucket) AS BIGINT) AS vocab_size,
+           CAST(SUM(v.bucket_tokens)
+                OVER (ORDER BY v.bucket) AS BIGINT) AS cum_tokens
+    FROM vb v LEFT JOIN nb n ON n.bucket = v.bucket
+    """
+
+
+def _oracle_blocklist() -> str:
+    """Cross-join replay of the inverted-index blocklist matcher:
+    every start position checked (overlap-counting, same as the
+    engine's window-slice verification — a replace()-based count
+    would skip overlapping runs)."""
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+    ),
+    ph AS (
+      SELECT DISTINCT phrase FROM (
+        SELECT array_to_string(list_slice(t, 1, 2), ' ') AS phrase
+        FROM docs WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT array_to_string(list_slice(t, 1, 3), ' ') AS phrase
+        FROM docs WHERE doc_id % 89 = 0
+      ) WHERE phrase <> ''
+    ),
+    phx AS (
+      SELECT phrase, string_split(phrase, ' ') AS p,
+             len(string_split(phrase, ' ')) AS plen
+      FROM ph
+    ),
+    pos AS (
+      SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM docs
+    )
+    SELECT p.doc_id, x.phrase, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM pos p CROSS JOIN phx x
+    WHERE p.i + x.plen - 1 <= len(p.t)
+      AND list_slice(p.t, p.i, p.i + x.plen - 1) = x.p
+    GROUP BY p.doc_id, x.phrase
+    """
 
 
 def _oracle_curate() -> str:

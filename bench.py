@@ -170,6 +170,14 @@ HEADLINE = [
     "clean_text_docs",
     # round 3 (late): conversation-grain validation verdicts
     "conversation_verdicts",
+    # round 3 (late): vocabulary induction — BPE merge training over
+    # the word-frequency vocab (corpus scanned once), PMI collocation
+    # mining, the Heaps vocab-growth data card, and inverted-index
+    # blocklist phrase matching (broadcast first-word candidates)
+    "bpe_train_docs",
+    "collocations_docs",
+    "vocab_growth_docs",
+    "blocklist_docs",
 ]
 
 

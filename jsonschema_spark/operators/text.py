@@ -601,3 +601,61 @@ def chunk_documents(
             F.col("__c.t").alias("chunk_text"),
         )
     )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """(doc_id, phrase, hits): overlapping token-run occurrence counts
+    of each blocklist phrase in each document — the scalable
+    replacement for a giant regex alternation (Java's regex compiler
+    and the per-row scan both fall over at 100k+ phrases).
+
+    Scale shape: documents are tokenized and position-exploded ONCE;
+    each token row carries only the next ``max_phrase_words`` tokens
+    (a bounded window slice, not the whole document).  Candidate
+    generation is a **broadcast** equality join on the phrase's first
+    word — corpus rows never shuffle — and full-phrase verification is
+    a map-side array-slice comparison against the candidate's window.
+    The only shuffle carries MATCHED candidates into the final
+    (doc_id, phrase) count, so network volume is hit-proportional.
+    Counts are overlap-counting (every start position checked), unlike
+    a replace()-based count which skips overlapping runs.
+    """
+    ph = phrases.select(
+        F.col(phrase_col).alias("phrase"),
+        F.split(F.col(phrase_col), " ").alias("p_toks"),
+    ).withColumn("plen", F.size("p_toks"))
+    first = ph.select(
+        "phrase", "p_toks", "plen", F.col("p_toks")[0].alias("tok")
+    )
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode("__t").alias("pos", "tok"),
+            F.col("__t"),
+        )
+        # bounded context window: the explode output row references the
+        # array transiently inside one codegen stage; only the
+        # max_phrase_words-slice survives into the join
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(f"slice(__t, pos + 1, {max_phrase_words})").alias("win"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(first), "tok")
+        .filter(F.expr("slice(win, 1, plen)") == F.col("p_toks"))
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )

@@ -1,0 +1,280 @@
+"""Vocabulary-induction operators for training-data pipelines: BPE
+merge training, BPE segmentation, PMI collocation mining, and
+vocabulary-growth (Heaps-curve) statistics.
+
+Reference scope: the Go engine (/root/reference) validates and
+transforms records but has no tokenizer-training surface; these
+operators extend the north-star training-data pipeline the same way
+dedup/quality/packing do — everything is expressed as DataFrame
+column expressions so Catalyst keeps the hot paths in whole-stage
+codegen.
+
+Scale design (the part that must survive 100 TB):
+
+* BPE training never iterates over the corpus.  One scan builds the
+  **word-frequency vocabulary** (`word_counts` — a single map-side
+  combinable groupBy; Heaps' law keeps the distinct-word table orders
+  of magnitude smaller than the corpus), and every merge iteration
+  runs over that vocab table only — the classic word-count trick the
+  original BPE paper and every production trainer (HuggingFace
+  tokenizers) use.  Per iteration the driver receives exactly ONE row
+  (the argmax pair), like the k-means centroid collect.
+* Words travel as a **bar-wrapped symbol string** ``|h||e||l||l||o|``
+  (every symbol wrapped in its own ``|...|``).  Applying a merge
+  (a,b)→ab is then ONE literal (non-regex) ``replace`` of
+  ``|a||b|`` with ``|ab|`` — left-to-right non-overlapping, exactly
+  the leftmost-greedy semantics of a BPE merge pass, with no
+  boundary sharing between adjacent matches (each symbol owns its own
+  bars).  `replace` has identical semantics in Spark and DuckDB, so
+  the whole training loop replays in the oracle as chained CTEs.
+* Symbols never contain ``|`` or whitespace: words come from
+  whitespace-split normalized text and are pre-filtered to drop the
+  (rare) tokens containing the separator character.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_long, normalize_text, tokens
+
+#: separator character for the symbol representation; words containing
+#: it are dropped from training (both engines apply the same filter).
+SEP = "|"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): whitespace-token frequency over normalized text.
+
+    ONE corpus scan, one map-side-combinable aggregation; the result
+    is vocabulary-sized (Heaps' law: ~O(corpus^0.5) distinct words),
+    which is what makes iterative training affordable at corpus scale.
+    Words containing the ``|`` separator are excluded so the symbol
+    encoding below stays unambiguous."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains(SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _wrap_symbols(col: Column) -> Column:
+    """'hello' -> '|h||e||l||l||o|': every character becomes a
+    bar-wrapped symbol."""
+    return F.regexp_replace(col, "(.)", f"{SEP}$1{SEP}")
+
+
+def _syms_expr(col_name: str) -> Column:
+    """'|h||e||ll|' -> ['h','e','ll']: drop the outer bars (btrim —
+    each end carries exactly one) and split on the inter-symbol '||'."""
+    return F.split(F.btrim(F.col(col_name), F.lit(SEP)), r"\|\|")
+
+
+def pair_counts(vocab_syms: DataFrame) -> DataFrame:
+    """(left, right, pair_count) over a (sym, cnt) vocab table:
+    adjacent-symbol pairs weighted by word frequency.  Zero UDFs —
+    slice/zip_with/explode keep it in codegen; the aggregation is
+    map-side combinable on (left, right)."""
+    s = _syms_expr("sym")
+    pairs = F.zip_with(
+        F.expr("slice(__s, 1, size(__s) - 1)"),
+        F.expr("slice(__s, 2, size(__s) - 1)"),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        vocab_syms.withColumn("__s", s)
+        .filter(F.size("__s") >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 20,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Train ``merges`` BPE merge rules; returns a driver-small
+    DataFrame (rank, left, right, merged, pair_count) in merge order.
+
+    Iteration shape: every round is one vocab-table aggregation (the
+    pair count) + ONE collected row (the argmax, ties broken by
+    (count desc, left asc, right asc) so both engines agree), then a
+    single literal `replace` projected onto the persisted vocab.
+    Lineage is truncated every ``checkpoint_every`` rounds so the plan
+    never grows with the merge count.  The corpus itself is scanned
+    exactly once (word_counts)."""
+    spark = df.sparkSession
+    vocab = (
+        word_counts(df, text_col)
+        .select(_wrap_symbols(F.col("word")).alias("sym"), "cnt")
+        .persist()
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    cur = vocab
+    try:
+        for rank in range(1, merges + 1):
+            top = (
+                pair_counts(cur)
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("left").asc(),
+                    F.col("right").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+            rules.append((rank, left, right, left + right, int(cnt)))
+            pat = f"{SEP}{left}{SEP}{SEP}{right}{SEP}"
+            rep = f"{SEP}{left}{right}{SEP}"
+            cur = cur.withColumn("sym", F.replace(F.col("sym"), F.lit(pat), F.lit(rep)))
+            if rank % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_segment(col: Column, rules: list[tuple[str, str]]) -> Column:
+    """Tokenize normalized text under trained merge rules: split into
+    words, wrap each word's characters, apply every merge in rank
+    order (literal replaces — a fixed codegen'd expression chain), and
+    return the flat array of subword tokens.  Purely columnar: the
+    rule list is driver-small (the trained merge table) and burns into
+    the plan as literals, so encoding is a map-only pass at any
+    scale."""
+    word_syms = F.transform(
+        F.filter(tokens(col), lambda w: (w != "") & (~w.contains(SEP))),
+        lambda w: F.regexp_replace(w, "(.)", f"{SEP}$1{SEP}"),
+    )
+
+    def apply_rules(sym: Column) -> Column:
+        out = sym
+        for left, right in rules:
+            out = F.replace(
+                out,
+                F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
+                F.lit(f"{SEP}{left}{right}{SEP}"),
+            )
+        return out
+
+    return F.flatten(
+        F.transform(
+            word_syms,
+            lambda s: F.split(F.btrim(apply_rules(s), F.lit(SEP)), r"\|\|"),
+        )
+    )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by PMI (pointwise mutual
+    information), min-count filtered:
+    pmi = ln(c_ab * N * N / (M * c_a * c_b)), rounded to 6 dp.
+
+    Shape: ONE corpus scan builds the bigram table (map-side
+    combinable groupBy), unigram counts derive from a second scan of
+    the same cached token projection; the two scalar totals (N tokens,
+    M bigrams) ride in via broadcast crossJoin of 1-row aggregates.
+    The unigram join is vocabulary-sized on both sides — an equality
+    shuffle join that scales with the vocab, never the corpus.
+    Ordering is (rounded pmi desc, left, right) so the top-k cut is
+    deterministic cross-engine."""
+    toks = df.select(tokens(F.col(text_col)).alias("t")).filter(F.size("t") > 0)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi_pairs = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(bi_pairs).alias("p"))
+        .filter((F.col("p.l") != "") & (F.col("p.r") != ""))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_tot = uni.agg(F.sum("c1").cast("double").alias("n_tot"))
+    m_tot = bi.agg(F.sum("c_ab").cast("double").alias("m_tot"))
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("left"), F.col("c1").alias("c_a")), "left")
+        .join(uni.select(F.col("w").alias("right"), F.col("c1").alias("c_b")), "right")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "left",
+            "right",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_tot") * F.col("n_tot"))
+                    / (F.col("m_tot") * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(top_k)
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps) curve: documents are assigned to
+    ``buckets`` deterministic md5-derived corpus slices; per slice,
+    how many tokens appear there for the FIRST time, plus the running
+    distinct-vocabulary size and cumulative token volume.
+
+    Shape: one explode + ONE (token → min bucket, count) aggregation
+    (map-side combinable), then a groupBy over `buckets` rows and a
+    window over that driver-small frame.  The curve answers the
+    data-card question "is this corpus's vocabulary still growing?"
+    without any repeated scans."""
+    bucket = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(buckets))
+    tok = (
+        df.select(bucket.alias("bucket"), F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per_token = tok.groupBy("w").agg(
+        F.min("bucket").alias("first_bucket"), F.count(F.lit(1)).alias("occ")
+    )
+    new_per_bucket = per_token.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    vol_per_bucket = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vol_per_bucket.join(new_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "bucket_tokens",
+            F.coalesce(F.col("new_tokens"), F.lit(0)).alias("new_tokens"),
+        )
+        .withColumn("vocab_size", F.sum("new_tokens").over(w))
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+    )
