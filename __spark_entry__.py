@@ -2079,6 +2079,37 @@ def q_blocklist_docs(spark, sf_dir):
     return text.blocklist_hits(docs, phrases)
 
 
+def q_tool_loops(spark, sf_dir):
+    """Agent-loop detection (transcripts.tool_loops): maximal runs of
+    >= 2 consecutive same-tool invocations with no intervening
+    user/system turn — the stuck-retry signature.  One conv-key window
+    pass; only loop-sized rows survive into the run aggregation."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return transcripts.tool_loops(
+        tdf, order_by=["turn_idx", "seq"], min_run=2
+    )
+
+
+def q_tool_latency(spark, sf_dir):
+    """Per-tool call->result latency profile (transcripts.tool_latency):
+    exact integer-microsecond latencies, order-free sums, exact
+    percentiles.  The fixture corpus's assistant turns don't name the
+    tool they invoke, so the query plants the caller's tool from the
+    following tool turn (a lead over the same conv window) — giving
+    ground-truth adjacent call->result pairs the oracle replays."""
+    tdf = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "seq")
+    planted = tdf.withColumn(
+        "tool",
+        F.when(
+            (F.col("role") == "assistant")
+            & (F.lead("role").over(w) == "tool"),
+            F.lead("tool").over(w),
+        ).otherwise(F.col("tool")),
+    )
+    return transcripts.tool_latency(planted, order_by=["turn_idx", "seq"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2191,6 +2222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_docs": q_collocations_docs,
         "vocab_growth_docs": q_vocab_growth_docs,
         "blocklist_docs": q_blocklist_docs,
+        "tool_loops": q_tool_loops,
+        "tool_latency": q_tool_latency,
     }
 
 
@@ -4083,7 +4116,78 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": _oracle_collocations(),
         "vocab_growth_docs": _oracle_vocab_growth(),
         "blocklist_docs": _oracle_blocklist(),
+        "tool_loops": _oracle_tool_loops(),
+        "tool_latency": _oracle_tool_latency(),
     }
+
+
+def _oracle_tool_loops(min_run: int = 2) -> str:
+    """Window replay of the gaps-and-islands loop detector: running
+    break-segment id over ALL turns, then lag/run-id over the
+    tool-bearing subsequence."""
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    s AS (
+      SELECT conv_id, turn_idx, role, tool, seq,
+             SUM(CASE WHEN role IN ('system', 'user') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS seg
+      FROM t
+    ),
+    tl AS (
+      SELECT conv_id, turn_idx, tool, seg, seq,
+             lag(tool) OVER w AS ptool, lag(seg) OVER w AS pseg
+      FROM s WHERE tool IS NOT NULL
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, seq)
+    ),
+    r AS (
+      SELECT conv_id, turn_idx, tool,
+             SUM(CASE WHEN ptool IS NULL OR ptool <> tool
+                           OR pseg <> seg THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM tl
+    )
+    SELECT conv_id, tool,
+           CAST(MIN(turn_idx) AS BIGINT) AS run_start,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM r GROUP BY conv_id, tool, run
+    HAVING COUNT(*) >= {min_run}
+    """
+
+
+def _oracle_tool_latency() -> str:
+    """Replays the planted caller tool (lead over the conv window),
+    the adjacent call->result pairing, and the exact integer-microsecond
+    latency aggregation; quantile_cont matches Spark's exact
+    percentile (both rank = p*(n-1), linear interpolation)."""
+    return f"""
+    WITH t AS ({_SQL_TRANSCRIPTS}),
+    p AS (
+      SELECT conv_id, turn_idx, seq, role, ts,
+             CASE WHEN role = 'assistant' AND lead(role) OVER w = 'tool'
+                  THEN lead(tool) OVER w ELSE tool END AS tool
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, seq)
+    ),
+    l AS (
+      SELECT role, tool,
+             lag(role) OVER w AS prole, lag(tool) OVER w AS ptool,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS lat
+      FROM p WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, seq)
+    ),
+    pr AS (
+      SELECT tool, lat FROM l
+      WHERE role = 'tool' AND prole = 'assistant' AND ptool = tool
+    )
+    SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(lat) AS DOUBLE) / COUNT(*), 3) AS mean_us,
+           round(quantile_cont(lat, 0.5), 3) AS p50_us,
+           round(quantile_cont(lat, 0.9), 3) AS p90_us,
+           CAST(MAX(lat) AS BIGINT) AS max_us
+    FROM pr GROUP BY tool
+    """
 
 
 def _oracle_bpe_ctes(merges: int = 12) -> str:

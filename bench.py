@@ -178,6 +178,10 @@ HEADLINE = [
     "collocations_docs",
     "vocab_growth_docs",
     "blocklist_docs",
+    # round 3 (late): agent-transcript QA — stuck-retry loop detection
+    # and per-tool call->result latency percentiles
+    "tool_loops",
+    "tool_latency",
 ]
 
 

@@ -855,3 +855,117 @@ def sft_mask_spans(
             "end_char",
         )
     )
+
+
+def tool_loops(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    order_by: Sequence[str] | None = None,
+    min_run: int = 2,
+    break_roles: Iterable[str] = ("user", "system"),
+) -> DataFrame:
+    """Agent-loop detection: ``(conv_id, tool, run_start, run_len)``
+    for every maximal run of >= ``min_run`` consecutive tool-bearing
+    turns invoking the SAME tool with no intervening ``break_roles``
+    turn (new user input legitimately restarts a tool, so it breaks a
+    run).  The signature of an agent stuck retrying the same call.
+
+    Shape: ONE window pass over ``conv_col`` computes a running
+    break-segment id (cumulative count of break-role turns) and the
+    gaps-and-islands run id over the tool-bearing subsequence; the
+    run aggregation then groups on (conv, run) — loop volume, not
+    corpus volume, survives the second shuffle.  No self-join, no
+    collect."""
+    order_cols = list(order_by) if order_by else [turn_col]
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    breaks = sorted(set(break_roles))
+    seg = F.sum(
+        F.when(F.col(role_col).isin(breaks), 1).otherwise(0)
+    ).over(w)
+    tl = (
+        df.withColumn("__seg", seg)
+        .filter(F.col(tool_col).isNotNull())
+        .withColumn("__ptool", F.lag(F.col(tool_col)).over(w))
+        .withColumn("__pseg", F.lag(F.col("__seg")).over(w))
+    )
+    new_run = F.when(
+        F.col("__ptool").isNull()
+        | (F.col("__ptool") != F.col(tool_col))
+        | (F.col("__pseg") != F.col("__seg")),
+        1,
+    ).otherwise(0)
+    runs = tl.withColumn("__run", F.sum(new_run).over(w))
+    return (
+        runs.groupBy(
+            F.col(conv_col).alias("conv_id"),
+            F.col("__run"),
+            F.col(tool_col).alias("tool"),
+        )
+        .agg(
+            F.min(turn_col).cast("long").alias("run_start"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "tool", "run_start", "run_len")
+    )
+
+
+def tool_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    order_by: Sequence[str] | None = None,
+    caller_role: str = "assistant",
+    result_role: str = "tool",
+) -> DataFrame:
+    """Per-tool call->result latency profile:
+    ``(tool, n_pairs, mean_us, p50_us, p90_us, max_us)``.
+
+    A pair is a ``result_role`` turn whose IMMEDIATELY preceding turn
+    (in transcript order) is a ``caller_role`` turn naming the same
+    tool — the adjacency the role-transition FSM already enforces, so
+    unpaired results surface in ``tool_call_pairing``, not here.
+
+    Shape: ONE window pass (lag of role/tool/ts over the conv key),
+    then one map-side-combinable aggregation per tool.  Latencies stay
+    exact integer MICROseconds end-to-end (no ms division — a
+    double-divide would reopen the truncate-vs-round cast gap between
+    engines); sums are order-free at any parallelism, the mean is the
+    one fixed-order double division, and percentiles use Spark's exact
+    ``percentile`` (rank = p*(n-1), linear interpolation — small
+    per-tool groups make exact affordable; at extreme cardinality swap
+    in approx_percentile)."""
+    order_cols = list(order_by) if order_by else [turn_col]
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    # cast NTZ -> LTZ for unix_micros (sessions pin UTC, so the cast
+    # is deterministic); exact integer microseconds end-to-end
+    ts_ltz = F.col(ts_col).cast("timestamp_ltz")
+    lat_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    pairs = (
+        df.withColumn("__prole", F.lag(F.col(role_col)).over(w))
+        .withColumn("__ptool", F.lag(F.col(tool_col)).over(w))
+        .withColumn("__lat", lat_us)
+        .filter(
+            (F.col(role_col) == result_role)
+            & (F.col("__prole") == caller_role)
+            & (F.col("__ptool") == F.col(tool_col))
+        )
+    )
+    return (
+        pairs.groupBy(F.col(tool_col).alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("__lat").cast("double") / F.count(F.lit(1)), 3
+            ).alias("mean_us"),
+            F.round(F.expr("percentile(__lat, 0.5)"), 3).alias("p50_us"),
+            F.round(F.expr("percentile(__lat, 0.9)"), 3).alias("p90_us"),
+            F.max("__lat").alias("max_us"),
+        )
+    )

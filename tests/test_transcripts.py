@@ -378,3 +378,74 @@ def test_sft_mask_spans_plan_single_exchange(spark):
     # one conv_id shuffle feeds both windows; no Python, no fold
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+class TestToolLoops:
+    def test_runs_and_breaks(self, spark):
+        from jsonschema_spark.operators.transcripts import tool_loops
+
+        rows = [
+            # conv A: search x3 (loop), user break, search x1 + fetch x2
+            ("A", 0, "user", None),
+            ("A", 1, "assistant", "search"),
+            ("A", 2, "tool", "search"),
+            ("A", 3, "tool", "search"),
+            ("A", 4, "user", None),
+            ("A", 5, "tool", "search"),
+            ("A", 6, "tool", "fetch"),
+            ("A", 7, "tool", "fetch"),
+            # conv B: alternation, no same-tool run
+            ("B", 0, "tool", "a"),
+            ("B", 1, "tool", "b"),
+            ("B", 2, "tool", "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, tool string"
+        )
+        got = {
+            (r["conv_id"], r["tool"], r["run_start"]): r["run_len"]
+            for r in tool_loops(df, min_run=2).collect()
+        }
+        # the user turn at 4 breaks the search run even though the
+        # tool name repeats right after
+        assert got == {("A", "search", 1): 3, ("A", "fetch", 6): 2}
+
+    def test_min_run_filter(self, spark):
+        from jsonschema_spark.operators.transcripts import tool_loops
+
+        df = spark.createDataFrame(
+            [("C", 0, "tool", "x"), ("C", 1, "tool", "x"), ("C", 2, "tool", "x")],
+            "conv_id string, turn_idx int, role string, tool string",
+        )
+        assert tool_loops(df, min_run=4).count() == 0
+        assert tool_loops(df, min_run=3).collect()[0]["run_len"] == 3
+
+
+class TestToolLatency:
+    def test_adjacent_pairs_only(self, spark):
+        import datetime
+
+        from jsonschema_spark.operators.transcripts import tool_latency
+
+        t0 = datetime.datetime(2026, 1, 1)
+        ms = lambda k: t0 + datetime.timedelta(milliseconds=k)
+        rows = [
+            ("A", 0, "assistant", "search", ms(0)),
+            ("A", 1, "tool", "search", ms(250)),     # pair: 250ms
+            ("A", 2, "assistant", "fetch", ms(300)),
+            ("A", 3, "user", None, ms(400)),         # fetch never answered
+            ("A", 4, "tool", "fetch", ms(900)),      # prev is user -> no pair
+            ("B", 0, "assistant", "search", ms(0)),
+            ("B", 1, "tool", "search", ms(750)),     # pair: 750ms
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, tool string, ts timestamp",
+        )
+        got = {r["tool"]: r for r in tool_latency(df).collect()}
+        assert set(got) == {"search"}
+        s = got["search"]
+        assert s["n_pairs"] == 2
+        assert s["mean_us"] == 500000.0
+        assert s["p50_us"] == 500000.0  # interpolated midpoint
+        assert s["max_us"] == 750000
