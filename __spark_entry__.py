@@ -2110,6 +2110,14 @@ def q_tool_latency(spark, sf_dir):
     return transcripts.tool_latency(planted, order_by=["turn_idx", "seq"])
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix (decontam.source_overlap):
+    distinct word-3-gram overlap between every pair of ingest sources
+    — the corpus reduces to the distinct (source, n-gram) set before
+    any join, and n-gram fanout is bounded by the source count."""
+    return decontam.source_overlap(_docs(spark, sf_dir), n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2224,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_docs": q_blocklist_docs,
         "tool_loops": q_tool_loops,
         "tool_latency": q_tool_latency,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -4118,7 +4127,41 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_docs": _oracle_blocklist(),
         "tool_loops": _oracle_tool_loops(),
         "tool_latency": _oracle_tool_latency(),
+        "source_overlap": _oracle_source_overlap(),
     }
+
+
+def _oracle_source_overlap() -> str:
+    norm = _SQL_NORM.format(col="text")
+    tg = (
+        "list_transform(range(1, len(t) - 1), "
+        "i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
+        " || ' ' || t[CAST(i AS INT) + 2])"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source AS src, string_split({norm}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT src, D.ng FROM toks,
+        LATERAL (SELECT DISTINCT unnest(
+            CASE WHEN len(t) >= 3 THEN {tg}
+                 ELSE CAST([] AS VARCHAR[]) END) AS ng) D
+    ),
+    per AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS ng_cnt FROM sh GROUP BY src),
+    pr AS (
+      SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM sh a JOIN sh b ON a.ng = b.ng AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT pr.src_a, pr.src_b, pr.shared,
+           pa.ng_cnt AS n_a, pb.ng_cnt AS n_b,
+           round(CAST(pr.shared AS DOUBLE) / least(pa.ng_cnt, pb.ng_cnt), 6)
+             AS overlap
+    FROM pr
+    JOIN per pa ON pa.src = pr.src_a
+    JOIN per pb ON pb.src = pr.src_b
+    """
 
 
 def _oracle_tool_loops(min_run: int = 2) -> str:

@@ -182,6 +182,9 @@ HEADLINE = [
     # and per-tool call->result latency percentiles
     "tool_loops",
     "tool_latency",
+    # round 3 (late): cross-source contamination matrix (distinct
+    # (source, n-gram) reduction, source-bounded join fanout)
+    "source_overlap",
 ]
 
 

@@ -202,3 +202,57 @@ def semantic_decontaminate(
         .agg(F.round(F.max("__cos"), 6).alias("max_cosine"))
         .select(F.col("__cid").alias(id_col), "max_cosine")
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix:
+    ``(src_a, src_b, shared, n_a, n_b, overlap)`` — for every source
+    pair, how many distinct word-n-grams they share, and the overlap
+    coefficient ``shared / min(n_a, n_b)``.  The data-governance view
+    of duplication: which ingest feeds are re-crawling each other.
+
+    Scale shape: the corpus reduces to the DISTINCT (source, n-gram)
+    set first — one aggregation whose output is vocabulary-sized per
+    source, not corpus-sized — and the pair join is an equality join
+    on the n-gram; fanout per n-gram is bounded by the SOURCE count
+    (not document frequency), so the join cannot blow up the way a
+    doc-level all-pairs join would.  Per-source totals are a
+    source-count-sized broadcast."""
+    toks = df.select(
+        F.col(group_col).alias("src"), tokens(F.col(text_col)).alias("__t")
+    )
+    sh = (
+        toks.select("src", F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("ng"))
+        .distinct()
+    )
+    per = sh.groupBy("src").agg(F.count(F.lit(1)).alias("ng_cnt"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "ng")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pa = per.select(F.col("src").alias("src_a"), F.col("ng_cnt").alias("n_a"))
+    pb = per.select(F.col("src").alias("src_b"), F.col("ng_cnt").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("overlap"),
+        )
+    )

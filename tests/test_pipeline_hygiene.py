@@ -200,3 +200,31 @@ class TestLMScore:
         for r in out.values():
             assert r["n_tokens"] == 0
             assert r["avg_logp"] is None and r["ppl"] is None
+
+
+class TestSourceOverlap:
+    def test_known_matrix(self, spark):
+        from jsonschema_spark.operators.decontam import source_overlap
+
+        rows = [
+            (1, "alpha beta gamma delta", "s1"),   # grams: abg, bgd
+            (2, "alpha beta gamma", "s2"),          # abg  (shared with s1)
+            (3, "epsilon zeta eta", "s2"),          # eze
+            (4, "unrelated words here", "s3"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r["src_a"], r["src_b"]): (r["shared"], r["n_a"], r["n_b"], r["overlap"])
+            for r in source_overlap(df, n=3).collect()
+        }
+        # s1 has 2 distinct 3-grams, s2 has 2, they share 1
+        assert got == {("s1", "s2"): (1, 2, 2, 0.5)}
+
+    def test_short_docs_no_grams(self, spark):
+        from jsonschema_spark.operators.decontam import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "one two", "a"), (2, "one two", "b")],
+            "doc_id long, text string, source string",
+        )
+        assert source_overlap(df, n=3).count() == 0
