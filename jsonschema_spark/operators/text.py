@@ -627,11 +627,14 @@ def blocklist_hits(
     Counts are overlap-counting (every start position checked), unlike
     a replace()-based count which skips overlapping runs.
     """
+    # normalize the phrase the same way document text is tokenized —
+    # otherwise a mixed-case / extra-whitespace phrase silently never
+    # matches anything
     ph = phrases.select(
         F.col(phrase_col).alias("phrase"),
-        F.split(F.col(phrase_col), " ").alias("p_toks"),
+        tokens(F.col(phrase_col)).alias("p_toks"),
     ).withColumn("plen", F.size("p_toks"))
-    first = ph.select(
+    first = ph.filter(F.col("p_toks")[0] != "").select(
         "phrase", "p_toks", "plen", F.col("p_toks")[0].alias("tok")
     )
     tok = (

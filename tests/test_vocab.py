@@ -157,3 +157,15 @@ class TestBlocklist:
         plan = T.blocklist_hits(docs, phrases)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_phrase_normalization(self, spark):
+        """Mixed-case / extra-whitespace phrases match normalized text."""
+        docs = spark.createDataFrame(
+            [(1, "The Quick  Brown fox")], "doc_id long, text string"
+        )
+        phrases = spark.createDataFrame(
+            [("Quick   BROWN",), ("",), ("   ",)], "phrase string"
+        )
+        got = T.blocklist_hits(docs, phrases).collect()
+        assert len(got) == 1
+        assert got[0]["phrase"] == "Quick   BROWN" and got[0]["hits"] == 1
