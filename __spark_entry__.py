@@ -2118,6 +2118,24 @@ def q_source_overlap(spark, sf_dir):
     return decontam.source_overlap(_docs(spark, sf_dir), n=3)
 
 
+def q_transcript_skew_report(spark, sf_dir):
+    """Key-skew concentration report (skew.skew_report) over the
+    transcript conv_id — the quantitative decision input for the north
+    rule's salting of hot conversations.  Every 13th user collapses
+    into one planted mega-conversation so the hot-key branch
+    (suggested_salt > 1) is actually exercised."""
+    from jsonschema_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 13 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    tdf = _transcripts_from_events(ev)
+    return skew.skew_report(tdf, ["conv_id"], top=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2233,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_loops": q_tool_loops,
         "tool_latency": q_tool_latency,
         "source_overlap": q_source_overlap,
+        "transcript_skew_report": q_transcript_skew_report,
     }
 
 
@@ -4128,7 +4147,54 @@ def oracle_sql() -> dict[str, str]:
         "tool_loops": _oracle_tool_loops(),
         "tool_latency": _oracle_tool_latency(),
         "source_overlap": _oracle_source_overlap(),
+        "transcript_skew_report": _oracle_transcript_skew_report(),
     }
+
+
+def _oracle_transcript_skew_report(top: int = 10) -> str:
+    """Replays the planted hot-user collapse, the transcript
+    derivation, and the one-row concentration report; sum(cnt*cnt) is
+    exact (HUGEINT) with ONE final double division, so hhi is
+    aggregation-order-free on both engines."""
+    t_sql = _SQL_TRANSCRIPTS.replace("FROM events", "FROM ev_hot")
+    return f"""
+    WITH ev_hot AS (
+      SELECT event_id, ts,
+             CASE WHEN user_id % 13 = 0 THEN 1 ELSE user_id END AS user_id,
+             event_type, value, props
+      FROM events
+    ),
+    t AS ({t_sql}),
+    c AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY conv_id
+    ),
+    g AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+             round(quantile_cont(cnt, 0.5), 3) AS p50_key_rows,
+             round(quantile_cont(cnt, 0.99), 3) AS p99_key_rows,
+             SUM(cnt * cnt) AS sumsq
+      FROM c
+    ),
+    tk AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS topc FROM (
+        SELECT cnt FROM c ORDER BY cnt DESC, conv_id ASC LIMIT {top}
+      )
+    )
+    SELECT n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+           round(CAST(topc AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS top_share,
+           round(CAST(sumsq AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 9)
+             AS hhi,
+           CAST(ceil(CAST(max_key_rows AS DOUBLE)
+                     / greatest(1.0, 4.0 * (CAST(n_rows AS DOUBLE)
+                                            / CAST(n_keys AS DOUBLE))))
+                AS BIGINT) AS suggested_salt
+    FROM g CROSS JOIN tk
+    """
 
 
 def _oracle_source_overlap() -> str:

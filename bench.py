@@ -185,6 +185,8 @@ HEADLINE = [
     # round 3 (late): cross-source contamination matrix (distinct
     # (source, n-gram) reduction, source-bounded join fanout)
     "source_overlap",
+    # round 3 (late): conv_id concentration report (salt-decision input)
+    "transcript_skew_report",
 ]
 
 

@@ -112,3 +112,67 @@ def key_histogram(df: DataFrame, keys: Sequence[str], top: int = 20) -> DataFram
         .orderBy(F.col("rows").desc(), *[F.col(k) for k in keys])
         .limit(top)
     )
+
+
+def skew_report(
+    df: DataFrame, keys: Sequence[str], top: int = 10, target_ratio: float = 4.0
+) -> DataFrame:
+    """ONE-row key-concentration report — the quantitative form of the
+    north rule's "explicit skew-aware salting on hot conv_id
+    partitions" decision::
+
+        (n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+         top_share, hhi, suggested_salt)
+
+    * ``top_share``  — fraction of all rows held by the ``top``
+      heaviest keys (ties broken by key so the cut is deterministic);
+    * ``hhi``        — Herfindahl concentration sum((cnt/total)^2),
+      computed as the EXACT decimal sum of cnt^2 divided once at the
+      end (a per-key double sum would be aggregation-order-dependent);
+    * ``suggested_salt`` — buckets so the hottest key shrinks to
+      ~``target_ratio``x the mean key size:
+      ceil(max / max(1, target_ratio * mean)).
+
+    Shape: one map-side-combinable per-key count, then two
+    driver-small aggregates over the key table (global + top-k) joined
+    by broadcast crossJoin.  Percentiles over key counts use Spark's
+    exact ``percentile`` — the key table is vocabulary-sized, not
+    corpus-sized."""
+    cnts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    g = cnts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 3).alias("p50_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 3).alias("p99_key_rows"),
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)") * F.col("cnt").cast("decimal(19,0)")
+        ).alias("__sumsq"),
+    )
+    topk = (
+        cnts.orderBy(F.col("cnt").desc(), *[F.col(k) for k in keys])
+        .limit(top)
+        .agg(F.sum("cnt").alias("__top"))
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return g.crossJoin(F.broadcast(topk)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "p50_key_rows",
+        "p99_key_rows",
+        F.round(
+            F.col("__top").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("top_share"),
+        F.round(
+            F.col("__sumsq").cast("double")
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
+            9,
+        ).alias("hhi"),
+        F.ceil(
+            F.col("max_key_rows").cast("double")
+            / F.greatest(F.lit(1.0), F.lit(target_ratio) * mean)
+        )
+        .cast("long")
+        .alias("suggested_salt"),
+    )

@@ -75,3 +75,32 @@ def test_scalable_window_ranked_equals_plain(spark):
     spread = (ranged.withColumn("p", F.spark_partition_id())
               .filter("conv_id = 'hot'").select("p").distinct().count())
     assert spread > 1
+
+
+class TestSkewReport:
+    def test_known_distribution(self, spark):
+        from jsonschema_spark.operators.skew import skew_report
+
+        # key 'hot' has 80 rows, 20 keys have 1 row each -> 100 rows
+        rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+        df = spark.createDataFrame(rows, "k string")
+        r = skew_report(df, ["k"], top=5).collect()[0]
+        assert r["n_rows"] == 100 and r["n_keys"] == 21
+        assert r["max_key_rows"] == 80
+        assert r["p50_key_rows"] == 1.0
+        # top-5 = hot(80) + 4 singles = 84
+        assert r["top_share"] == 0.84
+        # hhi = (6400 + 20) / 10000
+        assert r["hhi"] == 0.642
+        # mean = 100/21 ≈ 4.76; target = 4*mean ≈ 19.05; ceil(80/19.05) = 5
+        assert r["suggested_salt"] == 5
+
+    def test_uniform_keys_salt_one(self, spark):
+        from jsonschema_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame(
+            [(f"k{i % 10}",) for i in range(100)], "k string"
+        )
+        r = skew_report(df, ["k"], top=3).collect()[0]
+        assert r["suggested_salt"] == 1
+        assert r["max_key_rows"] == 10 and r["n_keys"] == 10
