@@ -2136,6 +2136,18 @@ def q_transcript_skew_report(spark, sf_dir):
     return skew.skew_report(tdf, ["conv_id"], top=10)
 
 
+def q_fd_part_supplier(spark, sf_dir):
+    """Functional-dependency profiling (checks.FunctionalDependency):
+    which l_partkey values map to more than one l_suppkey, with row
+    counts, exact distinct-dependent counts, and a bounded example
+    list (row_number-capped BEFORE collect, so a pathological
+    determinant cannot blow a task)."""
+    fd = checks.FunctionalDependency(
+        determinant=["l_partkey"], dependent="l_suppkey", max_examples=3
+    )
+    return fd.violating_keys(_t(spark, sf_dir, "lineitem"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2252,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": q_tool_latency,
         "source_overlap": q_source_overlap,
         "transcript_skew_report": q_transcript_skew_report,
+        "fd_part_supplier": q_fd_part_supplier,
     }
 
 
@@ -4148,7 +4161,34 @@ def oracle_sql() -> dict[str, str]:
         "tool_latency": _oracle_tool_latency(),
         "source_overlap": _oracle_source_overlap(),
         "transcript_skew_report": _oracle_transcript_skew_report(),
+        "fd_part_supplier": _oracle_fd_part_supplier(),
     }
+
+
+def _oracle_fd_part_supplier() -> str:
+    """Exact per-determinant counts + slice-of-sorted distinct
+    dependents (== the engine's row_number-capped example list)."""
+    return """
+    WITH stats AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_dep
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey IS NOT NULL
+    ),
+    ex AS (
+      SELECT l_partkey,
+             array_to_string(list_transform(
+                 list_slice(list(l_suppkey ORDER BY l_suppkey), 1, 3),
+                 y -> CAST(y AS VARCHAR)), ',') AS examples
+      FROM pairs GROUP BY l_partkey
+    )
+    SELECT s.l_partkey, s.n_rows, s.n_dep, e.examples
+    FROM stats s JOIN ex e ON e.l_partkey = s.l_partkey
+    WHERE s.n_dep > 1
+    """
 
 
 def _oracle_transcript_skew_report(top: int = 10) -> str:

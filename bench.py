@@ -187,6 +187,9 @@ HEADLINE = [
     "source_overlap",
     # round 3 (late): conv_id concentration report (salt-decision input)
     "transcript_skew_report",
+    # round 3 (late): functional-dependency profiling (cross-row
+    # invariant; bounded example lists)
+    "fd_part_supplier",
 ]
 
 

@@ -268,6 +268,97 @@ class Uniqueness(Check):
 
 
 @dataclass
+class FunctionalDependency(Check):
+    """Functional-dependency profiling: ``determinant -> dependent``
+    must be single-valued per determinant group (NULL dependents are
+    ignored, matching COUNT(DISTINCT) semantics).  The data-quality
+    check schema keywords cannot express — it is a CROSS-ROW invariant
+    ("every turn of a conversation reports the same session locale",
+    "a part number maps to one spec revision").
+
+    Physical plan: violations = one exact per-determinant aggregation
+    (map-side partial count + count-distinct) joined with a bounded
+    example list built from the DISTINCT (determinant, dependent)
+    pairs — a row_number window caps examples at ``max_examples``
+    BEFORE any collect_list, so a determinant with millions of
+    distinct dependents cannot blow a task (the reason a naive
+    slice(sort(collect_set)) is wrong at scale).  Verdicts reduce the
+    distinct-pair table per partition — fail_count is the number of
+    violating determinants."""
+
+    determinant: Sequence[str]
+    dependent: str = ""
+    partition_by: Sequence[str] | None = None
+    max_examples: int = 3
+    name: str = "functional_dependency"
+
+    def violating_keys(self, df: DataFrame) -> DataFrame:
+        """(determinant..., n_rows, n_dep, examples) for determinants
+        whose dependent is not single-valued; ``examples`` is the
+        first ``max_examples`` distinct dependents in value order,
+        comma-joined."""
+        det = list(self.determinant)
+        dep = F.col(self.dependent)
+        stats = df.groupBy(*det).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(dep).alias("n_dep"),
+        )
+        pairs = (
+            df.filter(dep.isNotNull())
+            .select(*[F.col(c) for c in det], dep.alias("__dep"))
+            .distinct()
+        )
+        w = Window.partitionBy(*det).orderBy("__dep")
+        ex = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.max_examples)
+            .groupBy(*det)
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(F.collect_list("__dep")).cast(
+                        "array<string>"
+                    ),
+                ).alias("examples")
+            )
+        )
+        return (
+            stats.filter(F.col("n_dep") > 1)
+            .join(ex, det)
+            .select(*det, "n_rows", "n_dep", "examples")
+        )
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        pid = _partition_id(self.partition_by).alias("partition_id")
+        det = list(self.determinant)
+        dep = F.col(self.dependent)
+        counts = (
+            df.filter(dep.isNotNull())
+            .select(pid, *[F.col(c) for c in det], dep.alias("__dep"))
+            .distinct()
+            .groupBy("partition_id", *det)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        agg = counts.groupBy("partition_id").agg(
+            F.sum((F.col("c") > 1).cast("long")).alias("bad_dets"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias(
+                "extra_values"
+            ),
+        )
+        metrics = F.create_map(
+            F.lit("bad_determinants"), F.col("bad_dets").cast("string"),
+            F.lit("extra_values"), F.col("extra_values").cast("string"),
+            F.lit("fd"), F.lit(",".join(det) + " -> " + self.dependent),
+        )
+        return agg.select(
+            *_verdict_select(self.name, F.col("bad_dets"), metrics)
+        )
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        return self.violating_keys(df)
+
+
+@dataclass
 class ReferentialIntegrity(Check):
     """fact[fact_key] ⊆ dim[dim_key], violations via BROADCAST anti-join.
 

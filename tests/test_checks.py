@@ -300,3 +300,36 @@ def test_outlier_stats_constant_group_no_nan(spark):
     df = spark.createDataFrame([("g", 5.0)] * 4, "k string, value double")
     out = outlier_stats(df, "value", by="k").collect()[0]
     assert out["std"] == 0.0 and out["n_outliers"] == 0
+
+
+class TestFunctionalDependency:
+    def test_violations_and_examples(self, spark):
+        from jsonschema_spark.operators.checks import FunctionalDependency
+
+        rows = [
+            ("p1", "s1"), ("p1", "s1"),              # holds
+            ("p2", "s1"), ("p2", "s2"), ("p2", "s3"),
+            ("p2", "s4"),                             # 4 distinct -> capped at 3
+            ("p3", None), ("p3", "s9"),               # null ignored -> holds
+        ]
+        df = spark.createDataFrame(rows, "det string, dep string")
+        fd = FunctionalDependency(
+            determinant=["det"], dependent="dep", max_examples=3
+        )
+        got = {r["det"]: r for r in fd.violating_keys(df).collect()}
+        assert set(got) == {"p2"}
+        assert got["p2"]["n_rows"] == 4
+        assert got["p2"]["n_dep"] == 4
+        assert got["p2"]["examples"] == "s1,s2,s3"
+
+    def test_verdicts_counts(self, spark):
+        from jsonschema_spark.operators.checks import FunctionalDependency
+
+        rows = [("p1", "a"), ("p1", "b"), ("p2", "a"), ("p3", "a"), ("p3", "b"), ("p3", "c")]
+        df = spark.createDataFrame(rows, "det string, dep string")
+        fd = FunctionalDependency(determinant=["det"], dependent="dep")
+        v = fd.verdicts(df).collect()
+        assert len(v) == 1
+        assert v[0]["violation_count"] == 2  # p1 and p3 violate
+        assert v[0]["metrics"]["extra_values"] == "3"  # (2-1)+(3-1)
+        assert not v[0]["pass"]
