@@ -2148,6 +2148,14 @@ def q_fd_part_supplier(spark, sf_dir):
     return fd.violating_keys(_t(spark, sf_dir, "lineitem"))
 
 
+def q_embedding_profile(spark, sf_dir):
+    """Per-label embedding data card (similarity.embedding_profile):
+    cluster sizes, centroid norms, within-label dispersion — exact
+    scaled-long sums with one fixed-order double derivation, same
+    contract as the k-means oracle."""
+    return similarity.embedding_profile(_t(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2265,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "transcript_skew_report": q_transcript_skew_report,
         "fd_part_supplier": q_fd_part_supplier,
+        "embedding_profile": q_embedding_profile,
     }
 
 
@@ -4162,7 +4171,52 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _oracle_source_overlap(),
         "transcript_skew_report": _oracle_transcript_skew_report(),
         "fd_part_supplier": _oracle_fd_part_supplier(),
+        "embedding_profile": _oracle_embedding_profile(),
     }
+
+
+def _oracle_embedding_profile(dims: int = 64) -> str:
+    """Same fixed-point recipe as the k-means oracle: quantize to
+    scaled longs, EXACT per-dimension and per-row-squared sums, then
+    the identical left-associative double derivation for centroid
+    norm and E[|x|^2] - |c|^2 dispersion."""
+    t = (
+        "(CAST(c.sv[{d}] AS DOUBLE) / CAST(r.n AS DOUBLE) / 1000000.0)"
+    )
+    normsq = " + ".join(
+        f"({t.format(d=d)} * {t.format(d=d)})" for d in range(1, dims + 1)
+    )
+    return f"""
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS vq
+      FROM embeddings
+    ),
+    cs AS (
+      SELECT label, pos, SUM(x) AS s FROM (
+        SELECT label, generate_subscripts(vq, 1) AS pos, unnest(vq) AS x
+        FROM v
+      ) GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(CAST(s AS BIGINT) ORDER BY pos) AS sv
+      FROM cs GROUP BY label
+    ),
+    r AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(list_aggregate(list_transform(vq, x -> x * x), 'sum'))
+               AS sumsq
+      FROM v GROUP BY label
+    )
+    SELECT c.label, r.n,
+           round(sqrt(0.0 + {normsq}), 6) AS centroid_norm,
+           round(CAST(r.sumsq AS DOUBLE) / CAST(r.n AS DOUBLE)
+                 / 1000000.0 / 1000000.0 - (0.0 + {normsq}), 6)
+             AS mean_sq_dist
+    FROM cent c JOIN r ON r.label = c.label
+    """
 
 
 def _oracle_fd_part_supplier() -> str:

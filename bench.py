@@ -190,6 +190,9 @@ HEADLINE = [
     # round 3 (late): functional-dependency profiling (cross-row
     # invariant; bounded example lists)
     "fd_part_supplier",
+    # round 3 (late): per-label embedding data card (exact scaled-long
+    # sums, k-means oracle contract)
+    "embedding_profile",
 ]
 
 

@@ -529,3 +529,79 @@ def kmeans_embeddings(
             ).alias("dist"),
         )
     )
+
+
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dims: int = 64,
+) -> DataFrame:
+    """Per-label embedding data card:
+    ``(label, n, centroid_norm, mean_sq_dist)`` — cluster size, L2 norm
+    of the label centroid, and the mean squared distance of members to
+    that centroid (within-cluster dispersion, via the identity
+    ``E[|x - c|^2] = E[|x|^2] - |c|^2``).  The sanity check you run on
+    an embedding column before trusting ANN / clustering over it
+    (dead labels, collapsed centroids, dispersion outliers).
+
+    Exactness contract (same as k-means): components quantize to
+    scaled longs, so the per-dimension sums and the per-row
+    squared-norm sums are EXACT integers — order-free at any
+    parallelism; every derived double is one fixed expression order
+    the oracle replays.  Shape: ONE posexplode aggregation on
+    (label, pos) — shuffle is (labels x dims) rows — plus a per-label
+    row count; the final math runs on label-count-sized rows.
+    Row squared-norms accumulate as decimal so corpus-scale sums
+    cannot overflow a long."""
+    vq = df.select(
+        F.col(label_col).alias("label"), _km_quantize(F.col(vec_col)).alias("vq")
+    )
+    comp_sums = (
+        vq.select("label", F.posexplode("vq"))
+        .groupBy("label", "pos")
+        .agg(F.sum("col").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                ),
+                lambda st: st["s"],
+            ).alias("sv")
+        )
+    )
+    rows = vq.select(
+        "label",
+        F.aggregate(
+            "vq",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        )
+        .cast("decimal(38,0)")
+        .alias("__rsq"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__rsq").alias("__sumsq")
+    )
+    j = comp_sums.join(rows, "label")
+    scale = 1000000.0
+    n_d = F.col("n").cast("double")
+    # centroid component d (double, fixed order): sv[d] / n / scale
+    terms = [
+        (F.element_at("sv", d).cast("double") / n_d / F.lit(scale))
+        for d in range(1, dims + 1)
+    ]
+    normsq = None
+    for t in terms:
+        sq = t * t
+        normsq = sq if normsq is None else normsq + sq
+    msd = (
+        F.col("__sumsq").cast("double") / n_d / F.lit(scale) / F.lit(scale)
+        - normsq
+    )
+    return j.select(
+        "label",
+        "n",
+        F.round(F.sqrt(normsq), 6).alias("centroid_norm"),
+        F.round(msd, 6).alias("mean_sq_dist"),
+    )

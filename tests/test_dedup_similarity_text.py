@@ -634,3 +634,25 @@ def test_normalize_text_unicode_kernel(spark):
     assert got[0][1] == got[1][1] == "cafe"
     assert got[2][2] == "abc"                      # tab and BEL are controls
     assert got[3] == (None, None, None)
+
+
+class TestEmbeddingProfile:
+    def test_known_geometry(self, spark):
+        from jsonschema_spark.operators.similarity import embedding_profile
+
+        # label 0: two opposite unit vectors -> centroid 0, msd 1
+        # label 1: two identical vectors -> centroid = vector, msd 0
+        d = 4
+        e1 = [1.0, 0.0, 0.0, 0.0]
+        e1n = [-1.0, 0.0, 0.0, 0.0]
+        e2 = [0.0, 3.0, 4.0, 0.0]  # norm 5
+        rows = [(1, e1, 0), (2, e1n, 0), (3, e2, 1), (4, e2, 1)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["label"]: r for r in embedding_profile(df, dims=d).collect()}
+        assert got[0]["n"] == 2
+        assert got[0]["centroid_norm"] == 0.0
+        assert got[0]["mean_sq_dist"] == 1.0
+        assert got[1]["centroid_norm"] == 5.0
+        assert got[1]["mean_sq_dist"] == 0.0
