@@ -2156,6 +2156,19 @@ def q_embedding_profile(spark, sf_dir):
     return similarity.embedding_profile(_t(spark, sf_dir, "embeddings"))
 
 
+def q_lm_bigram_docs(spark, sf_dir):
+    """Stupid-backoff bigram LM scoring (text.lm_bigram_counts +
+    text.lm_score_bigram): train unigram+bigram counts on 80% of the
+    corpus (doc_id%5 != 0), score ALL documents — the held-out fifth
+    exercises the unseen-bigram backoff path.  Per-bigram log-scores
+    snap to scaled longs before the per-doc sum (order-free)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    return text.lm_score_bigram(
+        docs, text.lm_counts(train), text.lm_bigram_counts(train)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2274,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_skew_report": q_transcript_skew_report,
         "fd_part_supplier": q_fd_part_supplier,
         "embedding_profile": q_embedding_profile,
+        "lm_bigram_docs": q_lm_bigram_docs,
     }
 
 
@@ -4172,7 +4186,72 @@ def oracle_sql() -> dict[str, str]:
         "transcript_skew_report": _oracle_transcript_skew_report(),
         "fd_part_supplier": _oracle_fd_part_supplier(),
         "embedding_profile": _oracle_embedding_profile(),
+        "lm_bigram_docs": _oracle_lm_bigram(),
     }
+
+
+def _oracle_lm_bigram(alpha: float = 0.5, backoff: float = 0.4) -> str:
+    """Replay of lm_score_bigram: identical tokenization and bigram
+    explode, the same seen-branch n2/n1 conditional vs backoff *
+    add-alpha unigram expression (operand order preserved), per-bigram
+    log-score snapped to a scaled BIGINT before the exact per-doc
+    sum.  Training restricted to doc_id%5 != 0 like the engine query,
+    so the unseen branch is live."""
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(t) AS token FROM dt WHERE doc_id % 5 <> 0
+      ) WHERE token <> ''
+    ),
+    uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bg_train AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+          SELECT t, generate_subscripts(t, 1) AS i FROM dt
+          WHERE doc_id % 5 <> 0 AND len(t) >= 2
+        ) WHERE i < len(t)
+      ) WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+    ),
+    bg_doc AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+          SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM dt
+          WHERE len(t) >= 2
+        ) WHERE i < len(t)
+      ) WHERE w1 <> '' AND w2 <> ''
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(round(ln(
+               CASE WHEN b.n2 IS NOT NULL AND u1.n IS NOT NULL
+                    THEN CAST(b.n2 AS DOUBLE) / CAST(u1.n AS DOUBLE)
+                    ELSE {backoff} * ((CAST(COALESCE(u2.n, 0) AS DOUBLE) + {alpha})
+                         / (CAST(tot.t AS DOUBLE) + {alpha} * (CAST(tot.v AS DOUBLE) + 1.0)))
+               END) * 1000000000.0) AS BIGINT) AS ls9
+      FROM bg_doc d
+      LEFT JOIN bg_train b ON b.w1 = d.w1 AND b.w2 = d.w2
+      LEFT JOIN uni u1 ON u1.token = d.w1
+      LEFT JOIN uni u2 ON u2.token = d.w2
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(ls9) AS BIGINT) AS s9,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           round(CAST(a.s9 AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+                 / 1000000000.0, 6) AS avg_logs,
+           round(exp(-(CAST(a.s9 AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+                 / 1000000000.0)), 6) AS ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _oracle_embedding_profile(dims: int = 64) -> str:

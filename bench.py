@@ -193,6 +193,9 @@ HEADLINE = [
     # round 3 (late): per-label embedding data card (exact scaled-long
     # sums, k-means oracle contract)
     "embedding_profile",
+    # round 3 (late): stupid-backoff bigram LM scoring (held-out fifth
+    # exercises the unseen branch)
+    "lm_bigram_docs",
 ]
 
 

@@ -662,3 +662,97 @@ def blocklist_hits(
         .groupBy("doc_id", "phrase")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+
+
+def lm_bigram_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram counts ``(w1, w2, n2)`` over adjacent whitespace tokens
+    of normalized text — the bigram half of the backoff LM.  One scan,
+    one map-side-combinable aggregation (shuffle = one row per
+    distinct bigram per partition)."""
+    t = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.expr("slice(__t, 1, size(__t) - 1)"),
+        F.expr("slice(__t, 2, size(__t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        corpus.select(t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+
+
+def lm_score_bigram(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document STUPID-BACKOFF bigram LM score (Brants et al.
+    2007): ``(id, n_bigrams, avg_logs, ppl)`` where each adjacent pair
+    scores s(w2|w1) = n2(w1,w2)/n1(w1) when the bigram was seen in
+    training, else ``backoff`` times the add-alpha unigram probability
+    of w2.  The standard web-scale recipe — no normalization pass over
+    the vocab, so training stays two counting aggregations.
+
+    Determinism contract (same as lm_score): ln(s) snaps to a scaled
+    long per bigram BEFORE the per-document sum — exact integer
+    aggregation, order-free at any parallelism, oracle-replayable.
+
+    Scale: three vocab-keyed equality joins (bigram table on (w1,w2),
+    unigram table twice) — all shuffle on token keys; neither table is
+    assumed broadcastable at corpus scale (AQE broadcasts them when
+    small).  Totals ride in as ONE broadcast row."""
+    tot = uni.agg(F.sum("n").alias("__T"), F.count(F.lit(1)).alias("__V"))
+    t = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.expr("slice(__t, 1, size(__t) - 1)"),
+        F.expr("slice(__t, 2, size(__t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    exploded = (
+        docs.select(F.col(id_col), t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("__n1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("__nu2"))
+    scored = (
+        exploded.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    seen = F.col("n2").isNotNull() & F.col("__n1").isNotNull()
+    p_uni = (
+        F.coalesce(F.col("__nu2"), F.lit(0)).cast("double") + F.lit(alpha)
+    ) / (
+        F.col("__T").cast("double")
+        + F.lit(alpha) * (F.col("__V").cast("double") + 1.0)
+    )
+    s = F.when(
+        seen, F.col("n2").cast("double") / F.col("__n1").cast("double")
+    ).otherwise(F.lit(backoff) * p_uni)
+    logs9 = F.round(F.log(s) * 1e9, 0).cast("long")
+    agg = scored.groupBy(id_col).agg(
+        F.sum(logs9).alias("__s9"), F.count(F.lit(1)).alias("n_bigrams")
+    )
+    avg = F.col("__s9").cast("double") / F.col("n_bigrams").cast("double") / 1e9
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(avg, 6).alias("avg_logs"),
+            F.round(F.exp(-avg), 6).alias("ppl"),
+        )
+    )

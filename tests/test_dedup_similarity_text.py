@@ -656,3 +656,29 @@ class TestEmbeddingProfile:
         assert got[0]["mean_sq_dist"] == 1.0
         assert got[1]["centroid_norm"] == 5.0
         assert got[1]["mean_sq_dist"] == 0.0
+
+
+class TestBigramLm:
+    def test_seen_and_backoff(self, spark):
+        import math
+
+        from jsonschema_spark.operators import text as T
+
+        train = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        uni = T.lm_counts(train)      # a:3 b:3 c:1, T=7 V=3
+        bi = T.lm_bigram_counts(train)  # (a,b):3 (b,a):1 (b,c):1
+        score = spark.createDataFrame(
+            [(10, "a b"), (11, "c a"), (12, "x")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in T.lm_score_bigram(score, uni, bi).collect()}
+        # doc 10: seen bigram, s = 3/3 = 1 -> logs 0, ppl 1
+        assert got[10]["n_bigrams"] == 1
+        assert got[10]["avg_logs"] == 0.0 and got[10]["ppl"] == 1.0
+        # doc 11: unseen bigram (c,a): backoff 0.4 * (3+0.5)/(7+0.5*4)
+        s = 0.4 * ((3 + 0.5) / (7 + 0.5 * 4))
+        assert got[11]["avg_logs"] == round(round(math.log(s) * 1e9) / 1e9, 6)
+        # doc 12: no bigrams
+        assert got[12]["n_bigrams"] == 0 and got[12]["avg_logs"] is None
