@@ -2169,6 +2169,13 @@ def q_lm_bigram_docs(spark, sf_dir):
     )
 
 
+def q_token_entropy_docs(spark, sf_dir):
+    """Token-distribution entropy (text.token_entropy): the
+    information-theoretic repetitiveness signal; c*ln(c) terms snap to
+    scaled longs before the exact per-doc sum."""
+    return text.token_entropy(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2288,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_part_supplier": q_fd_part_supplier,
         "embedding_profile": q_embedding_profile,
         "lm_bigram_docs": q_lm_bigram_docs,
+        "token_entropy_docs": q_token_entropy_docs,
     }
 
 
@@ -4187,7 +4195,48 @@ def oracle_sql() -> dict[str, str]:
         "fd_part_supplier": _oracle_fd_part_supplier(),
         "embedding_profile": _oracle_embedding_profile(),
         "lm_bigram_docs": _oracle_lm_bigram(),
+        "token_entropy_docs": _oracle_token_entropy(),
     }
+
+
+def _oracle_token_entropy() -> str:
+    """Replay of text.token_entropy: identical tokenization, c*ln(c)
+    snapped to a scaled BIGINT per distinct (doc, token) before the
+    exact per-doc sum, same fixed-order double derivation."""
+    norm = _SQL_NORM.format(col="text")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    cnt AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY doc_id, token
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                       * 1000000000.0) AS BIGINT)) AS BIGINT) AS s9
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           round(ln(CAST(a.n_tokens AS DOUBLE))
+                 - CAST(a.s9 AS DOUBLE) / 1000000000.0
+                   / CAST(a.n_tokens AS DOUBLE), 6) AS entropy,
+           round(CASE WHEN a.n_distinct > 1
+                 THEN (ln(CAST(a.n_tokens AS DOUBLE))
+                       - CAST(a.s9 AS DOUBLE) / 1000000000.0
+                         / CAST(a.n_tokens AS DOUBLE))
+                      / ln(CAST(a.n_distinct AS DOUBLE))
+                 ELSE 0.0 END, 6) AS norm_entropy
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _oracle_lm_bigram(alpha: float = 0.5, backoff: float = 0.4) -> str:

@@ -196,6 +196,8 @@ HEADLINE = [
     # round 3 (late): stupid-backoff bigram LM scoring (held-out fifth
     # exercises the unseen branch)
     "lm_bigram_docs",
+    # round 3 (late): token-distribution entropy (repetitiveness signal)
+    "token_entropy_docs",
 ]
 
 

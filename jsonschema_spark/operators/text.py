@@ -756,3 +756,51 @@ def lm_score_bigram(
             F.round(F.exp(-avg), 6).alias("ppl"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution:
+    ``(id, n_tokens, n_distinct, entropy, norm_entropy)`` with
+    H = ln(n) - (sum_t c_t*ln(c_t))/n and norm_entropy = H/ln(n_distinct)
+    (0 when every token is identical).  Low entropy = repetitive /
+    boilerplate text — the information-theoretic quality signal the
+    heuristic ratio features miss.
+
+    Shape: explode + ONE (doc, token) count aggregation, then a
+    per-doc reduce of the count rows — both map-side combinable, both
+    doc-keyed.  Each c*ln(c) term snaps to a scaled long per distinct
+    token BEFORE the per-doc sum, so the aggregation is exact-integer
+    and order-free (the lm_score contract)."""
+    cnt = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    term9 = F.round(
+        F.col("__c").cast("double") * F.log(F.col("__c").cast("double")) * 1e9, 0
+    ).cast("long")
+    agg = cnt.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term9).alias("__s9"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    h = F.log(n_d) - F.col("__s9").cast("double") / 1e9 / n_d
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        h / F.log(F.col("n_distinct").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            F.round(h, 6).alias("entropy"),
+            F.round(norm, 6).alias("norm_entropy"),
+        )
+    )

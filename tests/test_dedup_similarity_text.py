@@ -682,3 +682,27 @@ class TestBigramLm:
         assert got[11]["avg_logs"] == round(round(math.log(s) * 1e9) / 1e9, 6)
         # doc 12: no bigrams
         assert got[12]["n_bigrams"] == 0 and got[12]["avg_logs"] is None
+
+
+class TestTokenEntropy:
+    def test_known_values(self, spark):
+        import math
+
+        from jsonschema_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),        # all same -> H=0, norm 0
+                (2, "a b c d"),        # uniform -> H=ln(4), norm 1
+                (3, "a a b"),          # H = ln(3) - (2ln2)/3
+                (4, ""),               # empty
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+        assert got[1]["entropy"] == 0.0 and got[1]["norm_entropy"] == 0.0
+        assert got[2]["entropy"] == round(math.log(4), 6)
+        assert got[2]["norm_entropy"] == 1.0
+        h3 = math.log(3) - round(2 * math.log(2) * 1e9) / 1e9 / 3
+        assert got[3]["entropy"] == round(h3, 6)
+        assert got[4]["n_tokens"] == 0 and got[4]["entropy"] is None
