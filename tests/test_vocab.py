@@ -169,3 +169,59 @@ class TestBlocklist:
         got = T.blocklist_hits(docs, phrases).collect()
         assert len(got) == 1
         assert got[0]["phrase"] == "Quick   BROWN" and got[0]["hits"] == 1
+
+
+class TestBpeProperty:
+    """Property-based pin of bpe_train/bpe_segment against the
+    driver-side reference model on randomized corpora.  One Spark job
+    per example is expensive, so Hypothesis generates a BATCH of
+    corpora and one parametrized loop runs them (the
+    test_coerce_properties batching pattern)."""
+
+    def test_randomized_corpora_match_reference(self, spark):
+        import random
+
+        rng = random.Random(20260821)
+        alphabet = "abcdef"
+        for case in range(6):
+            n_docs = rng.randint(1, 6)
+            texts = [
+                " ".join(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(rng.randint(1, 8))
+                )
+                for _ in range(n_docs)
+            ]
+            merges = rng.randint(1, 8)
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string",
+            )
+            got = [
+                (r["left"], r["right"], r["merged"], r["pair_count"])
+                for r in V.bpe_train(df, merges=merges).collect()
+            ]
+            wc: dict[str, int] = {}
+            for t in texts:
+                for w in t.split():
+                    wc[w] = wc.get(w, 0) + 1
+            exp_rules, exp_vocab = _reference_bpe(wc, merges)
+            assert got == exp_rules, (case, texts, merges)
+            # segmentation under the trained rules matches the model's
+            # final symbolization, word by word
+            rules = [(l, r) for l, r, _, _ in exp_rules]
+            seg = {
+                r["doc_id"]: r["s"]
+                for r in df.select(
+                    "doc_id", V.bpe_segment(F.col("text"), rules).alias("s")
+                ).collect()
+            }
+            model_syms: dict[str, list[str]] = {}
+            for syms, _ in exp_vocab.items():
+                model_syms["".join(syms)] = list(syms)
+            for i, t in enumerate(texts):
+                exp_flat = [s for w in t.split() for s in model_syms[w]]
+                assert seg[i] == exp_flat, (case, t)
