@@ -22,6 +22,10 @@ sources.tables.read_table)::
         ],
         "stats": {"columns": ["role", "text"], "approx": true,
                    "expectations": {"role": {"max_null_rate": 0.01}}},
+        "functional": [
+          {"name": "fd_locale", "determinant": ["conv_id"],
+           "dependent": "locale", "max_examples": 3}
+        ],
         "drift": {"column": "text_len", "baseline_path": "/state/drift_q",
                    "save_baseline_to": "/state/drift_q_next"}
       },
@@ -121,6 +125,16 @@ def build_suite(spark: SparkSession, cfg: dict):
                 ),
                 first_index=int(sq.get("first_index", 0)),
                 partition_by=cfg.get("partition_by"),
+            )
+        )
+    for fd in c.get("functional", []):
+        suite.append(
+            checks.FunctionalDependency(
+                determinant=list(fd["determinant"]),
+                dependent=fd["dependent"],
+                partition_by=cfg.get("partition_by"),
+                max_examples=int(fd.get("max_examples", 3)),
+                name=fd.get("name", f"fd_{fd['dependent']}"),
             )
         )
     if "drift" in c:

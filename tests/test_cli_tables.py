@@ -291,3 +291,31 @@ def test_cli_run_sequence_check(spark, data_dir, tmp_path):
     # the fixture plants ~0.5% duplicate (conv_id, turn_idx) pairs ->
     # duplicate turn indices trip turn_sequence
     assert sq["violation_count"] > 0 and sq["pass"] is False
+
+
+def test_cli_functional_dependency_config(spark, data_dir):
+    """The 'functional' config block builds FunctionalDependency checks
+    whose verdicts run in the suite."""
+    from jsonschema_spark.cli import build_suite
+    from jsonschema_spark.operators.checks import (
+        CheckSuite,
+        FunctionalDependency,
+    )
+
+    cfg = {
+        "source": str(data_dir / "transcripts"),
+        "partition_by": ["role"],
+        "checks": {
+            "functional": [
+                {"name": "fd_tool", "determinant": ["conv_id"],
+                 "dependent": "tool", "max_examples": 2}
+            ]
+        },
+    }
+    suite = build_suite(spark, cfg)
+    fds = [c for c in suite if isinstance(c, FunctionalDependency)]
+    assert len(fds) == 1 and fds[0].name == "fd_tool"
+    assert fds[0].max_examples == 2
+    df = read_table(spark, cfg["source"])
+    v = CheckSuite(fds).run(df)
+    assert {r["check"] for r in v.collect()} == {"fd_tool"}
