@@ -119,11 +119,15 @@ def decontaminate(
         F.col("__ng.cnt").alias("doc_ngrams"),
         F.explode("__ng.grams").alias("ng"),
     )
+    # inline(array(struct)) barrier: without it the generator
+    # nested-column rewrite clones the kernel call for the .grams
+    # extraction and the kernel evaluates twice per benchmark row
+    # (two stacked ArrowEvalPython nodes; found by the r4 plan audit)
     bench_ng = benchmark.select(
         F.col(bench_id_col).alias("bench_id"),
         tokens(F.col(text_col)).alias("__toks"),
-    ).select("bench_id", ng.alias("__ng")).select(
-        "bench_id", F.explode("__ng.grams").alias("ng")
+    ).select("bench_id", F.inline(F.array(ng))).select(
+        "bench_id", F.explode("grams").alias("ng")
     )
 
     return (
@@ -177,21 +181,23 @@ def semantic_decontaminate(
     |corpus| x |bench| dot products map-side); only matches survive
     into the ONE aggregation, which is proportional to contamination
     volume.  Self-norms are hoisted to one sqrt per row per side.
-    ``dims`` swaps the interpreted HOF dot for the Arrow-kernel ordered
-    fold (kernels.pair_dot — bit-identical; mandatory in any hot
-    path).  max() over doubles is order-free, so the output sits under
-    the value-hash oracle."""
-    from . import kernels as K
-    from .dedup import cosine
+    ``dims`` switches the |corpus|×|bench| pair dot to the unrolled
+    whole-stage-codegen chain (dedup.dot_unrolled — same left-assoc
+    IEEE fold, bit-identical; see similarity.py's kernel-choice rule:
+    the r3 Arrow-kernel form evaluated each kernel TWICE per pair
+    under the filter and was the ann_topk regression class); norms
+    use the compact per-row fold.  max() over doubles is order-free,
+    so the output sits under the value-hash oracle."""
+    from .dedup import cosine, dot_double, dot_unrolled
 
     c = corpus.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("cv")
     )
     b = bench.select(F.col(vec_col).alias("bv"))
     if dims is not None:
-        c = c.withColumn("__nc", K.self_norm("cv"))
-        b = b.withColumn("__nb", K.self_norm("bv"))
-        cos = K.pair_dot("cv", "bv") / (F.col("__nc") * F.col("__nb"))
+        c = c.withColumn("__nc", F.sqrt(dot_double(F.col("cv"), F.col("cv"))))
+        b = b.withColumn("__nb", F.sqrt(dot_double(F.col("bv"), F.col("bv"))))
+        cos = dot_unrolled("cv", "bv", dims) / (F.col("__nc") * F.col("__nb"))
     else:
         cos = cosine(F.col("cv"), F.col("bv"))
     return (

@@ -210,3 +210,61 @@ def test_kmeans_assignment_is_one_arrow_kernel_pass(spark):
     assert "aggregate(sequence" not in p.lower()
     # no shuffle: assignment + chosen-centroid distance is scan-local
     assert "Exchange" not in p
+
+
+def test_brute_force_dims_known_stays_jvm(spark):
+    """brute_force_topk with a statically-known width: the whole plan —
+    the |corpus|x|queries| pair dot especially — must stay JVM-side
+    (r3 regression class: routing the pair cosine through an Arrow
+    pandas kernel under the BroadcastNestedLoopJoin cost 4x).  The
+    pair dot must be the unrolled element_at chain, not a pythonUDF
+    and not an interpreted aggregate-over-zip_with fold."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.25, 1.0, 0.5, float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    p = plan_of(similarity.brute_force_topk(emb, q, k=3, dims=4))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "pythonUDF" not in p
+    assert "element_at" in p  # the unrolled pair-dot chain
+    # the compact HOF fold is allowed ONLY in the two per-row norm
+    # projections (one per side); a third occurrence means the PAIR
+    # dot regressed to an interpreted fold
+    assert p.lower().count("zip_with") <= 2
+
+
+def test_neardup_pair_dot_is_unrolled_not_python(spark):
+    """embedding_neardup_pairs (planes>0, dims known): the bucket
+    projection is legitimately ONE Arrow kernel pass per side, but the
+    per-candidate-pair cosine after the bucket join must be the
+    unrolled JVM chain — no Python node above the join."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.25, 1.0, 0.5, float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    p = plan_of(
+        dedup.embedding_neardup_pairs(emb, threshold=0.5, planes=2, dims=4)
+    )
+    # the only Arrow evals allowed are the two per-side bucket+norm
+    # projections BELOW the join (the pair path itself is pure JVM)
+    assert p.count("ArrowEvalPython") <= 2
+    assert "BatchEvalPython" not in p
+    assert "element_at" in p  # unrolled pair dot above the join
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_rerank_dot_is_unrolled_not_python(spark):
+    """ivf_topk: assign/probe are Arrow kernels by design (k x dims
+    folds overflow codegen), but the per-candidate re-rank dot after
+    the cell equality join must be the unrolled JVM chain."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.25, 1.0, 0.5, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    p = plan_of(similarity.ivf_topk(emb, q, k=3, n_cells=4, nprobe=2))
+    # exactly the two design kernels: corpus assign + query probe
+    assert p.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in p
+    assert "element_at" in p  # unrolled re-rank dot

@@ -1,0 +1,39 @@
+"""Micro-bench a subset of __spark_entry__ queries with the SAME
+session config bench.py uses (hugeMethodLimit, G1, 16MB splits).
+
+Usage: python tools/qbench.py <query> [<query> ...]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+       SPARK_GRAFT_CPUS (default 32), QBENCH_REPS (default 3).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402  (reuses make_spark/run_noop/SF_DIR)
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    reps = int(os.environ.get("QBENCH_REPS", "3"))
+    spark = bench.make_spark(bench.CPUS)
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    bench.run_noop(qs["dedup_exact"](spark, bench.SF_DIR))  # warm
+    for name in names:
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            bench.run_noop(qs[name](spark, bench.SF_DIR))
+            samples.append(round(time.monotonic() - t0, 3))
+        print(f"{name}: best={min(samples)} samples={samples}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
