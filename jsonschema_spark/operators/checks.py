@@ -322,10 +322,17 @@ class FunctionalDependency(Check):
                 ).alias("examples")
             )
         )
-        return (
-            stats.filter(F.col("n_dep") > 1)
-            .join(ex, det)
-            .select(*det, "n_rows", "n_dep", "examples")
+        # null-safe equality on the determinant keys: a plain equi-join
+        # drops NULL-determinant groups, so the example listing could
+        # miss determinants the verdicts count as violating (r3 advice
+        # finding).  Both sides are grouped by det ⇒ 1:1 match.
+        bad = stats.filter(F.col("n_dep") > 1)
+        cond = None
+        for c in det:
+            piece = bad[c].eqNullSafe(ex[c])
+            cond = piece if cond is None else (cond & piece)
+        return bad.join(ex, cond).select(
+            *[bad[c].alias(c) for c in det], "n_rows", "n_dep", "examples"
         )
 
     def verdicts(self, df: DataFrame) -> DataFrame:

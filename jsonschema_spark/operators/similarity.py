@@ -611,10 +611,23 @@ def embedding_profile(
     the oracle replays.  Shape: ONE posexplode aggregation on
     (label, pos) — shuffle is (labels x dims) rows — plus a per-label
     row count; the final math runs on label-count-sized rows.
-    Row squared-norms accumulate as decimal so corpus-scale sums
-    cannot overflow a long."""
+    Row squared-norms accumulate as decimal(38,0) INSIDE the per-row
+    fold (each x*x term is cast before adding — r3 advice finding: a
+    long accumulator could overflow within one large-magnitude row
+    before any cross-row cast) as well as across rows.  ``dims`` is
+    asserted against the actual vector width up front — element_at
+    past the end yields NULL (non-ANSI) and would silently null the
+    centroid_norm."""
     vq = df.select(
         F.col(label_col).alias("label"), _km_quantize(F.col(vec_col)).alias("vq")
+    ).filter(
+        F.assert_true(
+            F.size("vq") == dims,
+            F.concat(
+                F.lit(f"embedding_profile: dims={dims} but vector width is "),
+                F.size("vq").cast("string"),
+            ),
+        ).isNull()
     )
     comp_sums = (
         vq.select("label", F.posexplode("vq"))
@@ -634,8 +647,9 @@ def embedding_profile(
         "label",
         F.aggregate(
             "vq",
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x * x,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc
+            + (x.cast("decimal(19,0)") * x.cast("decimal(19,0)")),
         )
         .cast("decimal(38,0)")
         .alias("__rsq"),
@@ -643,7 +657,9 @@ def embedding_profile(
         F.count(F.lit(1)).alias("n"), F.sum("__rsq").alias("__sumsq")
     )
     j = comp_sums.join(rows, "label")
-    scale = 1000000.0
+    # the ONE fixed-point quantum (r3 advice: a literal here would
+    # silently desynchronize from _km_quantize if the quantum changed)
+    scale = float(_KM_SCALE)
     n_d = F.col("n").cast("double")
     # centroid component d (double, fixed order): sv[d] / n / scale
     terms = [

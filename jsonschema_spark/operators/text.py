@@ -626,6 +626,16 @@ def blocklist_hits(
     (doc_id, phrase) count, so network volume is hit-proportional.
     Counts are overlap-counting (every start position checked), unlike
     a replace()-based count which skips overlapping runs.
+
+    ``max_phrase_words`` bounds the per-token context window each
+    corpus row carries into the join (the knob that keeps the exploded
+    corpus linear in tokens, not tokens x longest-phrase).  A phrase
+    LONGER than the window can never match a truncated window, so
+    rather than silently never matching (r3 advice finding) the
+    phrase table — broadcast-small by contract — is checked up front
+    with one tiny aggregate and the call fails loudly; the actual max
+    phrase length (<= the cap) is then used as the slice width, so
+    short phrase sets carry a smaller window than the cap allows.
     """
     # normalize the phrase the same way document text is tokenized —
     # otherwise a mixed-case / extra-whitespace phrase silently never
@@ -634,6 +644,16 @@ def blocklist_hits(
         F.col(phrase_col).alias("phrase"),
         tokens(F.col(phrase_col)).alias("p_toks"),
     ).withColumn("plen", F.size("p_toks"))
+    longest = ph.agg(F.max("plen")).collect()[0][0] or 1
+    if longest > max_phrase_words:
+        raise ValueError(
+            f"blocklist phrase has {longest} tokens but max_phrase_words="
+            f"{max_phrase_words}: such phrases could never match the "
+            f"bounded context window. Raise max_phrase_words to >= "
+            f"{longest} (costs {longest} tokens of carried window per "
+            "corpus token row) or shorten the phrase."
+        )
+    window = min(max_phrase_words, longest)
     first = ph.filter(F.col("p_toks")[0] != "").select(
         "phrase", "p_toks", "plen", F.col("p_toks")[0].alias("tok")
     )
@@ -653,7 +673,7 @@ def blocklist_hits(
         .select(
             "doc_id",
             "tok",
-            F.expr(f"slice(__t, pos + 1, {max_phrase_words})").alias("win"),
+            F.expr(f"slice(__t, pos + 1, {window})").alias("win"),
         )
     )
     return (

@@ -185,10 +185,14 @@ def collocations(
     information), min-count filtered:
     pmi = ln(c_ab * N * N / (M * c_a * c_b)), rounded to 6 dp.
 
-    Shape: ONE corpus scan builds the bigram table (map-side
-    combinable groupBy), unigram counts derive from a second scan of
-    the same cached token projection; the two scalar totals (N tokens,
-    M bigrams) ride in via broadcast crossJoin of 1-row aggregates.
+    Shape: TWO corpus scans — one feeding the unigram groupBy
+    exchange, one the bigram groupBy exchange (nothing is cached; the
+    token projection is recomputed on each, which is cheaper at scale
+    than persisting a corpus-sized token column).  The two scalar
+    totals (N tokens, M bigrams) aggregate the SAME shuffled outputs —
+    Spark's ReusedExchange dedupes their subplans (verified in the
+    physical plan: the totals add no third or fourth corpus scan) —
+    and ride in via broadcast crossJoin of 1-row aggregates.
     The unigram join is vocabulary-sized on both sides — an equality
     shuffle join that scales with the vocab, never the corpus.
     Ordering is (rounded pmi desc, left, right) so the top-k cut is

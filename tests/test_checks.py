@@ -333,3 +333,21 @@ class TestFunctionalDependency:
         assert v[0]["violation_count"] == 2  # p1 and p3 violate
         assert v[0]["metrics"]["extra_values"] == "3"  # (2-1)+(3-1)
         assert not v[0]["pass"]
+
+
+    def test_null_determinant_listed(self, spark):
+        """NULL-determinant groups must appear in violating_keys when
+        they violate — the equi-join used to drop them while verdicts
+        still counted them (r3 advice finding)."""
+        from jsonschema_spark.operators.checks import FunctionalDependency
+
+        rows = [(None, "a"), (None, "b"), ("p1", "a")]
+        df = spark.createDataFrame(rows, "det string, dep string")
+        fd = FunctionalDependency(determinant=["det"], dependent="dep")
+        keys = fd.violating_keys(df).collect()
+        assert len(keys) == 1
+        assert keys[0]["det"] is None and keys[0]["n_dep"] == 2
+        assert keys[0]["examples"] == "a,b"
+        v = fd.verdicts(df).collect()[0]
+        # listing and verdict counts agree
+        assert v["violation_count"] == 1

@@ -225,3 +225,25 @@ class TestBpeProperty:
             for i, t in enumerate(texts):
                 exp_flat = [s for w in t.split() for s in model_syms[w]]
                 assert seg[i] == exp_flat, (case, t)
+
+
+    def test_long_phrase_fails_loudly(self, spark):
+        """A phrase longer than max_phrase_words can never match the
+        truncated context window — the call must refuse up front
+        (r3 advice: it used to return silent false negatives)."""
+        import pytest
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        phrases = spark.createDataFrame([("a b c d e",)], "phrase string")
+        with pytest.raises(ValueError, match="max_phrase_words"):
+            T.blocklist_hits(docs, phrases, max_phrase_words=4)
+        # raising the knob makes the same phrase match
+        got = [
+            (r["doc_id"], r["phrase"], r["hits"])
+            for r in T.blocklist_hits(
+                docs, phrases, max_phrase_words=5
+            ).collect()
+        ]
+        assert got == [(1, "a b c d e", 1)]
