@@ -57,11 +57,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 
-def _sql_md5_long(expr: str, seed: int = 0) -> str:
+def _sql_md5_long(expr: str, seed: int = 0, start: int = 1) -> str:
+    """DuckDB replay of dedup.md5_long / hash_long_pair: 15 hex chars
+    of md5(salted) beginning at 1-based ``start`` (1 = h1, 16 = the
+    second slice of the same digest, i.e. hash_long_pair's h2)."""
     salted = f"({expr}) || '#{seed}'" if seed else f"({expr})"
     h = f"md5({salted})"
     terms = " + ".join(
-        f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        f"(strpos('{_HEX}', substr({h}, {start + i}, 1)) - 1) * {16 ** (14 - i)}"
         for i in range(15)
     )
     return f"CAST({terms} AS BIGINT)"
@@ -2428,7 +2431,7 @@ def _oracle_simhash() -> str:
     hashed AS (
       SELECT doc_id,
              {_sql_md5_long('tok', 1)} AS h1,
-             {_sql_md5_long('tok', 2)} AS h2
+             {_sql_md5_long('tok', 1, start=16)} AS h2
       FROM toks
     ),
     votes AS (
