@@ -52,7 +52,7 @@ TOKEN_RE = re.compile(
       (?P<num>\d+\.\d+|\d+)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<id>[A-Za-z_$][A-Za-z0-9_]*)
-    | (?P<op>&&|\|\||==|!=|<=|>=|\?\?|!!|\+=|=>|[-+*/%^&|<>=!?:;,.()\[\]{}])
+    | (?P<op>&&|\|\||\+\+|--|\.\.\.|==|!=|<=|>=|\?\?|!!|\+=|=>|[-+*/%^&|<>=!?:;,.()\[\]{}])
     )""",
     re.VERBOSE,
 )
@@ -153,6 +153,17 @@ class Lambda:  # {x} => body   (reference lambda.go:10-56)
     body: object
 
 
+@dataclass
+class AsBind:  # expr as name  (reference lexer.go:526-541, asVal 1664-1678)
+    name: str
+    value: object
+
+
+@dataclass
+class Spread:  # expr...  (reference lexer.go:412-413, VariadicVal 1609-1632)
+    value: object
+
+
 def _assignable(e) -> bool:
     """Legal '='/'+=' target: $.path, identifier, or a field chain
     through a variable (``v.status = ...`` — the reference mutates map
@@ -227,6 +238,16 @@ class Parser:
                 args.append(self.parse_expr(0))
             return Return(args)
         e = self.parse_expr(0)
+        if self.peek().text in ("++", "--"):
+            # a++ / a-- (reference lexer.go:1634-1662): NumberOf(nil)
+            # coalesces a missing target to 0, so 'c.b++' creates 1
+            op = self.next().text
+            if not _assignable(e):
+                raise ExprError(
+                    "'++'/'--' target must be $.path, identifier, "
+                    "var.field, or v[i]"
+                )
+            return Assign(e, Bin("+" if op == "++" else "-", e, Lit(1.0)))
         if self.peek().text == "=":
             self.next()
             if not _assignable(e):
@@ -254,6 +275,16 @@ class Parser:
                 self.expect(":")
                 other = self.parse_expr(1)
                 left = Tern(left, then, other)
+                continue
+            if t.kind == "kw" and t.text == "as" and min_prec <= 1:
+                # expr as name (reference lexer.go:526-541): evaluate,
+                # bind to the variable, yield the value; chains left-
+                # to-right ('x as a as b' binds both)
+                self.next()
+                n = self.next()
+                if n.kind != "id":
+                    raise ExprError(f"as right is not variable: {n.text!r}")
+                left = AsBind(n.text, left)
                 continue
             prec = self.BIN_PREC.get(t.text)
             if prec is None or prec < min_prec:
@@ -357,6 +388,11 @@ class Parser:
                 else:
                     e = Call("get", [e, idx])
                 continue
+            if t.text == "...":
+                # spread (reference lexer.go:412-413): only legal as a
+                # variadic call argument — enforced at compile time
+                self.next()
+                return Spread(e)
             return e
 
 
@@ -517,6 +553,19 @@ def compile_expr(node, env: Env) -> CVal:
         return _compile_bin(node, env)
     if isinstance(node, Call):
         return _compile_call(node, env)
+    if isinstance(node, AsBind):
+        # evaluate once, bind, yield the value (reference asVal): the
+        # binding is visible to the REST of the current expression /
+        # statement list (the script walker persists top-level chains
+        # across statements)
+        v = compile_expr(node.value, env)
+        env.vars[node.name] = v
+        return v
+    if isinstance(node, Spread):
+        raise ExprError(
+            "'...' spread is only valid as a variadic call argument "
+            "(e.g. append(xs, more...))"
+        )
     if isinstance(node, Return):
         raise ExprError("'return' is a statement, not a value expression")
     if isinstance(node, Lambda):
@@ -1065,13 +1114,41 @@ _FN["match"] = lambda env, self_, src: CVal(
 
 def _fn_append(env, a, *rest):
     """append (funcs.go:331-368): string builder when the first arg is
-    a string, slice append when it is an array."""
+    a string, slice append when it is an array.  A ``xs...`` spread
+    argument (funcs.go:341-346) splices an array argument's ELEMENTS
+    instead of appending the array itself; on the string form it
+    concatenates the spread array's elements stringified."""
     v = _v(env, a)
-    vs = [_v(env, r) for r in rest]
     if isinstance(v.dtype, T.ArrayType):
-        elems = F.array(*[c.col.cast(v.dtype.elementType) for c in vs])
-        return CVal(F.concat(v.col, elems), v.dtype)
-    return CVal(F.concat(v.str_(), *[c.str_() for c in vs]), T.StringType())
+        out = v.col
+        run: list = []  # consecutive non-spread args batch into one array
+        def flush(out, run):
+            if run:
+                out = F.concat(out, F.array(
+                    *[c.col.cast(v.dtype.elementType) for c in run]
+                ))
+            return out
+        for r in rest:
+            if isinstance(r, Spread):
+                out = flush(out, run)
+                run = []
+                sp = _v(env, r.value)
+                if not isinstance(sp.dtype, T.ArrayType):
+                    raise ExprError("append spread argument must be an array")
+                out = F.concat(out, sp.col.cast(v.dtype))
+            else:
+                run.append(_v(env, r))
+        return CVal(flush(out, run), v.dtype)
+    parts = []
+    for r in rest:
+        if isinstance(r, Spread):
+            sp = _v(env, r.value)
+            if not isinstance(sp.dtype, T.ArrayType):
+                raise ExprError("append spread argument must be an array")
+            parts.append(F.array_join(sp.col.cast("array<string>"), ""))
+        else:
+            parts.append(_v(env, r).str_())
+    return CVal(F.concat(v.str_(), *parts), T.StringType())
 
 
 _FN["append"] = _fn_append

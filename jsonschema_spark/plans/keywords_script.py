@@ -28,6 +28,7 @@ from ..core.coerce import string_of
 from ..core.errors import concat_violations, empty_violations, viol_when
 from ..core.refs import ValueRef
 from ..functions.expr_lang import (
+    AsBind,
     Assign,
     Bin,
     Call,
@@ -745,6 +746,37 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 raise SchemaError(f"unhandled mutation fn {st.fn}, path:{path}")
             bind_var(name, new, guard)
 
+        def _asbind_names(node, out: list) -> list:
+            """Names bound by 'as' anywhere inside a statement's
+            expressions (NOT descending into lambda bodies — their
+            params are scoped).  Used to persist nested binds to the
+            statement sequence, matching the reference's shared
+            context (asVal sets the context var wherever it runs)."""
+            if isinstance(node, AsBind):
+                out.append(node.name)
+                _asbind_names(node.value, out)
+            elif isinstance(node, Assign):
+                _asbind_names(node.value, out)
+            elif isinstance(node, Bin):
+                _asbind_names(node.left, out)
+                _asbind_names(node.right, out)
+            elif isinstance(node, Return):
+                for a in node.args:
+                    _asbind_names(a, out)
+            elif isinstance(node, Call):
+                for a in node.args:
+                    _asbind_names(a, out)
+            elif hasattr(node, "cond"):  # Tern
+                for attr in ("cond", "then", "other"):
+                    _asbind_names(getattr(node, attr), out)
+            elif hasattr(node, "operand"):  # Un
+                _asbind_names(node.operand, out)
+            elif hasattr(node, "parts"):  # Interp
+                for p in node.parts:
+                    if not isinstance(p, str):
+                        _asbind_names(p, out)
+            return out
+
         def walk(nodes, guard):
             for st in nodes:
                 env = fresh_env()
@@ -798,6 +830,15 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                             "expr) are only supported inside a 'for' body "
                             f"(per-element mutation), path:{path}"
                         )
+                elif isinstance(st, AsBind):
+                    # 'expr as a as b' at statement level (reference
+                    # asVal): evaluate once, bind every chained name
+                    # for the remaining statements
+                    compile_expr(st, env)  # binds into env.vars
+                    n = st
+                    while isinstance(n, AsBind):
+                        state["env_vars"][n.name] = env.vars[n.name]
+                        n = n.value
                 elif isinstance(st, Return):
                     emit_return(st.args, guard, env)
                 elif isinstance(st, Call) and st.fn == "if":
@@ -826,6 +867,14 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     )
                 # bare pure expressions: no effect (side-effectful calls
                 # were rejected at compile time)
+                if not isinstance(st, dict):
+                    # persist 'as' binds nested inside this statement's
+                    # expressions (compile_expr bound them into this
+                    # statement's env.vars; sub-walks of if/for/switch
+                    # dict statements handle their own)
+                    for nm in _asbind_names(st, []):
+                        if nm in env.vars:
+                            state["env_vars"][nm] = env.vars[nm]
 
         walk(stmts, None)
         return state["viols"], state["assigns"]

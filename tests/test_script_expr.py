@@ -820,3 +820,80 @@ class TestRound3Additions:
         row = plan.transform(self._df(spark)).collect()[0]
         assert row["b"] == "5"
         assert row["f"] == "a|b|c"
+
+
+class TestStatementSugar:
+    """r4 additions: 'as' bind, '++'/'--', '...' spread
+    (reference lexer.go:526-541, 1634-1662, 412-413; fixtures adapted
+    from expr/funcs_test.go TestAddAdd:360-396)."""
+
+    def test_as_bind_chain(self, spark, docs):
+        # "5+5 as a1", "add(5,5).string() as a2 as a3"
+        plan = js.compile_schema(
+            {"script": [
+                "5+5 as a1",
+                "(5+5).string() as a2 as a3",
+                "$.hd = '${a1}:${a2}:${a3}'",
+            ]}
+        )
+        out = plan.transform(docs).collect()[0]["hd"]
+        assert out == "10:10:10"
+
+    def test_as_yields_value_inline(self, spark, docs):
+        # asVal returns the bound value, usable mid-expression
+        plan = js.compile_schema(
+            {"script": ["$.age = ($.age as orig) + 1", "$.sms = string(orig)"]}
+        )
+        rows = {r["name"]: r for r in plan.transform(docs).collect()}
+        assert rows["dd"]["age"] == 31.0 and rows["dd"]["sms"] == "30"
+
+    def test_as_requires_variable(self, spark):
+        with pytest.raises(Exception, match="as right is not variable"):
+            parse_statements("5 as 7")
+
+    def test_plus_plus_minus_minus(self, spark, docs):
+        # "a=5;a++" -> 6, "k=9;k--" -> 8
+        plan = js.compile_schema(
+            {"script": [
+                "a = 5", "a++",
+                "k = 9", "k--",
+                "$.hd = '${a}:${k}'",
+            ]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "6:8"
+
+    def test_plus_plus_on_doc_field(self, spark, docs):
+        plan = js.compile_schema({"script": ["$.age++"]})
+        rows = {r["name"]: r["age"] for r in plan.transform(docs).collect()}
+        assert rows["dd"] == 31.0 and rows["ee"] == 8.5
+
+    def test_plus_plus_missing_coalesces_to_zero(self, spark, docs):
+        # reference NumberOf(nil) == 0, so incrementing a nil slot
+        # yields 1 (funcs_test.go:387 'c.b' -> 1.0)
+        plan = js.compile_schema({"script": ["z = nil", "z++", "$.sms = string(z)"]})
+        assert plan.transform(docs).collect()[0]["sms"] == "1"
+
+    def test_plus_plus_requires_assignable(self, spark):
+        with pytest.raises(Exception, match="target"):
+            parse_statements("(1+2)++")
+
+    def test_spread_in_append_array(self, spark, docs):
+        plan = js.compile_schema(
+            {"script": [
+                "xs = ['a','b']",
+                "ys = ['c','d']",
+                "$.hd = append(xs, ys..., 'e').join(',')",
+            ]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "a,b,c,d,e"
+
+    def test_spread_in_append_string(self, spark, docs):
+        plan = js.compile_schema(
+            {"script": ["ys = ['b','c']", "$.hd = append('a', ys...)"]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "abc"
+
+    def test_spread_outside_call_rejected(self, spark, docs):
+        plan = js.compile_schema({"script": ["$.hd = string(len([1,2]...))"]})
+        with pytest.raises(Exception, match="spread"):
+            plan.transform(docs).collect()
