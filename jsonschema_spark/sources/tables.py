@@ -25,6 +25,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ICEBERG_HELP = (
+    "the Iceberg Spark runtime is not on this session's classpath. "
+    "Production setup: add the published "
+    "org.apache.iceberg:iceberg-spark-runtime jar matching your Spark "
+    "version (spark.jars.packages) and configure a catalog, e.g. "
+    "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog. "
+    "This container ships no Iceberg jars, so iceberg: sources are "
+    "environment-gated here; parquet paths cover the same operators."
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg DataSource is loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    if not iceberg_available(spark):
+        raise RuntimeError("iceberg: source requested but " + _ICEBERG_HELP)
+
 
 def read_table(
     spark: SparkSession,
@@ -41,6 +67,7 @@ def read_table(
       * otherwise                   — a parquet path/glob
     """
     if source.startswith("iceberg:"):
+        _require_iceberg(spark)
         df = spark.read.format("iceberg").load(source[len("iceberg:"):])
     elif source.startswith("table:"):
         df = spark.read.table(source[len("table:"):])
@@ -59,12 +86,47 @@ def read_stream(
     """Streaming scan of a file/Iceberg source for continuous
     validation (jsonschema_spark.streaming)."""
     if source.startswith("iceberg:"):
+        _require_iceberg(spark)
         return (
             spark.readStream.format("iceberg")
             .options(**options)
             .load(source[len("iceberg:"):])
         )
     return spark.readStream.schema(schema).options(**options).parquet(source)
+
+
+def read_incremental(
+    spark: SparkSession,
+    source: str,
+    start_snapshot_id: int,
+    end_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Rows appended AFTER ``start_snapshot_id`` (exclusive) up to
+    ``end_snapshot_id`` (inclusive; default: current) of an Iceberg
+    table — Iceberg's documented incremental-scan options
+    (``start-snapshot-id`` / ``end-snapshot-id``).  This is the feed
+    for the incremental stats/drift stores (operators/incremental.py):
+    each run ingests only the new snapshots' data files, so updating a
+    corpus-wide StatsStore after an append touches ZERO historical
+    bytes — the manifest names exactly the new files.
+
+    Only table formats with snapshot lineage support this; a parquet
+    path has no snapshot log, so it fails loudly here and points at
+    the checkpoint/manifest-based partition increments
+    (jsonschema_spark.checkpoint) that cover parquet layouts."""
+    if not source.startswith("iceberg:"):
+        raise ValueError(
+            "read_incremental needs an iceberg: table (snapshot lineage); "
+            "for parquet layouts use jsonschema_spark.checkpoint's "
+            "manifest-based partition increments instead"
+        )
+    _require_iceberg(spark)
+    r = spark.read.format("iceberg").option(
+        "start-snapshot-id", str(start_snapshot_id)
+    )
+    if end_snapshot_id is not None:
+        r = r.option("end-snapshot-id", str(end_snapshot_id))
+    return r.load(source[len("iceberg:"):])
 
 
 def write_output(
@@ -78,6 +140,7 @@ def write_output(
     ``sink`` forms mirror ``read_table``; parquet appends are atomic at
     file granularity which is all the checkpoint manifest needs."""
     if sink.startswith("iceberg:"):
+        _require_iceberg(df.sparkSession)
         df.writeTo(sink[len("iceberg:"):]).append()
         return
     w = df.write.mode(mode)

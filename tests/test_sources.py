@@ -28,3 +28,75 @@ def test_write_jsonl_shards(spark, tmp_path):
     assert all("split" not in r for r in rows)
     back = spark.read.json(out)
     assert back.count() == 100 and set(back.columns) == {"id", "text", "split"}
+
+
+class TestIcebergGate:
+    """sources/tables.py iceberg: paths (SURVEY §2.9). This container
+    ships no Iceberg runtime jars, so the production path is
+    environment-gated: every iceberg: entry point must fail loudly
+    with setup instructions instead of a raw ClassNotFoundException,
+    and the incremental-read option plumbing is verified against a
+    capturing fake reader (the options are Iceberg's documented
+    incremental-scan contract: start-snapshot-id exclusive,
+    end-snapshot-id inclusive)."""
+
+    def test_runtime_absent_detected(self, spark):
+        from jsonschema_spark.sources.tables import iceberg_available
+
+        assert iceberg_available(spark) is False  # this container
+
+    def test_read_table_gate_message(self, spark):
+        import pytest
+        from jsonschema_spark.sources.tables import read_table
+
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            read_table(spark, "iceberg:cat.db.transcripts")
+
+    def test_read_incremental_gate_and_parquet_rejection(self, spark, tmp_path):
+        import pytest
+        from jsonschema_spark.sources.tables import read_incremental
+
+        with pytest.raises(RuntimeError, match="spark.sql.catalog"):
+            read_incremental(spark, "iceberg:cat.db.t", 42)
+        with pytest.raises(ValueError, match="checkpoint"):
+            read_incremental(spark, str(tmp_path), 42)
+
+    def test_incremental_option_plumbing(self, spark, monkeypatch):
+        """Capture the DataFrameReader calls read_incremental makes:
+        format('iceberg'), start-snapshot-id always, end-snapshot-id
+        only when bounded, load() on the catalog table name."""
+        from jsonschema_spark.sources import tables
+
+        calls = {}
+
+        class FakeReader:
+            def format(self, f):
+                calls["format"] = f
+                return self
+
+            def option(self, k, v):
+                calls.setdefault("options", {})[k] = v
+                return self
+
+            def load(self, name):
+                calls["load"] = name
+                return "DF"
+
+        class FakeRead:
+            @property
+            def read(self):
+                return FakeReader()
+
+        monkeypatch.setattr(tables, "_require_iceberg", lambda s: None)
+        fake_spark = FakeRead()
+        out = tables.read_incremental(fake_spark, "iceberg:cat.db.t", 42)
+        assert out == "DF"
+        assert calls["format"] == "iceberg"
+        assert calls["load"] == "cat.db.t"
+        assert calls["options"] == {"start-snapshot-id": "42"}
+        calls.clear()
+        tables.read_incremental(fake_spark, "iceberg:cat.db.t", 42, 77)
+        assert calls["options"] == {
+            "start-snapshot-id": "42",
+            "end-snapshot-id": "77",
+        }
