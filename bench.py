@@ -217,7 +217,13 @@ def make_spark(cpus: int) -> SparkSession:
         # waves at 8 (90%), a pure wave-quantization artifact worth
         # ~0.6 efficiency on its own.  A real 100TB scan yields ~10^5
         # splits at any cluster size; 16MB splits are the local analog.
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # 8MB = exactly one 8MB row group per scan task (the corpus is
+        # written with 8MB row groups): 333 tasks = 10.4 waves at 32
+        # cores vs 168 tasks = 5.25 waves at 16MB, whose ~0.25-filled
+        # final wave idled 29% of the 32-core wall (r4 scale_diag:
+        # occupancy 0.714 -> 2.96s; at 8MB -> 2.67s).  The 8-core leg
+        # is wave-rich either way and unaffected.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # align whole-stage-codegen fallback with HotSpot's JIT ceiling
@@ -232,18 +238,27 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # G1, not ParallelGC: the r2 scaling diagnostics measured
-        # ParallelGC pausing 2.9s of a 6.1s 32-core wall (94s of
-        # per-task jvmGcTime vs 1.6s at 8 cores — each STW pause has 32
-        # tasks' live column batches to evacuate); G1 on the identical
-        # job: 5.4s gcTime, wall 6.1 -> 3.9s.  ZGC measured 3x WORSE
-        # (18.7s) — its concurrent cycles steal the very cores the
-        # 32-thread batch needs.
+        # GC choice, re-decided r4 with storm-window evidence.  r2
+        # measured (in ITS degraded window) ParallelGC 6.1s vs G1 3.9s
+        # at 32 cores and picked G1.  The r4 profiler caught a worse
+        # storm in the act: 32-core G1 runs read 9.3-26.4s with
+        # jvmGcTime = 644s across 3 reps (GC pauses ~7s of a 9s wall)
+        # while the SAME job under ParallelGC in the SAME window read
+        # 3.0-3.1s, an idle-host busy-loop scaled at 0.785, and the
+        # 8-core G1 leg was unaffected (7.7s) — i.e. the host's
+        # degraded windows amplify G1's 32-thread collections ~50x
+        # while ParallelGC and raw CPU sail through
+        # (BENCH/profile_8to32_r4.json).  In calm windows the two are
+        # equal (2.5-3.0s).  So: ParallelGC by default — equal calm,
+        # far better storm floor — plus -Xms = -Xmx + AlwaysPreTouch
+        # so heap growth/first-fault stalls never land inside a timed
+        # collection.  ZGC remains 3x worse than either (r2: 18.7s).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_GC_OPTS",
-                "-XX:+UseG1GC -XX:+ParallelRefProcEnabled",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch "
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')}",
             ),
         )
         .getOrCreate()

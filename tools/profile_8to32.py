@@ -86,7 +86,7 @@ def _worker(cpus: int, job: str, path: str) -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"profile-{job}-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
@@ -94,9 +94,14 @@ def _worker(cpus: int, job: str, path: str) -> None:
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "24g")
+        # mirror bench.make_spark's r4 GC decision (see its comment:
+        # ParallelGC rode through the storm G1 drowned in)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UseG1GC -XX:+ParallelRefProcEnabled",
+            os.environ.get(
+                "SPARK_GRAFT_GC_OPTS",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch -Xms24g",
+            ),
         )
         .getOrCreate()
     )
