@@ -209,7 +209,16 @@ def make_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"jsonschema_spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        # cpus*8, not cpus*2 (r4): with 64 partitions at 32 cores the
+        # 1.9GB uniqueness shuffle ran 2 reducer waves with ~30MB of
+        # hash state per reducer — LLC-thrashing; 256 partitions keep
+        # reducer state cache-resident (5.75 -> 2.28s at 32 cores,
+        # 7.51s at 8 with its proportional 64).  Per-core partition
+        # density is CONSTANT across levels — the same rule a 4x
+        # cluster applies — and AQE (parallelismFirst, on) coalesces
+        # the small-shuffle queries back down, so map-only and
+        # tiny-agg jobs are unaffected.
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 8, 32)))
         # Fixed small scan splits at EVERY parallelism level (same plan
         # both sides of the scaling pair): the 2.2GB scaling corpus
         # yields 36 scan partitions at the 128MB default — 2 ragged
