@@ -743,11 +743,14 @@ def q_stream_dedup(spark, sf_dir):
     global _STREAM_SINK_N
     _STREAM_SINK_N += 1
     name = f"stream_dedup_sink_{_STREAM_SINK_N}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.processAllAvailable()
+    from jsonschema_spark.streaming import bounded_state_partitions
+
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
     q.stop()
     return spark.table(name)
 
@@ -983,11 +986,14 @@ def q_stream_windowed_verdicts(spark, sf_dir):
     global _STREAM_SINK_N
     _STREAM_SINK_N += 1
     name = f"stream_verdicts_sink_{_STREAM_SINK_N}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.processAllAvailable()
+    from jsonschema_spark.streaming import bounded_state_partitions
+
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
     q.stop()
     res = spark.table(name)
     return res.select(
@@ -1201,11 +1207,14 @@ def q_stream_windowed_verdicts_json(spark, sf_dir):
     global _STREAM_SINK_N
     _STREAM_SINK_N += 1
     name = f"stream_json_verdicts_sink_{_STREAM_SINK_N}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.processAllAvailable()
+    from jsonschema_spark.streaming import bounded_state_partitions
+
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
     q.stop()
     res = spark.table(name)
     return res.select(

@@ -4,6 +4,7 @@ applyInPandasWithState conversation tracking."""
 
 from .validate import (
     annotate_stream,
+    bounded_state_partitions,
     stateful_dedup_stream,
     violation_rate_alert,
     windowed_verdicts,
@@ -11,6 +12,7 @@ from .validate import (
 
 __all__ = [
     "annotate_stream",
+    "bounded_state_partitions",
     "stateful_dedup_stream",
     "violation_rate_alert",
     "windowed_verdicts",

@@ -20,6 +20,8 @@ flight), which is what makes 10^12-turn continuous ingest viable.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,3 +106,30 @@ def violation_rate_alert(
     return v.filter(
         (F.col("bad_rows") / F.greatest(F.col("rows"), F.lit(1))) > max_bad_ratio
     )
+
+
+@_contextmanager
+def bounded_state_partitions(spark, n: int | None = None):
+    """Bound ``spark.sql.shuffle.partitions`` for a streaming query's
+    start (restore after).
+
+    Structured Streaming fixes its state-store partition count at
+    query start from the session's shuffle-partition conf, and AQE
+    NEVER coalesces micro-batch shuffles — so a batch-tuned high
+    partition count silently multiplies per-micro-batch task count
+    and state-store instances.  Measured (r4, local[32], sf0.1): at
+    the batch-tuned 256 partitions the windowed-verdict stream took
+    6.2s and the dedup stream 5.1s vs 2.7s / 1.6s at 64.  The bound
+    defaults to 2x defaultParallelism (never raising an already-lower
+    setting); at cluster scale pass ``n`` sized to the state volume —
+    the partition count is a durable property of the checkpoint, so
+    pick it for the STATE, not for batch shuffle ergonomics."""
+    key = "spark.sql.shuffle.partitions"
+    cur = spark.conf.get(key)
+    cores = spark.sparkContext.defaultParallelism
+    target = n if n is not None else max(2 * cores, 8)
+    spark.conf.set(key, str(min(int(cur), int(target))))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, cur)
