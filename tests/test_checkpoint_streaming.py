@@ -677,3 +677,31 @@ def test_stateful_sequence_state_across_batches(spark, tmp_path):
     got2 = drain("seq_b2")
     assert got2["c1"]["n_turns"] == 3
     assert got2["c1"]["viol"] == 1
+
+
+def test_bounded_state_partitions_caps_and_restores(spark):
+    """r4: the bound caps the conf at 2x defaultParallelism for the
+    stream's start, never raises an already-lower setting, and always
+    restores (state-store partition count is a durable property of a
+    streaming checkpoint, so the cap must be deliberate)."""
+    from jsonschema_spark.streaming import bounded_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set(key, "4096")
+        with bounded_state_partitions(spark):
+            assert int(spark.conf.get(key)) == max(2 * cores, 8)
+        assert spark.conf.get(key) == "4096"
+        spark.conf.set(key, "2")  # lower than the bound: untouched
+        with bounded_state_partitions(spark):
+            assert spark.conf.get(key) == "2"
+        assert spark.conf.get(key) == "2"
+        with bounded_state_partitions(spark, n=6):
+            assert spark.conf.get(key) == "2"  # min(cur, n)
+        spark.conf.set(key, "512")
+        with bounded_state_partitions(spark, n=6):
+            assert spark.conf.get(key) == "6"
+    finally:
+        spark.conf.set(key, orig)
