@@ -587,8 +587,48 @@ def _measure_pair(pair: tuple[int, int], path: str, rounds: int, reps: int,
     }
 
 
+def _busy_burn(seconds: float) -> int:
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < seconds:
+        for _ in range(10000):
+            x += 1
+    return x
+
+
+def busy_loop_ceiling(pair: tuple[int, int], seconds: float = 3.0) -> dict:
+    """The box's OWN scaling ceiling for the pair, measured in the same
+    window as the Spark runs: one pure-Python busy process per core
+    (no JVM, no GC, no shared state), per-core iteration throughput at
+    lo vs hi.  Anything the Spark pair loses beyond this is engine/JVM;
+    anything inside it is the host (shared turbo/bandwidth a real
+    cluster's per-node resources restore).  ~7s total."""
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in pair:
+        with mp.Pool(procs) as p:
+            total = sum(p.map(_busy_burn, [seconds] * procs))
+        rates[procs] = total / procs / seconds
+    lo, hi = pair
+    return {
+        "pair": list(pair),
+        "per_core_rate": {str(k): round(v, 0) for k, v in rates.items()},
+        "ceiling_efficiency": round(rates[hi] / rates[lo], 3),
+    }
+
+
 def scaling_evidence(path: str) -> dict:
     out = _measure_pair(SCALE_PAIR, path, SCALE_ROUNDS, reps=2, extend=2)
+    # same-window host ceiling: contextualizes the ratio (the engine
+    # cannot out-scale the box it runs on; a cluster can)
+    out["busy_loop_ceiling"] = busy_loop_ceiling(SCALE_PAIR)
+    if out.get("scaling_efficiency") and out["busy_loop_ceiling"]["ceiling_efficiency"]:
+        out["efficiency_vs_host_ceiling"] = round(
+            out["scaling_efficiency"]
+            / out["busy_loop_ceiling"]["ceiling_efficiency"],
+            3,
+        )
     out["protocol"] = (
         f"taskset-pinned {SCALE_PAIR[0]}->{SCALE_PAIR[1]} cores, interleaved "
         f"{SCALE_ROUNDS}(+2 on >0.12 dispersion) rounds x best-of-2 per "
@@ -629,6 +669,13 @@ def scaling_evidence(path: str) -> dict:
             "keep their own), remainder LLC contention + final-wave tail "
             "on a 2.7s job"
         )
+        ceil["busy_loop_ceiling"] = busy_loop_ceiling(CEILING_PAIR)
+        if ceil.get("scaling_efficiency"):
+            ceil["efficiency_vs_host_ceiling"] = round(
+                ceil["scaling_efficiency"]
+                / ceil["busy_loop_ceiling"]["ceiling_efficiency"],
+                3,
+            )
         out["machine_ceiling_pair"] = ceil
     return out
 
@@ -719,6 +766,10 @@ def _fit_result_line(result: dict, limit: int = _LINE_LIMIT) -> str:
             "scaling_efficiency": sc.get("scaling_efficiency"),
             "best_ratio_efficiency": sc.get("best_ratio_efficiency"),
             "eff_8to32_diagnostic": ceil.get("scaling_efficiency"),
+            "host_busyloop_ceiling": (sc.get("busy_loop_ceiling") or {}).get(
+                "ceiling_efficiency"
+            ),
+            "eff_vs_host_ceiling": sc.get("efficiency_vs_host_ceiling"),
             "detail": "BENCH/bench_full_last.json",
         }
         r["scaling"] = {k: v for k, v in compact_sc.items() if v is not None}
@@ -729,17 +780,19 @@ def _fit_result_line(result: dict, limit: int = _LINE_LIMIT) -> str:
     line = dumps(r)
     if len(line) <= limit:
         return line
-    r.pop("scaling", None)
-    line = dumps(r)
-    if len(line) <= limit:
-        return line
-    # last resort: drop sub-50ms queries (noise-level anyway), note count
+    # drop the fastest queries next — the compact scaling summary is
+    # worth more to the record than sub-second query timings (full set
+    # is always in BENCH/bench_full_last.json)
     small = sorted(r["queries"], key=lambda k: r["queries"][k])
     while len(line) > limit and small:
         r["queries"].pop(small.pop(0))
         r["queries_trimmed"] = "full set in BENCH/bench_full_last.json"
         line = dumps(r)
-    return line
+    if len(line) <= limit:
+        return line
+    # true last resort
+    r.pop("scaling", None)
+    return dumps(r)
 
 
 if __name__ == "__main__":
