@@ -596,20 +596,31 @@ def _busy_burn(seconds: float) -> int:
     return x
 
 
-def busy_loop_ceiling(pair: tuple[int, int], seconds: float = 3.0) -> dict:
+def busy_loop_ceiling(
+    pair: tuple[int, int], seconds: float = 1.5, rounds: int = 3
+) -> dict:
     """The box's OWN scaling ceiling for the pair, measured in the same
     window as the Spark runs: one pure-Python busy process per core
     (no JVM, no GC, no shared state), per-core iteration throughput at
     lo vs hi.  Anything the Spark pair loses beyond this is engine/JVM;
     anything inside it is the host (shared turbo/bandwidth a real
-    cluster's per-node resources restore).  ~7s total."""
+    cluster's per-node resources restore).
+
+    Per-level BEST over `rounds` interleaved short rounds — a storm
+    crossing one single-shot sample once published a 0.356 "ceiling"
+    under a Spark pair that measured 0.832, which inverts the
+    instrument's meaning; contention is one-sided per level, so the
+    best is the tightest estimate of capability (the same reasoning
+    as best_ratio_efficiency).  ~10s total."""
     import multiprocessing as mp
 
-    rates = {}
-    for procs in pair:
-        with mp.Pool(procs) as p:
-            total = sum(p.map(_busy_burn, [seconds] * procs))
-        rates[procs] = total / procs / seconds
+    rates: dict[int, float] = {}
+    for _ in range(rounds):
+        for procs in pair:
+            with mp.Pool(procs) as p:
+                total = sum(p.map(_busy_burn, [seconds] * procs))
+            r = total / procs / seconds
+            rates[procs] = max(rates.get(procs, 0.0), r)
     lo, hi = pair
     return {
         "pair": list(pair),
