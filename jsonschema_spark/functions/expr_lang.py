@@ -1130,12 +1130,27 @@ def _fn_append(env, a, *rest):
             return out
         for r in rest:
             if isinstance(r, Spread):
-                out = flush(out, run)
-                run = []
                 sp = _v(env, r.value)
-                if not isinstance(sp.dtype, T.ArrayType):
-                    raise ExprError("append spread argument must be an array")
-                out = F.concat(out, sp.col.cast(v.dtype))
+                if isinstance(sp.dtype, T.ArrayType):
+                    out = flush(out, run)
+                    run = []
+                    out = F.concat(out, sp.col.cast(v.dtype))
+                elif isinstance(sp.dtype, T.VariantType):
+                    # runtime dispatch (VariadicVal, funcs.go:341-346):
+                    # an actual JSON array splices; any other value is
+                    # wrapped as a single element
+                    from ..core.variant import variant_array
+
+                    out = flush(out, run)
+                    run = []
+                    out = F.concat(out, F.coalesce(
+                        variant_array(sp.col).cast(v.dtype),
+                        F.array(sp.col.cast(v.dtype.elementType)),
+                    ))
+                else:
+                    # non-array spread: the reference wraps it as one
+                    # appended element rather than erroring
+                    run.append(sp)
             else:
                 run.append(_v(env, r))
         return CVal(flush(out, run), v.dtype)
@@ -1143,9 +1158,17 @@ def _fn_append(env, a, *rest):
     for r in rest:
         if isinstance(r, Spread):
             sp = _v(env, r.value)
-            if not isinstance(sp.dtype, T.ArrayType):
-                raise ExprError("append spread argument must be an array")
-            parts.append(F.array_join(sp.col.cast("array<string>"), ""))
+            if isinstance(sp.dtype, T.ArrayType):
+                parts.append(F.array_join(sp.col.cast("array<string>"), ""))
+            elif isinstance(sp.dtype, T.VariantType):
+                parts.append(F.coalesce(
+                    F.array_join(
+                        F.try_variant_get(sp.col, "$", "array<string>"), ""
+                    ),
+                    sp.str_(),
+                ))
+            else:
+                parts.append(sp.str_())
         else:
             parts.append(_v(env, r).str_())
     return CVal(F.concat(v.str_(), *parts), T.StringType())

@@ -833,11 +833,13 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 elif isinstance(st, AsBind):
                     # 'expr as a as b' at statement level (reference
                     # asVal): evaluate once, bind every chained name
-                    # for the remaining statements
+                    # for the remaining statements.  Persist through
+                    # bind_var so a false branch guard keeps the old
+                    # binding (asVal only runs when its branch does).
                     compile_expr(st, env)  # binds into env.vars
                     n = st
                     while isinstance(n, AsBind):
-                        state["env_vars"][n.name] = env.vars[n.name]
+                        bind_var(n.name, env.vars[n.name], guard)
                         n = n.value
                 elif isinstance(st, Return):
                     emit_return(st.args, guard, env)
@@ -874,7 +876,7 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                     # dict statements handle their own)
                     for nm in _asbind_names(st, []):
                         if nm in env.vars:
-                            state["env_vars"][nm] = env.vars[nm]
+                            bind_var(nm, env.vars[nm], guard)
 
         walk(stmts, None)
         return state["viols"], state["assigns"]

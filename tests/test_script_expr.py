@@ -897,3 +897,45 @@ class TestStatementSugar:
         plan = js.compile_schema({"script": ["$.hd = string(len([1,2]...))"]})
         with pytest.raises(Exception, match="spread"):
             plan.transform(docs).collect()
+
+    def test_guarded_as_bind_keeps_old_binding(self, spark):
+        # asVal inside a false branch must not rebind (it only runs when
+        # the branch executes) — same scoping as guarded set (r5 fix)
+        df = spark.createDataFrame([(1,), (2,)], "id int")
+        plan = js.compile_schema({"script": [
+            "'base' as a",
+            {"if": "$.id == 1", "then": ["'one' as a"]},
+            "$.out = a",
+        ]})
+        rows = {r["id"]: r["out"] for r in plan.transform(df).collect()}
+        assert rows == {1: "one", 2: "base"}
+
+    def test_guarded_nested_as_bind_keeps_old_binding(self, spark):
+        # 'as' nested in a guarded statement's expression, not a bare
+        # AsBind statement — exercises the _asbind_names persistence path
+        df = spark.createDataFrame([(1,), (2,)], "id int")
+        plan = js.compile_schema({"script": [
+            "b = 'base'",
+            {"if": "$.id == 1", "then": ["$.tmp = ('one' as b)"]},
+            "$.out = b",
+        ]})
+        rows = {r["id"]: r["out"] for r in plan.transform(df).collect()}
+        assert rows == {1: "one", 2: "base"}
+
+    def test_spread_non_array_is_single_element(self, spark, docs):
+        # reference VariadicVal wraps a non-slice spread value as one
+        # element instead of erroring (funcs.go:341-346)
+        plan = js.compile_schema(
+            {"script": [
+                "xs = ['a']",
+                "y = 'b'",
+                "$.hd = append(xs, y...).join(',')",
+            ]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "a,b"
+
+    def test_spread_non_array_string_form(self, spark, docs):
+        plan = js.compile_schema(
+            {"script": ["y = 'b'", "$.hd = append('a', y..., 'c')"]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "abc"
