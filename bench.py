@@ -301,6 +301,46 @@ def transcripts_path(spark: SparkSession, n_convs: int) -> str:
     return path
 
 
+def transcripts_bucketed(
+    spark: SparkSession, n_convs: int, buckets: int = 64
+) -> str:
+    """Register (writing once) the transcript corpus as a table
+    BUCKETED by conv_id, sorted by (conv_id, turn_idx) — the storage
+    layout an Iceberg transcript table would use at 10^12 turns, where
+    per-conversation operators (uniqueness, window rank, ordered
+    concat) need NO exchange at all: the bucketed scan already
+    satisfies ClusteredDistribution(conv_id).  Returns the table name.
+
+    The in-memory catalog is per-JVM, so every session re-registers
+    the DDL over the already-written bucket files (Spark's bucketed
+    file naming is stable); only the first caller pays the write."""
+    name = f"bench_transcripts_bucketed_{n_convs}"
+    if spark.catalog.tableExists(name):
+        return name
+    loc = f"{BENCH_TMP}/transcripts_bucketed_{n_convs}"
+    src = spark.read.parquet(transcripts_path(spark, n_convs))
+    ddl_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        log(f"materializing bucketed transcripts -> {loc}")
+        (
+            src.repartition(buckets, "conv_id")
+            .write.mode("overwrite")
+            .bucketBy(buckets, "conv_id")
+            .sortBy("conv_id", "turn_idx")
+            .option("path", loc)
+            .saveAsTable(name)
+        )
+        return name
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET "
+        f"CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) "
+        f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+    )
+    return name
+
+
 def _validation_agg(spark: SparkSession, path: str):
     """The flagship job: full-keyword row validation + verdict counts.
     Rebuilt from scratch each call — Spark 4 caches collect() results
@@ -412,44 +452,119 @@ def gateway_benchmark(spark: SparkSession, n_rows: int = 10_000_000) -> dict:
     }
 
 
-def bench_queries(spark: SparkSession) -> dict[str, float]:
+def bench_queries(spark: SparkSession) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query wall times as INTERLEAVED paired medians (r4 judge
+    #4): pass p runs every headline query once, so all queries sample
+    the same host weather and a storm window surfaces as per-query
+    DISPERSION ((max-min)/median, second return value) instead of
+    silently inflating whichever query it hit — the r3→r4 >25%
+    sub-second "regressions" were exactly that.  Estimator = median
+    of passes (same rule as the scaling estimator)."""
     import __spark_entry__ as E
 
     qs = E.queries()
     # JIT/session warmup outside the timings
     run_noop(qs["dedup_exact"](spark, SF_DIR))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        for _ in range(2):  # best-of-2: one noisy-neighbor spike won't
-            t0 = time.monotonic()  # inflate the recorded total
-            run_noop(qs[name](spark, SF_DIR))
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        log(f"  {name}: {best:.2f}s")
-    # production hash mode: same plans, xxhash64 base hashes (drops the
-    # md5 hex-string round-trip per shingle/token); md5 stays the
-    # default so driver correctness runs remain oracle-reproducible
+    # production hash mode entries: same plans, xxhash64 base hashes
+    # (drops the md5 hex-string round-trip per shingle/token); md5
+    # stays the default so driver correctness runs remain
+    # oracle-reproducible
     from jsonschema_spark.operators import dedup as _dedup
 
-    _dedup.set_hash_mode("xxhash64")
-    try:
-        for label, qname in (
-            ("dedup_minhash_lsh_xxhash", "dedup_minhash_lsh"),
-            ("dedup_simhash_xxhash", "dedup_simhash"),
-        ):
-            best = None
-            for _ in range(2):
+    items: list[tuple[str, str, str | None]] = [
+        (name, name, None) for name in HEADLINE
+    ] + [
+        ("dedup_minhash_lsh_xxhash", "dedup_minhash_lsh", "xxhash64"),
+        ("dedup_simhash_xxhash", "dedup_simhash", "xxhash64"),
+    ]
+    passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
+    samples: dict[str, list[float]] = {label: [] for label, _, _ in items}
+    for p in range(passes):
+        for label, qname, mode in items:
+            if mode:
+                _dedup.set_hash_mode(mode)
+            try:
                 t0 = time.monotonic()
                 run_noop(qs[qname](spark, SF_DIR))
                 dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            times[label] = round(best, 3)
-            log(f"  {label}: {best:.2f}s")
-    finally:
-        _dedup.set_hash_mode("md5")
-    return times
+            finally:
+                if mode:
+                    _dedup.set_hash_mode("md5")
+            samples[label].append(dt)
+            if p == 0:
+                log(f"  {label}: {dt:.2f}s (pass 1/{passes})")
+    times: dict[str, float] = {}
+    disp: dict[str, float] = {}
+    for label, s in samples.items():
+        med = statistics.median(s)
+        times[label] = round(med, 3)
+        disp[label] = round((max(s) - min(s)) / med, 3) if med else 0.0
+    stormy = {k: v for k, v in disp.items() if v > 0.25}
+    if stormy:
+        log(f"  dispersion >25%: {stormy}")
+    return times, disp
+
+
+# -------------------------------------------- round-over-round A/B
+
+# last driver round's tree: every canonical bench run ships its own
+# direction evidence (r4 judge #8) instead of comparing unpaired
+# numbers across rounds/windows.
+PREV_ROUND_COMMIT = os.environ.get("SPARK_GRAFT_PREV_COMMIT", "54e533a")
+
+
+def paired_vs_prev_round(path: str, rounds: int = 2) -> dict:
+    """Interleaved flagship-suite A/B of HEAD vs the previous round's
+    canonical commit: each leg runs its OWN flagship_suite in a fresh
+    pinned JVM (tools/ab_flagship.py --worker), rounds interleave
+    prev/current so both sides sample the same weather.  Returns the
+    median paired ratio + a storm flag (legs far below their best, or
+    round ratios disagreeing >25% — the window was too noisy to call
+    a direction)."""
+    prev_dir = f"/tmp/prevround_{PREV_ROUND_COMMIT}"
+    tool = os.path.join(REPO, "tools", "ab_flagship.py")
+    try:
+        if not os.path.exists(prev_dir):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", prev_dir,
+                 PREV_ROUND_COMMIT],
+                cwd=REPO, check=True, capture_output=True,
+            )
+
+        def leg(repo: str) -> float:
+            cmd = [
+                "taskset", "-c", f"0-{CPUS - 1}",
+                sys.executable, tool, "--worker", repo, path, str(CPUS),
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])[
+                "turns_per_sec"
+            ]
+
+        pairs = []
+        for _ in range(rounds):
+            prev = leg(prev_dir)
+            cur = leg(REPO)
+            pairs.append((prev, cur))
+        ratios = [round(c / p, 4) for p, c in pairs]
+        med = statistics.median(ratios)
+        best_prev = max(p for p, _ in pairs)
+        best_cur = max(c for _, c in pairs)
+        storm = any(
+            p < 0.6 * best_prev and c < 0.6 * best_cur for p, c in pairs
+        ) or (max(ratios) - min(ratios)) / med > 0.25
+        return {
+            "prev_commit": PREV_ROUND_COMMIT,
+            "median_ratio_cur_over_prev": round(med, 4),
+            "ratios": ratios,
+            "prev_turns_per_sec": [p for p, _ in pairs],
+            "cur_turns_per_sec": [c for _, c in pairs],
+            "storm": storm,
+        }
+    except Exception as e:  # the A/B must never sink the bench run
+        return {"prev_commit": PREV_ROUND_COMMIT, "error": str(e)[:300]}
 
 
 # ---------------------------------------------------------- scaling
@@ -705,7 +820,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     log(f"bench: sf_dir={SF_DIR} cpus={CPUS}")
 
-    times = bench_queries(spark)
+    times, disp = bench_queries(spark)
 
     n_convs = int(os.environ.get("SPARK_GRAFT_NCONVS", "600000"))
     path = transcripts_path(spark, n_convs)
@@ -729,12 +844,16 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "query_dispersion": disp,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_turns_per_sec": flagship["turns_per_sec"],
         "flagship": flagship,
         "gateway_validations_per_sec": gateway["validations_per_sec"],
         "gateway": gateway,
     }
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        result["paired_vs_prev_round"] = paired_vs_prev_round(path)
+        log(f"paired_vs_prev_round: {result['paired_vs_prev_round']}")
     if do_scaling:
         result["scaling"] = scaling_evidence(scale_path)
     try:
@@ -767,6 +886,19 @@ def _fit_result_line(result: dict, limit: int = _LINE_LIMIT) -> str:
 
     r = json.loads(line)  # deep copy
     r["queries"] = {k: round(v, 2) for k, v in r["queries"].items()}
+    # keep only the noisy-query dispersion in the line (full map in
+    # the json file); compact the A/B to its verdict
+    disp = r.pop("query_dispersion", None) or {}
+    noisy = {k: v for k, v in disp.items() if v > 0.25}
+    if noisy:
+        r["query_dispersion_gt25pct"] = noisy
+    ab = r.get("paired_vs_prev_round")
+    if isinstance(ab, dict) and "ratios" in ab:
+        r["paired_vs_prev_round"] = {
+            "prev_commit": ab.get("prev_commit"),
+            "median_ratio_cur_over_prev": ab.get("median_ratio_cur_over_prev"),
+            "storm": ab.get("storm"),
+        }
     sc = r.get("scaling") or {}
     ceil = sc.get("machine_ceiling_pair") or {}
     if sc:

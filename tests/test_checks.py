@@ -46,8 +46,10 @@ def test_uniqueness_detects_duplicates(spark):
         [("c1", 0), ("c1", 1), ("c1", 1), ("c2", 0), ("c2", 0), ("c2", 0)],
         "conv_id string, turn_idx int",
     )
-    for salt in (0, 4):
-        chk = checks.Uniqueness(keys=["conv_id", "turn_idx"], salt_buckets=salt)
+    for salt, hf in ((0, False), (4, False), (0, True)):
+        chk = checks.Uniqueness(
+            keys=["conv_id", "turn_idx"], salt_buckets=salt, hash_first=hf
+        )
         dups = {(r["conv_id"], r["turn_idx"]): r["dup_count"]
                 for r in chk.duplicates(df).collect()}
         assert dups == {("c1", 1): 2, ("c2", 0): 3}
@@ -57,9 +59,14 @@ def test_uniqueness_detects_duplicates(spark):
 
 def test_uniqueness_pass_verdict(spark):
     df = spark.createDataFrame([("c1", 0), ("c1", 1)], "conv_id string, turn_idx int")
-    v = _verdict(checks.Uniqueness(keys=["conv_id", "turn_idx"]).verdicts(df),
-                 "uniqueness")
-    assert v["pass"] is True and v["violation_count"] == 0
+    for hf in (False, True):
+        v = _verdict(
+            checks.Uniqueness(
+                keys=["conv_id", "turn_idx"], hash_first=hf
+            ).verdicts(df),
+            "uniqueness",
+        )
+        assert v["pass"] is True and v["violation_count"] == 0
 
 
 def test_referential_integrity(spark):
@@ -180,12 +187,21 @@ def test_check_suite_fused_equals_sequential(spark):
     fus = sorted(map(key, suite.run(df, fused=True).collect()))
     assert seq == fus
     # single-pass: fusing schema+stats removes one whole consumer of
-    # the input (its scan leaves disappear from the plan)
+    # the input (its scan leaves disappear from the plan).  Expected
+    # counts come from each check's OWN plan so uniqueness's
+    # hash-first rejoin consumers (legitimately >1 per call) don't
+    # skew the arithmetic.
     leaf = "Range (0, 200"
-    p_seq = suite.run(df, fused=False)._jdf.queryExecution().executedPlan().toString()
-    p_fus = suite.run(df, fused=True)._jdf.queryExecution().executedPlan().toString()
-    per_consumer = p_seq.count(leaf) // 3  # schema, stats, uniqueness
-    assert p_fus.count(leaf) == p_seq.count(leaf) - per_consumer
+
+    def leaves(d):
+        return d._jdf.queryExecution().executedPlan().toString().count(leaf)
+
+    per_check = [leaves(c.verdicts(df)) for c in suite.checks]
+    per_consumer = min(per_check)  # one scan consumer's worth of leaves
+    p_seq = leaves(suite.run(df, fused=False))
+    p_fus = leaves(suite.run(df, fused=True))
+    assert p_seq == sum(per_check)
+    assert p_fus == p_seq - per_consumer
 
 
 def test_drift_fused_matches_driver_path(spark):

@@ -32,7 +32,8 @@ Efficiency 8->32 = wall8 / (4 * wall32); the component deltas between
 the perfect-scaling prediction (each component / 4) and the observed
 32-core numbers attribute the gap.
 
-Usage: python tools/profile_8to32.py          -> BENCH/profile_8to32_r4.json
+Usage: python tools/profile_8to32.py [job ...] -> $SPARK_GRAFT_PROFILE_OUT
+       (default BENCH/profile_8to32_r4.json; job subset re-runs in place)
        python tools/profile_8to32.py --worker <cpus> <job> <path>
 """
 
@@ -51,6 +52,12 @@ JOBS = {
     "validate": "full-keyword validation + verdict agg (the scaling job)",
     "uniqueness": "one corpus-wide hash-agg shuffle on (conv_id, turn_idx)",
     "windowrank": "conv_id shuffle + per-conversation sort (window rank)",
+    "uniqueness_hashfirst": "uniqueness with 64-bit-hash phase 1 + exact rejoin "
+                            "(r5 measurement: LOSES on short compressible keys)",
+    "uniqueness_bucketed": "uniqueness over the conv_id-bucketed table: "
+                           "ZERO corpus exchange (storage layout answer)",
+    "windowrank_bucketed": "window rank over the conv_id-bucketed table: "
+                           "no exchange, near-sorted local sort",
 }
 UI_PORT = 4543
 REPS = 3
@@ -65,12 +72,18 @@ def _job_df(spark, job: str, path: str):
 
     if job == "validate":
         return bench._validation_agg(spark, path)
-    df = spark.read.parquet(path)
-    if job == "uniqueness":
+    if job.endswith("_bucketed"):
+        df = spark.table(bench.transcripts_bucketed(spark, N_CONVS))
+    else:
+        df = spark.read.parquet(path)
+    if job in ("uniqueness", "uniqueness_bucketed", "uniqueness_hashfirst"):
         from jsonschema_spark.operators import checks
 
-        return checks.Uniqueness(keys=["conv_id", "turn_idx"]).verdicts(df)
-    if job == "windowrank":
+        return checks.Uniqueness(
+            keys=["conv_id", "turn_idx"],
+            hash_first=(job == "uniqueness_hashfirst"),
+        ).verdicts(df)
+    if job in ("windowrank", "windowrank_bucketed"):
         w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
         return (
             df.withColumn("rn", F.row_number().over(w))
@@ -193,9 +206,20 @@ def main() -> None:
     spark = bench.make_spark(32)
     spark.sparkContext.setLogLevel("ERROR")
     path = bench.transcripts_path(spark, N_CONVS)
+    bench.transcripts_bucketed(spark, N_CONVS)  # write once, workers reuse
     spark.stop()
+    only = [a for a in sys.argv[1:] if a in JOBS]
+    out_path = os.environ.get(
+        "SPARK_GRAFT_PROFILE_OUT", "BENCH/profile_8to32_r4.json"
+    )
     result: dict = {"queries": {}, "cpus_pair": [8, 32], "n_convs": N_CONVS}
+    if only and os.path.exists(out_path):
+        # partial re-run: keep the other jobs' rows
+        with open(out_path) as f:
+            result = json.load(f)
     for job, desc in JOBS.items():
+        if only and job not in only:
+            continue
         per: dict = {"description": desc}
         # interleave 8/32 rounds so both levels sample the same weather
         for cpus in (8, 32, 8, 32):
@@ -215,9 +239,9 @@ def main() -> None:
         result["queries"][job] = per
         print(json.dumps({job: per}), flush=True)
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/profile_8to32_r4.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
-    print("written BENCH/profile_8to32_r4.json")
+    print(f"written {out_path}")
 
 
 if __name__ == "__main__":

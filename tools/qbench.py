@@ -1,6 +1,12 @@
 """Micro-bench a subset of __spark_entry__ queries with the SAME
 session config bench.py uses (hugeMethodLimit, G1, 16MB splits).
 
+r5: samples are INTERLEAVED — pass p runs every query once, so all
+queries sample the same host weather and a storm window shows up as
+per-query dispersion instead of biasing whichever query ran last.
+Reported estimator = median of passes (the bench.py headline rule),
+plus min/max spread.
+
 Usage: python tools/qbench.py <query> [<query> ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        SPARK_GRAFT_CPUS (default 32), QBENCH_REPS (default 3).
@@ -9,6 +15,7 @@ Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
@@ -25,13 +32,20 @@ def main() -> None:
 
     qs = E.queries()
     bench.run_noop(qs["dedup_exact"](spark, bench.SF_DIR))  # warm
-    for name in names:
-        samples = []
-        for _ in range(reps):
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
             t0 = time.monotonic()
             bench.run_noop(qs[name](spark, bench.SF_DIR))
-            samples.append(round(time.monotonic() - t0, 3))
-        print(f"{name}: best={min(samples)} samples={samples}", flush=True)
+            samples[name].append(round(time.monotonic() - t0, 3))
+    for name in names:
+        s = samples[name]
+        med = statistics.median(s)
+        spread = round((max(s) - min(s)) / med, 3) if med else None
+        print(
+            f"{name}: median={round(med, 3)} spread={spread} samples={s}",
+            flush=True,
+        )
     spark.stop()
 
 
