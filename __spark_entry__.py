@@ -4566,8 +4566,11 @@ def _oracle_bpe_ctes(merges: int = 12, batch: int = 1) -> str:
     the same symbol-disjointness exclusion, and w{r} applies the
     round's literal replaces — `replace` is left-to-right
     non-overlapping in both engines, so the merge semantics are
-    identical.  The slot grid is STATIC (ceil(merges/batch) rounds),
-    matching the engine's schedule exactly.
+    identical.  The chain is a static worst-case grid (``merges``
+    rounds × ``batch`` slots) with per-slot cumulative budget gates,
+    replaying the engine's dynamic rounds exactly: once ``merges``
+    slots have accepted, every later slot is gated empty and its
+    round's replaces become sentinel no-ops.
 
     Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
     merge chain references each w{r-1} several times — inlined, the
@@ -4585,10 +4588,11 @@ def _oracle_bpe_ctes(merges: int = 12, batch: int = 1) -> str:
       SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS sym, cnt FROM wc
     )""",
     ]
-    n_rounds = -(-merges // max(batch, 1))
+    n_rounds = merges
+    done_slots: list[tuple[int, int]] = []  # accepted-so-far gate inputs
     for r in range(1, n_rounds + 1):
         prev = f"w{r - 1}"
-        k = min(batch, merges - (r - 1) * batch)
+        k = min(batch, merges)
         ctes.append(f"""p{r} AS MATERIALIZED (
       SELECT l, r2, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
         SELECT cnt, t[i] AS l, t[i + 1] AS r2 FROM (
@@ -4599,29 +4603,40 @@ def _oracle_bpe_ctes(merges: int = 12, batch: int = 1) -> str:
         ) WHERE i < len(t)
       ) GROUP BY l, r2
     )""")
-        # per-slot exact argmax with symbol-disjointness vs every
-        # earlier slot of the round (vocab.bpe_train batch selection):
-        # a pair is excluded when its left/right/merged spelling
-        # collides with an accepted slot's left/right/merged.
+        # per-slot exact argmax with (a) symbol-disjointness vs every
+        # earlier slot of the SAME round (vocab.bpe_train batch
+        # selection: a pair is excluded when its left/right/merged
+        # spelling collides with an accepted slot's) and (b) a budget
+        # gate — total slots accepted before this one must be under
+        # ``merges`` — replaying the engine's dynamic rounds on a
+        # static worst-case chain: a conflict-starved round rolls its
+        # budget forward instead of dropping it.
         for i in range(1, k + 1):
-            if i == 1:
-                ctes.append(f"""s{r}_1 AS MATERIALIZED (
-      SELECT l, r2, pc FROM p{r} ORDER BY pc DESC, l ASC, r2 ASC LIMIT 1
-    )""")
-            else:
+            preds = []
+            if i > 1:
                 union = " UNION ALL ".join(
                     f"SELECT l, r2 FROM s{r}_{j}" for j in range(1, i)
                 )
-                ctes.append(f"""s{r}_{i} AS MATERIALIZED (
-      SELECT p.l, p.r2, p.pc FROM p{r} p
-      WHERE NOT EXISTS (
+                preds.append(f"""NOT EXISTS (
         SELECT 1 FROM ({union}) s
         WHERE p.l IN (s.l, s.r2, s.l || s.r2)
            OR p.r2 IN (s.l, s.r2, s.l || s.r2)
            OR (p.l || p.r2) IN (s.l, s.r2, s.l || s.r2)
-      )
+      )""")
+            if batch > 1 and done_slots:
+                gate_union = " UNION ALL ".join(
+                    f"SELECT 1 AS x FROM s{rr}_{ii}" for rr, ii in done_slots
+                )
+                preds.append(
+                    f"(SELECT COUNT(*) FROM ({gate_union})) < {merges}"
+                )
+            where = ("WHERE " + "\n        AND ".join(preds)) if preds else ""
+            ctes.append(f"""s{r}_{i} AS MATERIALIZED (
+      SELECT p.l, p.r2, p.pc FROM p{r} p
+      {where}
       ORDER BY p.pc DESC, p.l ASC, p.r2 ASC LIMIT 1
     )""")
+            done_slots.append((r, i))
         slot_union = " UNION ALL ".join(
             f"SELECT {i} AS slot, l, r2, pc FROM s{r}_{i}"
             for i in range(1, k + 1)
@@ -4650,7 +4665,7 @@ def _oracle_bpe_ctes(merges: int = 12, batch: int = 1) -> str:
 
 
 def _oracle_bpe_train(merges: int = 12, batch: int = 1) -> str:
-    n_rounds = -(-merges // max(batch, 1))
+    n_rounds = merges
     union = "\n    UNION ALL ".join(
         f"SELECT {r} AS rnd, slot, l, r2, pc FROM m{r}"
         for r in range(1, n_rounds + 1)
@@ -4671,10 +4686,10 @@ def _oracle_bpe_segment(merges: int = 12, batch: int = 1) -> str:
     keep an exhausted slot (empty s{{r}}_{{i}}) a no-op, mirroring
     the engine's early break."""
     norm = _SQL_NORM.format(col="text")
-    n_rounds = -(-merges // max(batch, 1))
+    n_rounds = merges
     expr = "sym0"
     for r in range(1, n_rounds + 1):
-        k = min(batch, merges - (r - 1) * batch)
+        k = min(batch, merges)
         for i in range(1, k + 1):
             pat = (
                 f"COALESCE('|' || (SELECT l FROM s{r}_{i}) || '||'"

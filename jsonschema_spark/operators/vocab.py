@@ -132,15 +132,19 @@ def bpe_train(
     )
     rules: list[tuple[int, str, str, str, int]] = []
     cur = vocab
-    # STATIC round schedule (ceil(merges/batch) rounds of k=batch slots,
-    # remainder in the last): a slot emptied by the exclusion filter
-    # does NOT roll its budget into an extra round, so the driver
-    # oracle's fixed CTE chain replays the exact same slot grid.
-    n_rounds = -(-merges // max(batch, 1))
+    # Budget-gated dynamic rounds: up to ``merges`` rounds, each
+    # accepting at most min(batch, remaining-budget) slots — a slot
+    # emptied by the exclusion filter rolls its budget forward (a
+    # dense vocab still trains all ``merges`` rules even when a round
+    # conflicts down to one acceptance).  The driver oracle replays
+    # the identical grid with per-slot cumulative-count gates over a
+    # static worst-case round chain (``_oracle_bpe_ctes``).
     try:
-        for rnd in range(n_rounds):
+        for _rnd in range(merges):
+            if len(rules) >= merges:
+                break
             pc = pair_counts(cur)
-            k = min(batch, merges - rnd * batch)
+            k = min(batch, merges - len(rules))
             order = [
                 F.col("pair_count").desc(),
                 F.col("left").asc(),
@@ -254,23 +258,29 @@ def collocations(
     pmi = ln(c_ab * N * N / (M * c_a * c_b)), rounded to 6 dp.
 
     Shape: TWO corpus scans — one feeding the unigram groupBy
-    exchange, one the bigram groupBy exchange (nothing is cached; the
-    token projection is recomputed on each, which is cheaper at scale
-    than persisting a corpus-sized token column).  The two scalar
-    totals (N tokens, M bigrams) aggregate the SAME shuffled outputs —
-    Spark's ReusedExchange dedupes their subplans (verified in the
-    physical plan: the totals add no third or fourth corpus scan) —
-    and ride in via broadcast crossJoin of 1-row aggregates.
-    The unigram join is vocabulary-sized on both sides — an equality
-    shuffle join that scales with the vocab, never the corpus.
-    Ordering is (rounded pmi desc, left, right) so the top-k cut is
-    deterministic cross-engine."""
+    exchange, one the bigram groupBy exchange.  The aggregated
+    unigram/bigram tables are PERSISTED (r5): they are
+    vocabulary-sized (never corpus-sized — this is NOT a token-column
+    cache), and each has 2-3 consumers (the totals, the PMI joins);
+    r4 relied on ReusedExchange to dedupe those consumers, but under
+    AQE reuse is not guaranteed (measured: the executed plan grew to
+    4 corpus scans when reuse missed), so the cache pins the scan
+    count at two by construction.  tests/test_plan_shapes.py asserts
+    it.  The cache handles ride on the result as ``_uni_cache`` /
+    ``_bi_cache`` for deterministic unpersist.
+    The two scalar totals (N tokens, M bigrams) ride in via broadcast
+    crossJoin of 1-row aggregates; the unigram join is
+    vocabulary-sized on both sides — an equality shuffle join that
+    scales with the vocab, never the corpus.  Ordering is (rounded
+    pmi desc, left, right) so the top-k cut is deterministic
+    cross-engine."""
     toks = df.select(tokens(F.col(text_col)).alias("t")).filter(F.size("t") > 0)
     uni = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
     )
     bi_pairs = F.zip_with(
         F.expr("slice(t, 1, size(t) - 1)"),
@@ -283,6 +293,7 @@ def collocations(
         .filter((F.col("p.l") != "") & (F.col("p.r") != ""))
         .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist()
     )
     n_tot = uni.agg(F.sum("c1").cast("double").alias("n_tot"))
     m_tot = bi.agg(F.sum("c_ab").cast("double").alias("m_tot"))
@@ -305,10 +316,13 @@ def collocations(
             ).alias("pmi"),
         )
     )
-    return (
+    out = (
         scored.orderBy(F.col("pmi").desc(), F.col("left").asc(), F.col("right").asc())
         .limit(top_k)
     )
+    out._uni_cache = uni
+    out._bi_cache = bi
+    return out
 
 
 def vocab_growth(

@@ -95,6 +95,39 @@ def read_stream(
     return spark.readStream.schema(schema).options(**options).parquet(source)
 
 
+_SNAPLOG = "_snapshots.jsonl"
+
+
+def append_snapshot(df: DataFrame, path: str) -> int:
+    """Append ``df`` to a snapshot-logged parquet table and return the
+    new snapshot id.
+
+    The local stand-in for an Iceberg append when no Iceberg runtime
+    is on the classpath: data lands under ``path/data/snap-<id>/`` and
+    a JSON line {id, dir} is appended to ``path/_snapshots.jsonl`` —
+    the same lineage shape an Iceberg snapshot log provides, enough
+    for ``read_incremental``'s exclusive-start/inclusive-end contract
+    to EXECUTE instead of being environment-gated.  Ids are
+    monotonically increasing ints (append order)."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    log = _os.path.join(path, _SNAPLOG)
+    last = 0
+    if _os.path.exists(log):
+        with open(log) as f:
+            for line in f:
+                if line.strip():
+                    last = max(last, _json.loads(line)["id"])
+    snap_id = last + 1
+    sub = f"data/snap-{snap_id}"
+    df.write.mode("errorifexists").parquet(_os.path.join(path, sub))
+    with open(log, "a") as f:
+        f.write(_json.dumps({"id": snap_id, "dir": sub}) + "\n")
+    return snap_id
+
+
 def read_incremental(
     spark: SparkSession,
     source: str,
@@ -102,31 +135,56 @@ def read_incremental(
     end_snapshot_id: int | None = None,
 ) -> DataFrame:
     """Rows appended AFTER ``start_snapshot_id`` (exclusive) up to
-    ``end_snapshot_id`` (inclusive; default: current) of an Iceberg
-    table — Iceberg's documented incremental-scan options
-    (``start-snapshot-id`` / ``end-snapshot-id``).  This is the feed
-    for the incremental stats/drift stores (operators/incremental.py):
-    each run ingests only the new snapshots' data files, so updating a
-    corpus-wide StatsStore after an append touches ZERO historical
-    bytes — the manifest names exactly the new files.
+    ``end_snapshot_id`` (inclusive; default: current) — Iceberg's
+    documented incremental-scan options (``start-snapshot-id`` /
+    ``end-snapshot-id``).  This is the feed for the incremental
+    stats/drift stores (operators/incremental.py): each run ingests
+    only the new snapshots' data files, so updating a corpus-wide
+    StatsStore after an append touches ZERO historical bytes — the
+    manifest names exactly the new files.
 
-    Only table formats with snapshot lineage support this; a parquet
-    path has no snapshot log, so it fails loudly here and points at
-    the checkpoint/manifest-based partition increments
-    (jsonschema_spark.checkpoint) that cover parquet layouts."""
-    if not source.startswith("iceberg:"):
+    Sources: ``iceberg:catalog.db.table`` (production), or a local
+    snapshot-logged parquet table written via ``append_snapshot``
+    (same bound semantics, executed by listing the log's snapshot
+    dirs).  A plain parquet path has no snapshot lineage and fails
+    loudly, pointing at the checkpoint/manifest-based partition
+    increments (jsonschema_spark.checkpoint)."""
+    if source.startswith("iceberg:"):
+        _require_iceberg(spark)
+        r = spark.read.format("iceberg").option(
+            "start-snapshot-id", str(start_snapshot_id)
+        )
+        if end_snapshot_id is not None:
+            r = r.option("end-snapshot-id", str(end_snapshot_id))
+        return r.load(source[len("iceberg:"):])
+    import json as _json
+    import os as _os
+
+    log = _os.path.join(source, _SNAPLOG)
+    if not _os.path.exists(log):
         raise ValueError(
-            "read_incremental needs an iceberg: table (snapshot lineage); "
-            "for parquet layouts use jsonschema_spark.checkpoint's "
+            "read_incremental needs snapshot lineage: an iceberg: table "
+            "or a snapshot-logged parquet dir (append_snapshot); for "
+            "plain parquet layouts use jsonschema_spark.checkpoint's "
             "manifest-based partition increments instead"
         )
-    _require_iceberg(spark)
-    r = spark.read.format("iceberg").option(
-        "start-snapshot-id", str(start_snapshot_id)
-    )
-    if end_snapshot_id is not None:
-        r = r.option("end-snapshot-id", str(end_snapshot_id))
-    return r.load(source[len("iceberg:"):])
+    dirs = []
+    with open(log) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = _json.loads(line)
+            if rec["id"] > start_snapshot_id and (
+                end_snapshot_id is None or rec["id"] <= end_snapshot_id
+            ):
+                dirs.append(_os.path.join(source, rec["dir"]))
+    if not dirs:
+        # empty increment with the table's schema (from any snapshot)
+        with open(log) as f:
+            first = _json.loads(f.readline())
+        base = spark.read.parquet(_os.path.join(source, first["dir"]))
+        return base.limit(0)
+    return spark.read.parquet(*dirs)
 
 
 def write_output(

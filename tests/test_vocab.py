@@ -84,6 +84,33 @@ class TestBpe:
         # '' and '   ' -> 0 tokens; 'a|b' dropped, 'ok' merges to one
         assert sorted(r["n"] for r in seg) == [0, 0, 1]
 
+    def test_train_batched_disjoint_rollforward(self, spark):
+        """batch>1 (r5): per round only symbol-disjoint pairs are
+        accepted (here every pair shares 'a' or 'b', so each round
+        accepts exactly one) and a conflict-starved round rolls its
+        budget forward — the run still trains until the vocab drains,
+        and on this fixture the batched sequence equals sequential
+        BPE."""
+        df = spark.createDataFrame(
+            [(1, "aa ab aa ab ba")], "doc_id long, text string"
+        )
+        k1 = [tuple(r) for r in V.bpe_train(df, merges=4, batch=1).collect()]
+        k4 = [tuple(r) for r in V.bpe_train(df, merges=4, batch=4).collect()]
+        assert k4 == k1 == [
+            (1, "a", "a", "aa", 2),
+            (2, "a", "b", "ab", 2),
+            (3, "b", "a", "ba", 1),
+        ]
+
+    def test_train_batched_accepts_disjoint_in_one_round(self, spark):
+        """Disjoint top pairs merge in the same round with exact
+        pre-round counts."""
+        df = spark.createDataFrame(
+            [(1, "ab ab cd cd cd")], "doc_id long, text string"
+        )
+        rules = [tuple(r) for r in V.bpe_train(df, merges=2, batch=2).collect()]
+        assert rules == [(1, "c", "d", "cd", 3), (2, "a", "b", "ab", 2)]
+
     def test_train_stops_when_exhausted(self, spark):
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         assert V.bpe_train(df, merges=5).count() == 0  # no 2-symbol words
