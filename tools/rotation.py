@@ -256,9 +256,14 @@ def compute_order() -> dict:
 
     registry = list(E.queries())
     pos = {q: i for i, q in enumerate(registry)}
+    # highest risk first: queries whose OWN builder or oracle text
+    # changed (tandem engine+oracle edits — the r4 advice finding)
+    # outrank queries merely in a changed module's closure; staleness
+    # breaks ties within each class.
+    direct = in_fn | named
 
     def age_key(q):
-        return (verified.get(q, 0), pos[q])
+        return (q not in direct, verified.get(q, 0), pos[q])
 
     head = sorted(changed_qs, key=age_key)
     tail = sorted((q for q in registry if q not in changed_qs), key=age_key)
