@@ -8,7 +8,9 @@ Usage: python tools/parity.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 
 import duckdb
@@ -108,6 +110,7 @@ def main() -> None:
     qs = E.queries()
     oracles = E.oracle_sql()
     failed = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -117,10 +120,12 @@ def main() -> None:
             sdf = sp_df.toPandas()
         except Exception as e:
             failed.append(name)
+            record[name] = {"ok": False, "err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:400]}")
             continue
         sql = oracles.get(name)
         if sql is None:
+            record[name] = {"ok": True, "rows": len(sdf), "note": "rows-only (no oracle)"}
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)})")
             continue
         try:
@@ -128,6 +133,7 @@ def main() -> None:
             odf = otbl.to_pandas()
         except Exception as e:
             failed.append(name)
+            record[name] = {"ok": False, "err": f"oracle: {type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:400]}")
             continue
         errs = compare(name, sdf, odf)
@@ -157,12 +163,26 @@ def main() -> None:
         hard = [e for e in errs if "WARNING" not in e]
         if hard:
             failed.append(name)
+            record[name] = {"ok": False, "rows": len(sdf), "err": "; ".join(hard)[:300]}
             print(f"FAIL {name} ({len(sdf)} rows):")
             for e in errs:
                 print(f"   {e}")
         else:
             warn = "" if not errs else f"  [{errs[0]}]"
+            record[name] = {"ok": True, "rows": len(sdf), "oracle_rows": len(odf)}
             print(f"OK   {name} ({len(sdf)} rows){warn}")
+    out = os.environ.get("PARITY_OUT")
+    if out and not only:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd="/root/repo",
+            capture_output=True, text=True,
+        ).stdout.strip()
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "commit": head,
+                       "all_green": not failed, "queries": record}, f, indent=1)
+        print(f"written {out}")
     print(f"\n{'ALL GREEN' if not failed else 'FAILED: ' + ', '.join(failed)}")
     sys.exit(1 if failed else 0)
 
