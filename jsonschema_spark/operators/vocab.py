@@ -258,29 +258,30 @@ def collocations(
     pmi = ln(c_ab * N * N / (M * c_a * c_b)), rounded to 6 dp.
 
     Shape: TWO corpus scans — one feeding the unigram groupBy
-    exchange, one the bigram groupBy exchange.  The aggregated
-    unigram/bigram tables are PERSISTED (r5): they are
-    vocabulary-sized (never corpus-sized — this is NOT a token-column
-    cache), and each has 2-3 consumers (the totals, the PMI joins);
-    r4 relied on ReusedExchange to dedupe those consumers, but under
-    AQE reuse is not guaranteed (measured: the executed plan grew to
-    4 corpus scans when reuse missed), so the cache pins the scan
-    count at two by construction.  tests/test_plan_shapes.py asserts
-    it.  The cache handles ride on the result as ``_uni_cache`` /
-    ``_bi_cache`` for deterministic unpersist.
-    The two scalar totals (N tokens, M bigrams) ride in via broadcast
-    crossJoin of 1-row aggregates; the unigram join is
-    vocabulary-sized on both sides — an equality shuffle join that
-    scales with the vocab, never the corpus.  Ordering is (rounded
-    pmi desc, left, right) so the top-k cut is deterministic
-    cross-engine."""
+    exchange, one the bigram groupBy exchange (nothing is cached; the
+    token projection is recomputed on each, which is cheaper at scale
+    than persisting a corpus-sized token column).  The two scalar
+    totals (N tokens, M bigrams) aggregate the SAME shuffled outputs —
+    Spark's ReusedExchange dedupes their subplans, and
+    tests/test_plan_shapes.py PINS that reuse in the executed AQE
+    plan so it cannot silently regress into extra corpus scans.
+    An r5 paired A/B (BENCH/ab_query_bpe_train_docs_collocations_
+    docs.json) measured the persist alternative — caching the
+    unigram/bigram aggregates — at **1.98× slower** end-to-end: the
+    bigram table is distinct-adjacent-pair-sized (millions of rows at
+    bench scale) and its cache materialization costs more than the
+    deduped recompute, besides leaking cache across calls.  So: no
+    persist, reuse pinned by test.
+    The unigram join is vocabulary-sized on both sides — an equality
+    shuffle join that scales with the vocab, never the corpus.
+    Ordering is (rounded pmi desc, left, right) so the top-k cut is
+    deterministic cross-engine."""
     toks = df.select(tokens(F.col(text_col)).alias("t")).filter(F.size("t") > 0)
     uni = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .persist()
     )
     bi_pairs = F.zip_with(
         F.expr("slice(t, 1, size(t) - 1)"),
@@ -293,7 +294,6 @@ def collocations(
         .filter((F.col("p.l") != "") & (F.col("p.r") != ""))
         .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .persist()
     )
     n_tot = uni.agg(F.sum("c1").cast("double").alias("n_tot"))
     m_tot = bi.agg(F.sum("c_ab").cast("double").alias("m_tot"))
@@ -316,13 +316,10 @@ def collocations(
             ).alias("pmi"),
         )
     )
-    out = (
+    return (
         scored.orderBy(F.col("pmi").desc(), F.col("left").asc(), F.col("right").asc())
         .limit(top_k)
     )
-    out._uni_cache = uni
-    out._bi_cache = bi
-    return out
 
 
 def vocab_growth(
