@@ -359,10 +359,13 @@ def _validation_agg(spark: SparkSession, path: str):
     )
 
 
-def flagship_suite(spark: SparkSession, path: str) -> dict:
+def flagship_suite(spark: SparkSession, path: str, table: str | None = None) -> dict:
     """The north-star check suite over the transcript table: row-level
     keyword plan + uniqueness + RI + column stats, one job per check
-    (the shape ResumableRun executes)."""
+    (the shape ResumableRun executes).  With ``table``, the suite runs
+    over that catalog table instead of the parquet path — used for the
+    conv_id-bucketed layout variant, where uniqueness runs with no
+    corpus exchange (profile_8to32_r5.json)."""
     import jsonschema_spark as js
     from jsonschema_spark.operators import checks
     from jsonschema_spark.sources.fixtures import (
@@ -371,7 +374,7 @@ def flagship_suite(spark: SparkSession, path: str) -> dict:
         dim_tools,
     )
 
-    df = spark.read.parquet(path)
+    df = spark.table(table) if table else spark.read.parquet(path)
     plan = js.compile_schema(TRANSCRIPT_FULL_SCHEMA)
     suite = [
         checks.SchemaCheck(plan=plan, name="schema"),
@@ -826,6 +829,10 @@ def main() -> None:
     path = transcripts_path(spark, n_convs)
     flagship = flagship_suite(spark, path)
     log(f"flagship: {flagship}")
+    flagship_b = flagship_suite(
+        spark, path, table=transcripts_bucketed(spark, n_convs)
+    )
+    log(f"flagship_bucketed: {flagship_b}")
     gateway = gateway_benchmark(
         spark, int(os.environ.get("SPARK_GRAFT_GATEWAY_ROWS", "10000000"))
     )
@@ -848,6 +855,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_turns_per_sec": flagship["turns_per_sec"],
         "flagship": flagship,
+        "flagship_bucketed_turns_per_sec": flagship_b["turns_per_sec"],
+        "flagship_bucketed": flagship_b,
         "gateway_validations_per_sec": gateway["validations_per_sec"],
         "gateway": gateway,
     }
@@ -919,6 +928,7 @@ def _fit_result_line(result: dict, limit: int = _LINE_LIMIT) -> str:
         r["scaling_efficiency"] = sc.get("scaling_efficiency")
     # flagship/gateway headline rates are already top-level scalars
     r.pop("flagship", None)
+    r.pop("flagship_bucketed", None)
     r.pop("gateway", None)
     line = dumps(r)
     if len(line) <= limit:
