@@ -286,7 +286,9 @@ class Parser:
                     raise ExprError(f"as right is not variable: {n.text!r}")
                 left = AsBind(n.text, left)
                 continue
-            prec = self.BIN_PREC.get(t.text)
+            # kind check: a STRING token whose text is an operator
+            # ('!', '-', '+', ...) must stay a literal, not an operator
+            prec = self.BIN_PREC.get(t.text) if t.kind in ("op", "kw") else None
             if prec is None or prec < min_prec:
                 return left
             self.next()
@@ -295,7 +297,7 @@ class Parser:
 
     def parse_unary(self):
         t = self.peek()
-        if t.text in ("!", "-"):
+        if t.kind == "op" and t.text in ("!", "-"):
             self.next()
             return Un(t.text, self.parse_unary())
         return self.parse_postfix(self.parse_primary())
@@ -913,7 +915,53 @@ def _fn_get(env, a, b):
     return CVal(F.try_element_at(v.col, k.col), None)
 
 
-_FN["get"] = _fn_get
+def _fn_get_dispatch(env, a, b=None):
+    if b is None:
+        # 0-arg method form: counter.get() (funcs_obj.go:871-874) —
+        # the per-row counter value
+        return CVal(_v(env, a).num(), T.DoubleType())
+    return _fn_get(env, a, b)
+
+
+_FN["get"] = _fn_get_dispatch
+
+
+# --- stateful-helper analogs (funcs_obj.go:322-324 str_builder,
+# 859-880 atomic_int): the reference's builder/counter are mutable
+# driver-side OBJECTS; the columnar analog treats them as per-row
+# VALUES threaded through bindings — `b = b.write(x)` / statement
+# `b.write(x)` rebinds (keywords_script mutation calls), `c.add(n)`
+# yields the new value like atomic.Add.  Cross-ROW accumulation is
+# deliberately NOT this surface (that is what aggregations are for);
+# per-document accumulation in for-bodies is, matching how the
+# reference's own script tests use them (script_test.go:428-469).
+_FN["str_builder"] = lambda env, *a: CVal(F.lit(""), T.StringType())
+
+
+def _fn_write(env, self_, *args):
+    out = _v(env, self_).str_()
+    for r in args:
+        out = F.concat(out, _v(env, r).str_())
+    return CVal(out, T.StringType())
+
+
+_FN["write"] = _fn_write
+_FN["atomic_int"] = lambda env, *a: CVal(
+    _v(env, a[0]).num() if a else F.lit(0.0), T.DoubleType()
+)
+# 2-arg expression set: counter.set(n) stores and yields the stored
+# value (reference returns self; its value IS n).  The 3-arg map form
+# stays statement-only (keywords_script._exec_mutation_call).
+def _fn_set_expr(env, a, b=None, *rest):
+    if b is None or rest:
+        raise ExprError(
+            "set(m, k, v) mutates a script variable and is statement-only; "
+            "expression set is the 2-arg counter form set(c, n)"
+        )
+    return CVal(_v(env, b).num(), T.DoubleType())
+
+
+_FN["set"] = _fn_set_expr
 _FN["time_format"] = lambda env, a, *r: CVal(
     F.date_format(_v(env, a).col.cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
     T.StringType(),

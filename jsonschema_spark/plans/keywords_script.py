@@ -690,6 +690,23 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                 return
             cur = _mutable_var(st, env)
             name = st.args[0].name
+            if st.fn == "write":
+                # statement-position builder write (funcs_obj.go
+                # SelfDefine write; script_test.go:469 'sbb::write(k,v)'
+                # inside for): rebind the variable to the accumulated
+                # string
+                out = string_of(cur.col, cur.dtype)
+                for a in st.args[1:]:
+                    v = compile_expr(a, env)
+                    out = F.concat(out, v.str_())
+                bind_var(name, CVal(out, T.StringType()), guard)
+                return
+            if st.fn == "set" and len(st.args) == 2:
+                # counter.set(n) statement (funcs_obj.go:864-867):
+                # rebind to the stored numeric value
+                v = compile_expr(st.args[1], env)
+                bind_var(name, CVal(v.num(), T.DoubleType()), guard)
+                return
             if st.fn == "set":
                 if not isinstance(cur.dtype, T.MapType):
                     raise SchemaError(
@@ -858,7 +875,7 @@ def kw_script(operand, path, siblings, ctx) -> Rule:
                             f"script if() effect must be return(...) or $.path = ... at {path}"
                         )
                 elif isinstance(st, Call) and st.fn in (
-                    "set_to", "seto", "set", "set_index", "delete"
+                    "set_to", "seto", "set", "set_index", "delete", "write"
                 ):
                     _exec_mutation_call(st, guard, env)
                 elif _is_break_stmt(st):

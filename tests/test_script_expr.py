@@ -939,3 +939,67 @@ class TestStatementSugar:
             {"script": ["y = 'b'", "$.hd = append('a', y..., 'c')"]}
         )
         assert plan.transform(docs).collect()[0]["hd"] == "abc"
+
+
+class TestStatefulHelpers:
+    """r5: str_builder / atomic_int analogs (funcs_obj.go:322-324,
+    859-880) — per-row values threaded through bindings; fixtures
+    mirror expr/funcs_test.go:32 and script_test.go:428,930."""
+
+    def test_str_builder_chained(self, spark, docs):
+        # funcs_test.go:32: str_builder().write('1','2').write('3').string()
+        plan = js.compile_schema(
+            {"script": ["$.hd = str_builder().write('1','2').write('3').string()"]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "123"
+
+    def test_str_builder_statement_write_mutates(self, spark, docs):
+        # script_test.go:930 via statement form
+        plan = js.compile_schema(
+            {"script": [
+                "a = str_builder()",
+                "write(a, 'hello')",
+                "a.write('world', '1')",
+                "$.hd = a.string()",
+            ]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "helloworld1"
+
+    def test_str_builder_guarded_write(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "id int")
+        plan = js.compile_schema({"script": [
+            "b = str_builder()",
+            "write(b, 'x')",
+            {"if": "$.id == 1", "then": ["write(b, '!')"]},
+            "$.out = b.string()",
+        ]})
+        rows = {r["id"]: r["out"] for r in plan.transform(df).collect()}
+        assert rows == {1: "x!", 2: "x"}
+
+    def test_atomic_int_add_get_set(self, spark, docs):
+        plan = js.compile_schema(
+            {"script": [
+                "c = atomic_int(5)",
+                "$.hd = string(c.add(3))",   # Add returns the new value
+                "set(c, 10)",
+                "$.sms = string(c.get())",
+            ]}
+        )
+        row = plan.transform(docs).collect()[0]
+        assert row["hd"] == "8" and row["sms"] == "10"
+
+    def test_operator_text_string_literals_parse(self, spark, docs):
+        # r5 parser fix: a STRING token whose text is an operator
+        # ('!', '-', 'in', ...) must stay a literal — previously the
+        # Pratt loop keyed on token TEXT alone and parsed '!' as NOT
+        plan = js.compile_schema(
+            {"script": ["$.hd = '!' + '-' + 'in' + 'or'"]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "!-inor"
+
+    def test_map_set_still_statement_only(self, spark, docs):
+        plan = js.compile_schema(
+            {"script": ["m = new()", "$.hd = string(set(m, 'k', 1))"]}
+        )
+        with pytest.raises(Exception, match="statement-only"):
+            plan.transform(docs).collect()
