@@ -949,19 +949,71 @@ _FN["write"] = _fn_write
 _FN["atomic_int"] = lambda env, *a: CVal(
     _v(env, a[0]).num() if a else F.lit(0.0), T.DoubleType()
 )
-# 2-arg expression set: counter.set(n) stores and yields the stored
-# value (reference returns self; its value IS n).  The 3-arg map form
-# stays statement-only (keywords_script._exec_mutation_call).
+# expression set: 2-arg counter.set(n) stores and yields the stored
+# value (reference returns self; its value IS n); 3-arg chained map
+# form m.set(k, v) yields the UPDATED map (url.Values.Set /
+# funcs_obj.go:664-667 returns self for chaining).  Mutating a bound
+# variable stays statement-only (keywords_script._exec_mutation_call).
 def _fn_set_expr(env, a, b=None, *rest):
-    if b is None or rest:
-        raise ExprError(
-            "set(m, k, v) mutates a script variable and is statement-only; "
-            "expression set is the 2-arg counter form set(c, n)"
+    if b is None or len(rest) > 1:
+        raise ExprError("set takes (counter, n) or (map, k, v)")
+    if rest:
+        v = _v(env, a)
+        if not isinstance(v.dtype, T.MapType):
+            raise ExprError(
+                "3-arg set(m, k, v) needs a map-typed value; to mutate a "
+                "bound variable use the statement form"
+            )
+        k = _v(env, b).str_()
+        val = _v(env, rest[0])
+        vt = v.dtype.valueType
+        vcol = (
+            string_of(val.col, val.dtype)
+            if isinstance(vt, T.StringType)
+            else val.col.cast(vt)
+        )
+        return CVal(
+            F.map_concat(
+                F.map_filter(v.col, lambda kk, _vv: kk != k),
+                F.create_map(k, vcol),
+            ),
+            v.dtype,
         )
     return CVal(_v(env, b).num(), T.DoubleType())
 
 
 _FN["set"] = _fn_set_expr
+
+# url.Values analog (funcs_obj.go:656-670): a map<string,string>
+# value — url_new_values() = new(); .set(k,v) above chains; .get(k)
+# is the map get; .encode() renders Go's url.Values.Encode: entries
+# sorted by key, form-urlencoded (Spark's url_encode and Java's
+# URLEncoder both emit '+' for space, matching Go's QueryEscape).
+_FN["url_new_values"] = lambda env: CVal(
+    F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    ),
+    T.MapType(T.StringType(), T.StringType()),
+)
+
+
+def _fn_encode(env, a):
+    v = _v(env, a)
+    if not isinstance(v.dtype, T.MapType):
+        raise ExprError("encode() needs a map-typed value (url_new_values)")
+    ents = F.array_sort(F.map_entries(v.col))
+    parts = F.transform(
+        ents,
+        lambda e: F.concat(
+            F.url_encode(e["key"].cast("string")),
+            F.lit("="),
+            F.url_encode(e["value"].cast("string")),
+        ),
+    )
+    return CVal(F.array_join(parts, "&"), T.StringType())
+
+
+_FN["encode"] = _fn_encode
 _FN["time_format"] = lambda env, a, *r: CVal(
     F.date_format(_v(env, a).col.cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
     T.StringType(),

@@ -997,9 +997,30 @@ class TestStatefulHelpers:
         )
         assert plan.transform(docs).collect()[0]["hd"] == "!-inor"
 
-    def test_map_set_still_statement_only(self, spark, docs):
+    def test_expr_set_on_non_map_rejected(self, spark, docs):
         plan = js.compile_schema(
-            {"script": ["m = new()", "$.hd = string(set(m, 'k', 1))"]}
+            {"script": ["$.hd = string(set('x', 'k', 1))"]}
         )
-        with pytest.raises(Exception, match="statement-only"):
+        with pytest.raises(Exception, match="map-typed"):
             plan.transform(docs).collect()
+
+    def test_url_values_chained(self, spark, docs):
+        # funcs_obj.go:656-670: url_new_values().set().encode(); Encode
+        # sorts by key and form-urlencodes (space -> '+')
+        plan = js.compile_schema(
+            {"script": [
+                "$.hd = url_new_values().set('b', 'x y').set('a', 1).encode()",
+            ]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "a=1&b=x+y"
+
+    def test_url_values_statement_set_and_get(self, spark, docs):
+        plan = js.compile_schema(
+            {"script": [
+                "v = url_new_values()",
+                "set(v, 'q', 'hello')",
+                "set(v, 'q', 'world')",   # Set overwrites
+                "$.hd = v.get('q') + ':' + v.encode()",
+            ]}
+        )
+        assert plan.transform(docs).collect()[0]["hd"] == "world:q=world"
