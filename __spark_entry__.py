@@ -2191,6 +2191,25 @@ def q_token_entropy_docs(spark, sf_dir):
     return text.token_entropy(_docs(spark, sf_dir))
 
 
+def q_script_builders_docs(spark, sf_dir):
+    """r5 stateful-helper analogs end-to-end (str_builder write/string,
+    atomic_int add, url.Values set/encode — funcs_obj.go:322,656,859):
+    per-document tag built by a threaded builder binding, a counter
+    accumulation, and a sorted form-urlencoded query string.  All pure
+    codegen (concat/map ops) — map-only, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    plan = js.compile_schema({"script": [
+        "b = str_builder()",
+        "b.write('doc ', $.doc_id)",
+        {"if": "$.lang == 'en'", "then": ["b.write(' [en]')"]},
+        "c = atomic_int(0)",
+        "$.n = c.add(len($.text))",
+        "$.qs = url_new_values().set('lang', $.lang).set('id', $.doc_id).encode()",
+        "$.tag = b.string()",
+    ]})
+    return plan.transform(docs).select("doc_id", "tag", "n", "qs")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compiled schema validation over sf0.001 orders."""
     return q_validate_orders(spark, "/root/testdata/sf0.001")
@@ -2267,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": q_embedding_profile,
         "lm_bigram_docs": q_lm_bigram_docs,
         "token_entropy_docs": q_token_entropy_docs,
+        "script_builders_docs": q_script_builders_docs,
         "validate_orders": q_validate_orders,
         "validate_events": q_validate_events,
         "validate_part": q_validate_part,
@@ -4233,6 +4253,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_profile": _oracle_embedding_profile(),
         "lm_bigram_docs": _oracle_lm_bigram(),
         "token_entropy_docs": _oracle_token_entropy(),
+        "script_builders_docs": """
+    SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN lang = 'en' THEN ' [en]' ELSE '' END AS tag,
+           CAST(length(text) AS DOUBLE) AS n,
+           'id=' || CAST(doc_id AS VARCHAR) || '&lang=' || lang AS qs
+    FROM documents
+    """,
     }
 
 
